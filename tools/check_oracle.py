@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local self-check approximating the driver's DuckDB-oracle compare:
+for each query dir under OUT, run the oracle SQL on the same sf parquet
+tables, sort columns by name and rows by all values, compare cell-wise
+(rel tol 1e-9 for floats). Usage: check_oracle.py SF_DIR OUT_DIR [name]
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True
+            return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
+    except (TypeError, ValueError):
+        pass
+    if (a is None) != (b is None):
+        # pandas NaN vs None
+        fa = a if a is not None else float("nan")
+        fb = b if b is not None else float("nan")
+        try:
+            return math.isnan(float(fa)) and math.isnan(float(fb))
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = sys.argv[3] if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name != only:
+            continue
+        qdir = f"{out_dir}/{name}"
+        if not os.path.isdir(qdir):
+            print(f"FAIL {name}: no spark output dir")
+            n_bad += 1
+            continue
+        try:
+            exp = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        got = norm(con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')").df())
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            n_bad += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            n_bad += 1
+            continue
+        bad = None
+        ev, gv = exp.values, got.values
+        for i in range(len(exp)):
+            for j in range(len(exp.columns)):
+                a, b = ev[i][j], gv[i][j]
+                if not cells_equal(a, b):
+                    bad = (i, exp.columns[j], a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]} col {bad[1]}: oracle={bad[2]!r} spark={bad[3]!r}")
+            n_bad += 1
+        else:
+            print(f"OK   {name} ({len(exp)} rows x {len(exp.columns)} cols)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

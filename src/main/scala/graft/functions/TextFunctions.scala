@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (dedup, quality,
+  * language-ID, fingerprinting). All pure column expressions — codegen
+  * friendly, no UDFs, executor-local, so they hold at 100 TB where a
+  * Python/Scala closure would dominate the profile.
+  *
+  * Cross-engine determinism contract: every derived value must be
+  * reproducible by the DuckDB oracle, so hashing goes through md5
+  * (identical bytes on both engines) rather than Spark's murmur3
+  * `hash()` (which DuckDB lacks).
+  */
+object TextFunctions {
+
+  /** 60-bit stable content hash: first 15 hex chars of md5 as a long.
+    * 15 nibbles = 60 bits, safely inside a signed 64-bit value on both
+    * engines (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Canonical text normalization: punctuation -> space, collapse
+    * whitespace, trim, lowercase. The shared preprocessing step for
+    * shingling / fingerprinting / quality.
+    */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(regexp_replace(c, "[^a-zA-Z0-9\\s]", " "), "\\s+", " ")))
+
+  /** Whitespace tokens of already-normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Word k-gram shingles (space-joined) with an empty-array guard for
+    * short docs (Spark's `sequence(0, n)` flips direction for n<0).
+    */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character k-gram shingles of normalized text. */
+  def charShingles(norm: Column, k: Int): Column =
+    when(length(norm) >= k,
+      transform(sequence(lit(0), length(norm) - k),
+        i => substr(norm, i + 1, lit(k))))
+      .otherwise(array().cast("array<string>"))
+}

@@ -1,0 +1,270 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for the training-data pipeline:
+  * exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band ->
+  * bucket equi-join), SimHash (bit-majority sketch), n-gram Jaccard
+  * (blocked pairwise), and embedding-cosine near-dup.
+  *
+  * Scale design: nothing here is all-pairs. Every candidate-pair step
+  * goes through an equi-join on a blocking key (LSH band hash, source
+  * block, embedding label) so the shuffle is keyed and bounded; the
+  * only quadratic work is within a block. At 100 TB the knobs are the
+  * number of bands/planes and the block key — the plan shape (scan ->
+  * narrow sketch projection -> keyed shuffle -> within-bucket pairs)
+  * stays the same.
+  */
+object Dedup {
+
+  private val P = 2147483647L // 2^31 - 1; keeps (a*h + b) well under 2^63
+
+  /** Exact dedup: content-hash groupBy, survivor = min doc_id.
+    * Pure partial-aggregatable hash aggregate — one shuffle on the
+    * 128-bit content hash, no skew (hashes are uniform).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature columns sig0..sig7 over word 3-gram shingles.
+    * Permutation j is (a_j*h + b_j) mod P with small fixed a_j, b_j so
+    * the arithmetic is oracle-reproducible and overflow-free.
+    *
+    * Shape: explode shingles -> one md5 per shingle -> groupBy doc with
+    * 8 min-aggregates. The aggregation is a hard optimizer boundary, so
+    * the md5 pipeline runs ONCE per shingle; the array-expression
+    * formulation (array_min over 8 transforms of an inlined hash array)
+    * lets CollapseProject re-inline the md5 chain into every signature
+    * and band expression — measured 25x slower at sf0.1. The exploded
+    * form is also the scalable one: partial min-aggregation map-side,
+    * one keyed shuffle on doc_id.
+    */
+  private def minhashSigDf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hv = docs
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
+    val sigCols = (0 until 8).map { j =>
+      val a = 2 * j + 3
+      val b = 101 * j + 7
+      min((col("hv") * a + b) % P).as(s"sig$j")
+    }
+    val sig = hv.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // keep zero-shingle docs as null-signature rows (oracle parity)
+    docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
+  }
+
+  def minhashSignature(s: SparkSession, d: String): DataFrame =
+    minhashSigDf(s, d)
+
+  /** LSH candidate pairs: 4 bands of 2 signatures; docs sharing any
+    * band hash become a pair; est_jaccard = matching sigs / 8.
+    */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigDf(s, d)
+      .withColumn("sig_arr", array((0 until 8).map(j => col(s"sig$j")): _*))
+    val bandHashes = array((0 until 4).map { b =>
+      md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+    }: _*)
+    val bands = sig
+      .select(col("doc_id"), col("sig_arr"), posexplode(bandHashes).as(Seq("bid", "bh")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sig_arr").as("sig_a"),
+      col("bid"), col("bh"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sig_arr").as("sig_b"),
+      col("bid"), col("bh"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, x) => acc + x).cast("double") / 8
+    a.join(b, Seq("bid", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), round(est, 6).as("est_jaccard"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** 60-bit SimHash: per-token 60-bit hash, per-bit majority vote over
+    * token occurrences (60 bits, not 64, so the fingerprint stays a
+    * non-negative signed BIGINT on both engines).
+    */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), hash60(col("tok")).as("hv"))
+    val bitSums = (0 until 60).map { bit =>
+      sum(shiftright(col("hv"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit")
+    }
+    val agged = toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n_tokens"): _*)
+    val fp = (0 until 60).map { bit =>
+      when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), fp.as("simhash"), col("n_tokens"))
+  }
+
+  /** Blocked pairwise n-gram Jaccard: candidate pairs limited to the
+    * same `source` block (the blocking key a real pipeline would pick:
+    * crawl shard, domain, near-dup cluster). jac1 = unigram set
+    * Jaccard, jac3 = word-3-gram set Jaccard; keep jac1 >= 0.5.
+    */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"), col("source"),
+      array_distinct(tokens(col("text"))).as("uni"),
+      array_distinct(wordShingles(tokens(col("text")), 3)).as("tri"))
+    val a = base.select(col("source"), col("doc_id").as("doc_a"),
+      col("uni").as("uni_a"), col("tri").as("tri_a"))
+    val b = base.select(col("source"), col("doc_id").as("doc_b"),
+      col("uni").as("uni_b"), col("tri").as("tri_b"))
+    def jac(x: Column, y: Column) =
+      round(size(array_intersect(x, y)).cast("double") / size(array_union(x, y)), 6)
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        jac(col("uni_a"), col("uni_b")).as("jac1"),
+        jac(col("tri_a"), col("tri_b")).as("jac3"))
+      .filter(col("jac1") >= 0.5)
+  }
+
+  /** Embedding near-dup: top-3 cosine neighbors within the same label
+    * block (label = the cluster/partition key; at scale this is the
+    * IVF coarse centroid assignment).
+    */
+  def embeddingCosineNeardup(s: SparkSession, d: String): DataFrame = {
+    // Precompute each vector's norm BEFORE the pair join: per-pair work
+    // drops from 3 dot products to 1 (3x at sf0.1, more at scale).
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val a = e.select(col("label"), col("vec_id").as("qid"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("nid"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val cos = round(graft.functions.Cleaning.safeDiv(
+      dot(col("va"), col("vb")), col("na") * col("nb")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    a.join(b, Seq("label"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("label"), col("qid"), col("nid"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "minhash_signature" -> (minhashSignature _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "embedding_cosine_neardup" -> (embeddingCosineNeardup _)
+  )
+
+  // ---- oracle SQL (DuckDB dialect; partially code-generated) ----
+
+  private val normSql =
+    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  /** Shared CTE prefix: word tokens + 3-gram shingle hashes mod P. */
+  private val shingleHashCte =
+    s"""WITH toks AS (
+       | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+       |sh AS (
+       | SELECT doc_id, CASE WHEN len(w) >= 3
+       |  THEN list_transform(range(0, len(w) - 2),
+       |        i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+       |  ELSE [] END AS shingles FROM toks),
+       |hs AS (
+       | SELECT doc_id, list_transform(shingles,
+       |   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P) AS hv FROM sh)""".stripMargin
+
+  private val sigSelect = (0 until 8).map { j =>
+    val a = 2 * j + 3
+    val b = 101 * j + 7
+    s"list_min(list_transform(hv, h -> (h * $a + $b) % $P)) AS sig$j"
+  }.mkString(",\n ")
+
+  private val simhashBitSums = (0 until 60)
+    .map(bit => s"sum(((hv >> $bit) & 1) * 2 - 1) AS s$bit").mkString(",\n ")
+  private val simhashFp = (0 until 60)
+    .map(bit => s"(CASE WHEN s$bit > 0 THEN (1::BIGINT << $bit) ELSE 0::BIGINT END)")
+    .mkString(" + ")
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "minhash_signature" ->
+      s"""$shingleHashCte
+         |SELECT doc_id, $sigSelect FROM hs""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$shingleHashCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM hs),
+         |bands AS (
+         | SELECT doc_id, [sig0,sig1,sig2,sig3,sig4,sig5,sig6,sig7] AS sig_arr,
+         |  unnest([0, 1, 2, 3]) AS bid,
+         |  unnest([
+         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+         | FROM sig)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | round(CAST(len(list_filter(range(0, 8),
+         |   i -> a.sig_arr[CAST(i + 1 AS INT)] = b.sig_arr[CAST(i + 1 AS INT)])) AS DOUBLE) / 8, 6) AS est_jaccard,
+         | count(*) AS shared_bands
+         |FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+         | AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (
+         | SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |h AS (
+         | SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |s AS (
+         | SELECT doc_id, $simhashBitSums, count(*) AS n_tokens
+         | FROM h GROUP BY doc_id)
+         |SELECT doc_id, $simhashFp AS simhash, n_tokens FROM s""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH base AS (
+         | SELECT doc_id, source,
+         |  list_distinct(string_split($normSql, ' ')) AS uni,
+         |  list_distinct(CASE WHEN len(string_split($normSql, ' ')) >= 3
+         |   THEN list_transform(range(0, len(string_split($normSql, ' ')) - 2),
+         |     i -> array_to_string((string_split($normSql, ' '))[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+         |   ELSE [] END) AS tri
+         | FROM documents)
+         |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | round(CAST(len(list_intersect(a.uni, b.uni)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.uni, b.uni))), 6) AS jac1,
+         | round(CAST(len(list_intersect(a.tri, b.tri)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.tri, b.tri))), 6) AS jac3
+         |FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE round(CAST(len(list_intersect(a.uni, b.uni)) AS DOUBLE)
+         |   / len(list_distinct(list_concat(a.uni, b.uni))), 6) >= 0.5""".stripMargin,
+
+    "embedding_cosine_neardup" ->
+      """WITH e AS (
+        | SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        | SELECT a.label, a.vec_id AS qid, b.vec_id AS nid,
+        |  round(list_dot_product(a.v, b.v)
+        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |r AS (
+        | SELECT label, qid, nid, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+        | FROM p)
+        |SELECT label, qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin
+  )
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for the training-data pipeline: token
+  * counting, quality scoring, language-ID, fingerprinting. Everything
+  * is a narrow per-row projection — no shuffle at all — so these
+  * pipeline at scan speed over 100 TB and push column pruning down to
+  * the parquet reader (only `doc_id`/`text` are read).
+  */
+object TextAnalysis {
+
+  // Shared normalized-text SQL fragment for the DuckDB oracles.
+  private val normSql =
+    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  /** Whitespace + regex ("BPE-ish" word/number/symbol classes) token counts. */
+  def tokenCount(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val reToks = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).as("ws_tokens"),
+      size(reToks).as("re_tokens"),
+      length(col("text")).as("n_chars_actual"))
+  }
+
+  /** Heuristic quality signals: length, word stats, stopword ratio,
+    * punctuation density, and a bounded linear quality score.
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+    val toks = tokens(col("text"))
+    val nWords = size(toks)
+    val stopHits = size(filter(toks, t => array_contains(lit(stop.toArray), t)))
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val nChars = length(col("text"))
+    // Score composes the RAW ratios, not the rounded display columns:
+    // rounded inputs sit on a 1e-6 lattice, which lands the score on
+    // exact .5 rounding boundaries where engines disagree.
+    val rawStop = stopHits.cast("double") / nWords
+    val rawPunct = punct.cast("double") / nChars
+    val stopRatio = round(rawStop, 6)
+    val punctRatio = round(rawPunct, 6)
+    val avgWordLen = round(
+      length(regexp_replace(normText(col("text")), " ", "")).cast("double") / nWords, 6)
+    val score = round(least(lit(1.0),
+      lit(0.35) * rawStop * 10 + lit(0.0005) * nWords + lit(0.3) - rawPunct), 6)
+    Tables.documents(s, d).select(
+      col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+      avgWordLen.as("avg_word_len"), stopRatio.as("stop_ratio"),
+      punctRatio.as("punct_ratio"), score.as("quality_score"))
+  }
+
+  /** n-gram/stopword-profile language ID. Scores each candidate
+    * language by its marker-token hit rate (CJK by codepoint class)
+    * and picks the max with a fixed priority chain for ties — fully
+    * deterministic and oracle-reproducible.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("double")
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => array_contains(lit(words.toArray), t))).cast("double")
+    val sEn = round(hits(Seq("the", "a", "and", "of", "is")) / n, 6)
+    val sEs = round(hits(Seq("el", "la", "los", "de", "que")) / n, 6)
+    val sDe = round(hits(Seq("der", "die", "das", "und", "ist")) / n, 6)
+    val sFr = round(hits(Seq("le", "les", "et", "est", "une")) / n, 6)
+    val sZh = round(
+      size(regexp_extract_all(col("text"), lit("[一-鿿]"), lit(0))).cast("double")
+        / length(col("text")), 6)
+    val pred = when(sZh > 0.05, "zh")
+      .when(sEn >= greatest(sEs, sDe, sFr), "en")
+      .when(sEs >= greatest(sDe, sFr), "es")
+      .when(sDe >= sFr, "de")
+      .otherwise("fr")
+    Tables.documents(s, d).select(
+      col("doc_id"), sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"),
+      sFr.as("s_fr"), sZh.as("s_zh"), pred.as("lang_pred"))
+  }
+
+  /** Document fingerprints: full-content md5 of normalized text plus a
+    * winnowing-style min-hash over character 8-grams (stable under
+    * whitespace/punctuation noise).
+    */
+  def docFingerprint(s: SparkSession, d: String): DataFrame = {
+    val norm = normText(col("text"))
+    val grams = charShingles(norm, 8)
+    val minGram = array_min(transform(grams, g => hash60(g)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(norm).as("content_fp"),
+      minGram.as("shingle_fp"))
+  }
+
+  /** The normalization step itself, exposed as an operator. */
+  def normalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"), normText(col("text")).as("norm_text"))
+
+  val queries: Map[String, Relational.Q] = Map(
+    "token_count" -> (tokenCount _),
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "normalize_text" -> (normalizeText _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "token_count" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS re_tokens,
+        | length(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+        | SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents)
+        |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_words,
+        | round(CAST(length(replace($normSql, ' ', '')) AS DOUBLE) / len(toks), 6) AS avg_word_len,
+        | round(CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','on','for'], x))) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+        | round(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+        | round(least(1.0,
+        |   0.35 * (CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','on','for'], x))) AS DOUBLE) / len(toks)) * 10
+        |   + 0.0005 * len(toks) + 0.3
+        |   - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)), 6) AS quality_score
+        |FROM t""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH t AS (
+        | SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents),
+        |sc AS (
+        | SELECT doc_id,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], x))) AS DOUBLE) / len(toks), 6) AS s_en,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['el','la','los','de','que'], x))) AS DOUBLE) / len(toks), 6) AS s_es,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS DOUBLE) / len(toks), 6) AS s_de,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['le','les','et','est','une'], x))) AS DOUBLE) / len(toks), 6) AS s_fr,
+        |  round(CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / length(text), 6) AS s_zh
+        | FROM t)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+        | CASE WHEN s_zh > 0.05 THEN 'zh'
+        |  WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |  WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |  WHEN s_de >= s_fr THEN 'de'
+        |  ELSE 'fr' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS content_fp,
+        | list_min(list_transform(range(0, greatest(length(norm) - 7, 0)),
+        |   i -> ('0x' || substr(md5(substring(norm, CAST(i + 1 AS INT), 8)), 1, 15))::BIGINT)) AS shingle_fp
+        |FROM t""".stripMargin,
+
+    "normalize_text" ->
+      s"SELECT doc_id, $normSql AS norm_text FROM documents"
+  )
+}

@@ -34,6 +34,15 @@ object TextFunctions {
 
   /** Word k-gram shingles (space-joined) with an empty-array guard for
     * short docs (Spark's `sequence(0, n)` flips direction for n<0).
+    *
+    * PERFORMANCE CONTRACT: pass an ATTRIBUTE column (a materialized
+    * token array), not an expression tree. A lambda-captured outer
+    * expression is re-evaluated once per array element — with `toks =
+    * split(regexp_replace(...))` inlined here, the tokenizer ran ~60x
+    * per row and dominated the whole dedup pipeline (measured 12s for
+    * 5k docs at sf0.1; <1s materialized). Call sites do
+    * `df.select(tokens(col).as("toks"))` first — CollapseProject keeps
+    * non-cheap multiply-referenced aliases in their own projection.
     */
   def wordShingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,
@@ -41,7 +50,9 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** Character k-gram shingles of normalized text. */
+  /** Character k-gram shingles. Same attribute-not-expression contract
+    * as wordShingles: `norm` must be a materialized column.
+    */
   def charShingles(norm: Column, k: Int): Column =
     when(length(norm) >= k,
       transform(sequence(lit(0), length(norm) - k),

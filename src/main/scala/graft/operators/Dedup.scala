@@ -48,8 +48,8 @@ object Dedup {
   private def minhashSigDf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val hv = docs
-      .select(col("doc_id"),
-        explode(wordShingles(tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see wordShingles contract
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("g"))
       .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
     val sigCols = (0 until 8).map { j =>
       val a = 2 * j + 3
@@ -68,24 +68,37 @@ object Dedup {
     * band hash become a pair; est_jaccard = matching sigs / 8.
     */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    // Materialize the signature table ONCE before candidate generation:
+    // it feeds three downstream reads (two band-join sides + the
+    // signature attach), and recomputing the shingle->md5->min pipeline
+    // per read dominated the runtime. The 100 TB version of this cache
+    // is writing the signature table to parquet between stages.
     val sig = minhashSigDf(s, d)
       .withColumn("sig_arr", array((0 until 8).map(j => col(s"sig$j")): _*))
+      .cache()
+    sig.count() // populate before the self-join re-reads it
+
     val bandHashes = array((0 until 4).map { b =>
       md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
     }: _*)
-    val bands = sig
-      .select(col("doc_id"), col("sig_arr"), posexplode(bandHashes).as(Seq("bid", "bh")))
-    val a = bands.select(col("doc_id").as("doc_a"), col("sig_arr").as("sig_a"),
-      col("bid"), col("bh"))
-    val b = bands.select(col("doc_id").as("doc_b"), col("sig_arr").as("sig_b"),
-      col("bid"), col("bh"))
+    // slim candidate generation: only (doc_id, band) through the join
+    val bands = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("bid", "bh")))
+    val pairs = bands.select(col("doc_id").as("doc_a"), col("bid"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bid"), col("bh")),
+        Seq("bid", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+
+    // attach signatures to the (much smaller) pair set for the estimate
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
       lit(0), (acc, x) => acc + x).cast("double") / 8
-    a.join(b, Seq("bid", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), round(est, 6).as("est_jaccard"))
-      .agg(count(lit(1)).as("shared_bands"))
+    pairs
+      .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig_arr").as("sig_a"))), Seq("doc_a"))
+      .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig_arr").as("sig_b"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), round(est, 6).as("est_jaccard"),
+        col("shared_bands"))
   }
 
   /** 60-bit SimHash: per-token 60-bit hash, per-bit majority vote over
@@ -96,6 +109,8 @@ object Dedup {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), hash60(col("tok")).as("hv"))
+    // (tokens(..) here is the generator argument, evaluated once per
+    // row — not a lambda capture, so no materialization needed)
     val bitSums = (0 until 60).map { bit =>
       sum(shiftright(col("hv"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit")
     }
@@ -113,10 +128,11 @@ object Dedup {
     * Jaccard, jac3 = word-3-gram set Jaccard; keep jac1 >= 0.5.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d).select(
-      col("doc_id"), col("source"),
-      array_distinct(tokens(col("text"))).as("uni"),
-      array_distinct(wordShingles(tokens(col("text")), 3)).as("tri"))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(col("toks")).as("uni"),
+        array_distinct(wordShingles(col("toks"), 3)).as("tri"))
     val a = base.select(col("source"), col("doc_id").as("doc_a"),
       col("uni").as("uni_a"), col("tri").as("tri_a"))
     val b = base.select(col("source"), col("doc_id").as("doc_b"),

@@ -33,7 +33,7 @@ object TextAnalysis {
     */
   def textQuality(s: SparkSession, d: String): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
-    val toks = tokens(col("text"))
+    val toks = col("toks") // materialized below (TextFunctions contract)
     val nWords = size(toks)
     val stopHits = size(filter(toks, t => array_contains(lit(stop.toArray), t)))
     val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
@@ -46,13 +46,16 @@ object TextAnalysis {
     val stopRatio = round(rawStop, 6)
     val punctRatio = round(rawPunct, 6)
     val avgWordLen = round(
-      length(regexp_replace(normText(col("text")), " ", "")).cast("double") / nWords, 6)
+      length(regexp_replace(col("norm"), " ", "")).cast("double") / nWords, 6)
     val score = round(least(lit(1.0),
       lit(0.35) * rawStop * 10 + lit(0.0005) * nWords + lit(0.3) - rawPunct), 6)
-    Tables.documents(s, d).select(
-      col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
-      avgWordLen.as("avg_word_len"), stopRatio.as("stop_ratio"),
-      punctRatio.as("punct_ratio"), score.as("quality_score"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        tokens(col("text")).as("toks"), normText(col("text")).as("norm"))
+      .select(
+        col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        avgWordLen.as("avg_word_len"), stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"), score.as("quality_score"))
   }
 
   /** n-gram/stopword-profile language ID. Scores each candidate
@@ -61,7 +64,7 @@ object TextAnalysis {
     * deterministic and oracle-reproducible.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("toks") // materialized below (TextFunctions contract)
     val n = size(toks).cast("double")
     def hits(words: Seq[String]) =
       size(filter(toks, t => array_contains(lit(words.toArray), t))).cast("double")
@@ -77,9 +80,11 @@ object TextAnalysis {
       .when(sEs >= greatest(sDe, sFr), "es")
       .when(sDe >= sFr, "de")
       .otherwise("fr")
-    Tables.documents(s, d).select(
-      col("doc_id"), sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"),
-      sFr.as("s_fr"), sZh.as("s_zh"), pred.as("lang_pred"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"), sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"),
+        sFr.as("s_fr"), sZh.as("s_zh"), pred.as("lang_pred"))
   }
 
   /** Document fingerprints: full-content md5 of normalized text plus a
@@ -87,13 +92,15 @@ object TextAnalysis {
     * whitespace/punctuation noise).
     */
   def docFingerprint(s: SparkSession, d: String): DataFrame = {
-    val norm = normText(col("text"))
-    val grams = charShingles(norm, 8)
+    // materialize norm first — charShingles' lambda must capture an
+    // attribute, not the regex pipeline (see TextFunctions contract)
+    val grams = charShingles(col("norm"), 8)
     val minGram = array_min(transform(grams, g => hash60(g)))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      md5(norm).as("content_fp"),
-      minGram.as("shingle_fp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        md5(col("norm")).as("content_fp"),
+        minGram.as("shingle_fp"))
   }
 
   /** The normalization step itself, exposed as an operator. */

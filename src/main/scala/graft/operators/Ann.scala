@@ -57,7 +57,7 @@ object Ann {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     q.join(broadcast(e), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
   }
 
@@ -73,13 +73,52 @@ object Ann {
     q.join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), col("bucket"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** IVF-style ANN: coarse centroids = per-label mean vectors (the
+    * "train" stage of an inverted-file index, here one k-means step
+    * seeded by the label partition); queries probe ONLY their nearest
+    * centroid's list. At 100 TB: centroids are a broadcast table,
+    * assignment is a narrow map, and the probe is an equi-join on the
+    * list id — same keyed-shuffle shape as the LSH variant.
+    */
+  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    // centroids: element-wise mean per label via posexplode + pivot-free agg
+    val centroids = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("c"))
+      .select(col("label").as("list_id"), col("c"))
+    // assign every query vector to its nearest centroid (max cosine)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("vq"))
+    val qAssign = q.join(broadcast(centroids))
+      .select(col("qid"), col("vq"), col("list_id"),
+        round(cosine(col("vq"), col("c")), 6).as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))))
+      .filter(col("crn") === 1)
+      .select(col("qid"), col("vq"), col("list_id"))
+    // probe only the assigned list
+    val cos = round(cosine(col("vq"), col("v")), 6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    qAssign.join(e, col("label") === col("list_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("list_id"), cos.as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
   }
 
   val queries: Map[String, Relational.Q] = Map(
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
-    "ann_lsh_topk" -> (annLshTopk _)
+    "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _)
   )
 
   // plane literal as DuckDB list text; Double.toString round-trips.
@@ -90,7 +129,35 @@ object Ann {
     s"(CASE WHEN list_dot_product(v, ${planeSql(j)}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
 
+  private val ivfSql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (
+      | SELECT label AS list_id, list(m ORDER BY dim) AS c FROM (
+      |  SELECT label, dim, avg(x) AS m
+      |  FROM (SELECT label, unnest(v) AS x,
+      |        unnest(range(1, len(v) + 1)) AS dim FROM e)
+      |  GROUP BY label, dim)
+      | GROUP BY label),
+      |qa AS (
+      | SELECT qid, vq, list_id FROM (
+      |  SELECT q.vec_id AS qid, q.v AS vq, cent.list_id,
+      |   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |    round(list_dot_product(q.v, cent.c)
+      |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(cent.c, cent.c))), 6) DESC,
+      |    cent.list_id) AS crn
+      |  FROM e q, cent WHERE q.vec_id < 8)
+      | WHERE crn = 1),
+      |p AS (
+      | SELECT qa.qid, b.vec_id AS nid, qa.list_id,
+      |  round(list_dot_product(qa.vq, b.v)
+      |   / (sqrt(list_dot_product(qa.vq, qa.vq)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      | FROM qa JOIN e b ON b.label = qa.list_id AND b.vec_id <> qa.qid),
+      |r AS (SELECT qid, nid, list_id, cos,
+      | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+      |SELECT qid, nid, list_id, cos, rn FROM r WHERE rn <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ann_ivf_topk" -> ivfSql,
     "ann_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (

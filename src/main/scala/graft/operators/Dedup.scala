@@ -122,6 +122,25 @@ object Dedup {
     agged.select(col("doc_id"), fp.as("simhash"), col("n_tokens"))
   }
 
+  /** SimHash near-dup pairs: within a source block, pairs whose 60-bit
+    * fingerprints differ in at most `maxHamming` bits. Hamming distance
+    * is a single codegen'd expression: bit_count(a XOR b) — no custom
+    * Expression needed (Spark and DuckDB both ship bit_count).
+    */
+  def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = dedupSimhash(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .cache()
+    fp.count() // materialize once; both self-join sides read it
+    val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    val hamming = bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= 16)
+  }
+
   /** Blocked pairwise n-gram Jaccard: candidate pairs limited to the
     * same `source` block (the blocking key a real pipeline would pick:
     * crawl shard, domain, near-dup cluster). jac1 = unigram set
@@ -168,7 +187,7 @@ object Dedup {
     a.join(b, Seq("label"))
       .filter(col("qid") =!= col("nid"))
       .select(col("label"), col("qid"), col("nid"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
   }
 
@@ -177,6 +196,7 @@ object Dedup {
     "minhash_signature" -> (minhashSignature _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embedding_cosine_neardup" -> (embeddingCosineNeardup _)
   )
@@ -250,6 +270,22 @@ object Dedup {
          | SELECT doc_id, $simhashBitSums, count(*) AS n_tokens
          | FROM h GROUP BY doc_id)
          |SELECT doc_id, $simhashFp AS simhash, n_tokens FROM s""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (
+         | SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |h AS (
+         | SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+         |sb AS (
+         | SELECT doc_id, $simhashBitSums
+         | FROM h GROUP BY doc_id),
+         |fp AS (
+         | SELECT sb.doc_id, $simhashFp AS simhash, d.source
+         | FROM sb JOIN documents d ON sb.doc_id = d.doc_id)
+         |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH base AS (

@@ -85,7 +85,7 @@ object Multimodal {
     }
     Tables.documents(s, d).select(
       Seq(col("doc_id"),
-        length(bin).as("n_bytes"),
+        length(bin).cast("long").as("n_bytes"),
         lower(substring(hex(bin), 1, 8)).as("header_hex")) ++ fake: _*)
   }
 

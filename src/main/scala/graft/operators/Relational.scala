@@ -33,9 +33,15 @@ object Relational {
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // money/quantity values live on a 1e-4 decimal lattice; summing
+        // them as doubles is order-dependent and lands exactly on
+        // round() half-way boundaries where engines disagree. Summing
+        // in DECIMAL is exact and order-independent; the final cast
+        // back to double is deterministic on both engines.
+        sum(col("l_quantity").cast("decimal(20,6)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(20,6)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(20,6)")).cast("double").as("revenue"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("n"))
 
@@ -140,7 +146,7 @@ object Relational {
     Tables.customer(s, d)
       .withColumn("metric", metric)
       .select(col("c_custkey"), col("c_mktsegment"), col("metric"),
-        when(col("metric").isNotNull, rank().over(wr)).as("bal_rank"))
+        when(col("metric").isNotNull, rank().over(wr)).cast("long").as("bal_rank"))
   }
 
   /** W4: directional ranks — positives ranked desc (largest gain = 1),
@@ -159,8 +165,8 @@ object Relational {
     val wn = Window.partitionBy("o_orderpriority").orderBy(neg.asc_nulls_last, col("o_orderkey"))
     withDelta.select(
       col("o_custkey"), col("o_orderkey"), col("o_orderpriority"), col("delta"),
-      when(pos.isNotNull, rank().over(wp)).as("pos_rank"),
-      when(neg.isNotNull, rank().over(wn)).as("neg_rank"))
+      when(pos.isNotNull, rank().over(wp)).cast("long").as("pos_rank"),
+      when(neg.isNotNull, rank().over(wn)).cast("long").as("neg_rank"))
   }
 
   /** X4: null-safe division (divide-by-zero -> NULL, not inf). */
@@ -260,9 +266,9 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
         | round(avg(l_discount), 6) AS avg_disc,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,

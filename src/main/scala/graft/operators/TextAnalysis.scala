@@ -23,9 +23,9 @@ object TextAnalysis {
     val reToks = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
     Tables.documents(s, d).select(
       col("doc_id"),
-      size(toks).as("ws_tokens"),
-      size(reToks).as("re_tokens"),
-      length(col("text")).as("n_chars_actual"))
+      size(toks).cast("long").as("ws_tokens"),
+      size(reToks).cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("n_chars_actual"))
   }
 
   /** Heuristic quality signals: length, word stats, stopword ratio,
@@ -53,7 +53,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("text"),
         tokens(col("text")).as("toks"), normText(col("text")).as("norm"))
       .select(
-        col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        col("doc_id"), nChars.cast("long").as("n_chars"), nWords.cast("long").as("n_words"),
         avgWordLen.as("avg_word_len"), stopRatio.as("stop_ratio"),
         punctRatio.as("punct_ratio"), score.as("quality_score"))
   }

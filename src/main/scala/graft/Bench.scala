@@ -14,6 +14,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state warmup: JIT/codegen/classloading plus OS page cache
+    // for the input files, so per-query timings measure the plans, not
+    // the first-touch costs of whichever query happens to run first.
+    try {
+      Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+        .foreach(t => Tables.load(spark, sfDir, t).count())
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

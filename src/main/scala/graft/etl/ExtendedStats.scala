@@ -28,22 +28,43 @@ object ExtendedStats {
 
   private val deltaSuffixes = Seq("_1yr_pct", "_5yr_pct", "_1yr_abs", "_5yr_abs")
 
-  def deriveExtendedStats(derived: DataFrame): DataFrame = {
+  /** @param padPct replicate pandas 2.2.3's deprecated-but-active
+    *   `pct_change(fill_method='pad')`: the series is forward-filled
+    *   within the group BEFORE both the numerator and the lag, so a
+    *   null-gapped series yields 0%-change runs instead of null. The
+    *   default (false) is the plain lag ratio — the two differ only
+    *   across null gaps and no golden check pins either (SURVEY §2.6 W2).
+    */
+  def deriveExtendedStats(derived: DataFrame, padPct: Boolean = false): DataFrame = {
     val baseCols = DeriveStats.statCols(derived)
 
     // W1/W2: all lag deltas over one window spec
     val wLag = Window.partitionBy(col("`state code`"), col("gov_function"))
       .orderBy(col("year"))
+    val wFill = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pad mode needs its own pass: a lag OF a window expression cannot
+    // nest, so the forward-filled series becomes a real column first
+    // (same wLag partitioning -> still a single shuffle overall)
+    val src =
+      if (padPct)
+        derived.select(derived.columns.map(c => col(s"`$c`")) ++
+          baseCols.map(c => last(col(c), ignoreNulls = true).over(wFill).as(s"__pad_$c")): _*)
+      else derived
     val deltaExprs: Seq[Column] = baseCols.flatMap { c =>
+      val pctBase: Column = if (padPct) col(s"__pad_$c") else col(c)
       val l1 = lag(col(c), 1).over(wLag)
       val l4 = lag(col(c), 4).over(wLag)
+      val p1 = lag(pctBase, 1).over(wLag)
+      val p4 = lag(pctBase, 4).over(wLag)
       Seq(
-        (safeDiv(col(c), l1) - 1).as(s"${c}_1yr_pct"),
-        (safeDiv(col(c), l4) - 1).as(s"${c}_5yr_pct"),
+        (safeDiv(pctBase, p1) - 1).as(s"${c}_1yr_pct"),
+        (safeDiv(pctBase, p4) - 1).as(s"${c}_5yr_pct"),
         (col(c) - l1).as(s"${c}_1yr_abs"),
         (col(c) - l4).as(s"${c}_5yr_abs"))
     }
-    val withDeltas = derived.select(derived.columns.map(c => col(s"`$c`")) ++ deltaExprs: _*)
+    val withDeltas = src
+      .select(src.columns.map(c => col(s"`$c`")) ++ deltaExprs: _*)
+      .drop(baseCols.map(c => s"__pad_$c"): _*)
 
     // W3/W4: ranks within (year, gov_function)
     val cohort = Window.partitionBy(col("year"), col("gov_function"))

@@ -65,6 +65,26 @@ class WindowSemanticsSpec extends SparkTestBase {
     assert(by(2020) == Some(5d - 1d))
   }
 
+  test("W2 pad mode: forward-filled pct_change matches pandas fill_method='pad'") {
+    // pandas: s = [100, None, 110]; s.ffill() = [100, 100, 110];
+    // pct_change(1, fill_method='pad') = [None, 0.0, 0.10]
+    import graft.SparkTestBase
+    val df = Seq(
+      ("WI", "corrections", 2003, Some(100d)),
+      ("WI", "corrections", 2004, None),
+      ("WI", "corrections", 2005, Some(110d))
+    ).toDF("state code", "gov_function", "year", "ft_employment")
+    val out = graft.etl.ExtendedStats.deriveExtendedStats(df, padPct = true)
+      .select($"year", $"ft_employment_1yr_pct").orderBy("year").collect()
+    assert(out(0).isNullAt(1))
+    assert(out(1).getDouble(1) == 0.0)
+    assert(math.abs(out(2).getDouble(1) - 0.10) < 1e-12)
+    // plain mode: the null gap stays null
+    val plain = graft.etl.ExtendedStats.deriveExtendedStats(df, padPct = false)
+      .select($"year", $"ft_employment_1yr_pct").orderBy("year").collect()
+    assert(plain(1).isNullAt(1) && plain(2).isNullAt(1))
+  }
+
   test("W2: pct-change lag form — divide-by-zero and null lag give null") {
     val df = Seq((1, 0d), (2, 5d), (3, 10d)).toDF("t", "v").withColumn("g", lit(1))
     val w = Window.partitionBy("g").orderBy("t")

@@ -241,7 +241,25 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** Gap-based sessionization (30-min inactivity boundary) as a pure
+    * window computation — the batch twin of the stateful streaming
+    * sessionizer in graft.streaming. One shuffle on user_id.
+    */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val es = unix_timestamp(col("ts"))
+    val gap = es - lag(es, 1).over(w)
+    val boundary = when(gap.isNull || gap > 1800, 1).otherwise(0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), es.as("epoch_s"),
+        boundary.as("b"))
+      .select(col("user_id"), col("event_id"), col("epoch_s"),
+        sum(col("b")).over(wRun).cast("long").as("session_seq"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_sessionize" -> (eventsSessionize _),
     "q1_agg" -> (q1Agg _),
     "broadcast_left_join" -> (broadcastLeftJoin _),
     "recode_map" -> (recodeMap _),
@@ -264,6 +282,19 @@ object Relational {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "events_sessionize" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |   OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+        |   THEN 1 ELSE 0 END AS b
+        | FROM events)
+        |SELECT user_id, event_id, epoch_s,
+        | CAST(sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM t""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,

@@ -55,12 +55,32 @@ object Composite {
       upper(trim(col("p_brand"))).as("brand_code"),
       concat(upper(substring(col("p_type"), 1, 1)), lower(substring(col("p_type"), 2, 1000))).as("type_title"))
 
+  /** Executor-side slugification via the native codegen Expression
+    * (graft.functions.Slugify). Inputs here are ASCII, so the DuckDB
+    * oracle reproduces the NFKD-fold semantics with a plain regex
+    * chain; the non-ASCII fold is pinned by SlugSpec instead.
+    */
+  def slugifyNames(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      graft.functions.Slugify.slugify(col("p_name")).as("name_slug"),
+      graft.functions.Slugify.slugify(col("p_type")).as("type_slug"))
+
   val queries: Map[String, Relational.Q] = Map(
     "panel_pipeline" -> (panelPipeline _),
-    "trim_case_normalize" -> (trimCaseNormalize _)
+    "trim_case_normalize" -> (trimCaseNormalize _),
+    "slugify_names" -> (slugifyNames _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "slugify_names" ->
+      """SELECT p_partkey,
+        | lower(regexp_replace(regexp_replace(trim(p_name), '\s+', '_', 'g'),
+        |   '[^a-zA-Z0-9_]', '', 'g')) AS name_slug,
+        | lower(regexp_replace(regexp_replace(trim(p_type), '\s+', '_', 'g'),
+        |   '[^a-zA-Z0-9_]', '', 'g')) AS type_slug
+        |FROM part""".stripMargin,
+
     "panel_pipeline" ->
       """WITH panel AS (
         | SELECT n_name AS nation, weekofyear(o_orderdate) AS week,
@@ -80,6 +100,14 @@ object Composite {
         |UNION ALL
         |SELECT 'ALL-mean', week, round(avg(revenue), 4), NULL, NULL
         |FROM ranked GROUP BY week""".stripMargin,
+
+    "slugify_names" ->
+      """SELECT p_partkey,
+        | lower(regexp_replace(regexp_replace(trim(p_name), '\s+', '_', 'g'),
+        |   '[^a-zA-Z0-9_]', '', 'g')) AS name_slug,
+        | lower(regexp_replace(regexp_replace(trim(p_type), '\s+', '_', 'g'),
+        |   '[^a-zA-Z0-9_]', '', 'g')) AS type_slug
+        |FROM part""".stripMargin,
 
     "trim_case_normalize" ->
       """SELECT p_partkey,

@@ -158,6 +158,9 @@ object Dedup {
       col("uni").as("uni_b"), col("tri").as("tri_b"))
     def jac(x: Column, y: Column) =
       round(size(array_intersect(x, y)).cast("double") / size(array_union(x, y)), 6)
+    // (A size-ratio prefilter — jac <= min|A|,|B| / max|A|,|B| — is the
+    // standard skip for heterogeneous corpora; measured a net LOSS here
+    // because synthetic doc sizes are homogeneous and it prunes ~0.)
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("source"), col("doc_a"), col("doc_b"),

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface. The reference is purely batch
@@ -82,6 +82,72 @@ object StreamingOps {
     val q = runningUserStats(readEvents(spark, dir))
       .writeStream
       .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Gap-based session assembly with explicit state — the streaming
+    * twin of operators.Relational.eventsSessionize (30-min inactivity
+    * gap). Emits CLOSED sessions (Append); the open session per user
+    * stays in state until the event-time timeout fires past the
+    * watermark. Within a trigger the group's events are sorted by
+    * event time — Spark does not order the iterator.
+    */
+  case class Session(user_id: Long, start_s: Long, end_s: Long,
+                     n_events: Long, sum_value: Double)
+  /** internal state row (public: the codegen'd state encoder calls
+    * the accessors from generated Java) */
+  case class OpenSession(start: Long, end: Long, cnt: Long, total: Double)
+
+  def gapSessions(events: DataFrame, gapSeconds: Long = 1800): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .selectExpr("user_id", "CAST(unix_timestamp(ts) AS LONG) AS epoch_s",
+        "coalesce(value, 0.0) AS value", "ts")
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(o =>
+              Session(uid, o.start, o.end, o.cnt, o.total)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { case (_, es, v, _) =>
+              open match {
+                case Some(o) if es - o.end <= gapSeconds =>
+                  open = Some(OpenSession(o.start, es, o.cnt + 1, o.total + v))
+                case Some(o) =>
+                  closed += Session(uid, o.start, o.end, o.cnt, o.total)
+                  open = Some(OpenSession(es, es, 1, v))
+                case None =>
+                  open = Some(OpenSession(es, es, 1, v))
+              }
+            }
+            open.foreach(state.update)
+            if (state.exists)
+              state.setTimeoutTimestamp(state.get.end * 1000 + gapSeconds * 1000)
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming driver for gapSessions (append mode, memory sink). */
+  def runGapSessionsOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = gapSessions(readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())

@@ -33,4 +33,34 @@ class StreamingSpec extends SparkTestBase {
         streamed("last_seen") =!= batch("last_seen"))
     assert(diff.count() == 0)
   }
+
+  test("flatMapGroupsWithState gap sessions == batch sessionize (closed sessions)") {
+    val streamed = StreamingOps.runGapSessionsOnce(spark, sf, "stream_sessions")
+    // batch truth: per-event session seq -> per-session aggregates,
+    // excluding each user's LAST session (still open in the stream)
+    val seq = graft.operators.Relational.eventsSessionize(spark, sf)
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_id", "coalesce(value, 0.0) AS v")
+    val sessions = seq.join(ev, "event_id")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min("epoch_s").as("start_s"), max("epoch_s").as("end_s"),
+        count(lit(1)).as("n_events"), sum("v").as("sum_value"))
+    val lastSeq = sessions.groupBy("user_id")
+      .agg(max("session_seq").as("last_seq"))
+    // a user's FINAL session is also emitted once its gap timeout falls
+    // behind the 2h watermark (AvailableNow runs the timeout batch), so
+    // only final sessions still inside the horizon stay open
+    val maxEpoch = graft.Tables.events(spark, sf)
+      .agg(max(expr("CAST(unix_timestamp(ts) AS LONG)"))).head().getLong(0)
+    val closedBatch = sessions.join(lastSeq, "user_id")
+      .filter(col("session_seq") =!= col("last_seq") ||
+        col("end_s") + 1800 < lit(maxEpoch - 7200))
+      .select(col("user_id"), col("start_s"), col("end_s"),
+        col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+    val streamedNorm = streamed.select(col("user_id"), col("start_s"),
+      col("end_s"), col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+    assert(streamedNorm.count() == closedBatch.count())
+    assert(streamedNorm.exceptAll(closedBatch).count() == 0)
+    assert(closedBatch.exceptAll(streamedNorm).count() == 0)
+  }
 }

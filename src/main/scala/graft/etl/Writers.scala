@@ -18,21 +18,25 @@ object Writers {
     */
   def prettyJsonArray(df: DataFrame, path: String): Unit = {
     val schema = df.schema
-    val sb = new StringBuilder("[")
-    var first = true
-    df.toLocalIterator().forEachRemaining { row =>
-      if (!first) sb.append(',')
-      first = false
-      sb.append("\n    {")
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        if (i > 0) sb.append(',')
-        sb.append("\n        ").append(jsonStr(f.name)).append(':')
-        sb.append(renderValue(row, i, f.dataType))
+    // stream row-by-row: the extended artifact is ~256 MB of pretty
+    // JSON — building it in one StringBuilder doubles peak driver heap
+    val w = Files.newBufferedWriter(Paths.get(path), StandardCharsets.UTF_8)
+    try {
+      w.write("[")
+      var first = true
+      df.toLocalIterator().forEachRemaining { row =>
+        if (!first) w.write(",")
+        first = false
+        w.write("\n    {")
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          if (i > 0) w.write(",")
+          w.write("\n        "); w.write(jsonStr(f.name)); w.write(":")
+          w.write(renderValue(row, i, f.dataType))
+        }
+        w.write("\n    }")
       }
-      sb.append("\n    }")
-    }
-    sb.append("\n]")
-    Files.write(Paths.get(path), sb.toString.getBytes(StandardCharsets.UTF_8))
+      w.write("\n]")
+    } finally w.close()
   }
 
   /** K3: partitioned parquet, the scale-native sink. */

@@ -147,25 +147,37 @@ object Dedup {
     * Jaccard, jac3 = word-3-gram set Jaccard; keep jac1 >= 0.5.
     */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    // two projections: sets from the materialized token attribute, then
+    // set SIZES from the set attributes (never reference an aliased
+    // non-cheap expression twice in one later select — CollapseProject
+    // re-inlines it; see wordShingles contract)
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         array_distinct(col("toks")).as("uni"),
         array_distinct(wordShingles(col("toks"), 3)).as("tri"))
+      .select(col("doc_id"), col("source"), col("uni"), col("tri"),
+        size(col("uni")).as("nu"), size(col("tri")).as("nt"))
     val a = base.select(col("source"), col("doc_id").as("doc_a"),
-      col("uni").as("uni_a"), col("tri").as("tri_a"))
+      col("uni").as("uni_a"), col("tri").as("tri_a"),
+      col("nu").as("nu_a"), col("nt").as("nt_a"))
     val b = base.select(col("source"), col("doc_id").as("doc_b"),
-      col("uni").as("uni_b"), col("tri").as("tri_b"))
-    def jac(x: Column, y: Column) =
-      round(size(array_intersect(x, y)).cast("double") / size(array_union(x, y)), 6)
+      col("uni").as("uni_b"), col("tri").as("tri_b"),
+      col("nu").as("nu_b"), col("nt").as("nt_b"))
+    // |A ∪ B| = |A| + |B| - |A ∩ B| for sets: ONE set-op per jaccard
+    // instead of two, value-identical to intersect/union sizes.
+    def jac(x: Column, y: Column, nx: Column, ny: Column) = {
+      val i = size(array_intersect(x, y))
+      round(i.cast("double") / (nx + ny - i), 6)
+    }
     // (A size-ratio prefilter — jac <= min|A|,|B| / max|A|,|B| — is the
     // standard skip for heterogeneous corpora; measured a net LOSS here
     // because synthetic doc sizes are homogeneous and it prunes ~0.)
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("source"), col("doc_a"), col("doc_b"),
-        jac(col("uni_a"), col("uni_b")).as("jac1"),
-        jac(col("tri_a"), col("tri_b")).as("jac3"))
+        jac(col("uni_a"), col("uni_b"), col("nu_a"), col("nu_b")).as("jac1"),
+        jac(col("tri_a"), col("tri_b"), col("nt_a"), col("nt_b")).as("jac3"))
       .filter(col("jac1") >= 0.5)
   }
 

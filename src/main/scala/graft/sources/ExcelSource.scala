@@ -53,6 +53,10 @@ class ExcelSource extends TableProvider with DataSourceRegister {
       (0 until width).map(i => StructField(s"c$i", StringType, nullable = true)))
   }
 
+  // allow .schema(...) to skip the infer pass (which reads every
+  // workbook at planning time to find the max width)
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ExcelTable(schema, new CaseInsensitiveStringMap(properties))

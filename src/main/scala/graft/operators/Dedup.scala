@@ -141,6 +141,50 @@ object Dedup {
       .filter(col("hamming") <= 16)
   }
 
+  /** Connected-component clustering over the LSH candidate pairs —
+    * the "pick one canonical document per near-dup cluster" step of a
+    * dedup pipeline. Distributed min-label propagation: labels start
+    * as doc_id, each iteration takes the min over neighbors, loop to
+    * fixpoint (components here are tiny; the iteration count is the
+    * cluster diameter). Same shape as GraphX's connected components,
+    * but pure DataFrame: one keyed join + agg per iteration, with
+    * localCheckpoint truncating the lineage so iteration N doesn't
+    * replay iterations 1..N-1.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
+      .cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc").as("dst"), col("lbl").as("nbr_lbl")), Seq("dst"))
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("nbr_lbl")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Blocked pairwise n-gram Jaccard: candidate pairs limited to the
     * same `source` block (the blocking key a real pipeline would pick:
     * crawl shard, domain, near-dup cluster). jac1 = unigram set
@@ -212,6 +256,7 @@ object Dedup {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embedding_cosine_neardup" -> (embeddingCosineNeardup _)
   )
@@ -301,6 +346,35 @@ object Dedup {
          | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, $sigSelect FROM hs),
+         |bands AS (
+         | SELECT doc_id,
+         |  unnest([0, 1, 2, 3]) AS bid,
+         |  unnest([
+         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+         | FROM sig),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+         |  AND a.doc_id < b.doc_id),
+         |edges AS (
+         | SELECT doc_a AS src, doc_b AS dst FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(doc, lbl) AS (
+         | SELECT DISTINCT src, src FROM edges
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         |SELECT comp.doc AS doc_id, comp.cluster_id, sizes.cluster_size,
+         | comp.doc = comp.cluster_id AS is_canonical
+         |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH base AS (

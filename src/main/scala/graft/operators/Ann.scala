@@ -115,10 +115,46 @@ object Ann {
       .filter(col("rn") <= 3)
   }
 
+  /** One k-means training iteration for the IVF coarse quantizer:
+    * centroids seeded from the label partition, every vector
+    * re-assigned to its nearest centroid (squared L2, deterministic
+    * round+id tie-break), centroids recomputed from the assignment.
+    * Output is LONG format (cluster, dim, value) so the oracle compare
+    * stays scalar. At scale: centroids broadcast, assignment is a
+    * narrow map over the corpus, recompute is one keyed shuffle —
+    * the standard distributed-k-means iteration shape.
+    */
+  def embeddingKmeansStep(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("c"))
+      .select(col("label").as("list_id"), col("c"))
+    // squared L2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is per-row constant and
+    // cancels in the argmin, so rank on (|c|^2 - 2 v.c)
+    val score = round(dot(col("c"), col("c")) - lit(2) * dot(col("v"), col("c")), 6)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("list_id"))
+    val assigned = e.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("list_id"), score.as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("list_id").as("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("centroid_val"), count(lit(1)).as("n_assigned"))
+      .select(col("cluster_id"), col("dim").cast("long").as("dim"),
+        col("centroid_val"), col("n_assigned"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
-    "ann_ivf_topk" -> (annIvfTopk _)
+    "ann_ivf_topk" -> (annIvfTopk _),
+    "embedding_kmeans_step" -> (embeddingKmeansStep _)
   )
 
   // plane literal as DuckDB list text; Double.toString round-trips.
@@ -156,7 +192,33 @@ object Ann {
       | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
       |SELECT qid, nid, list_id, cos, rn FROM r WHERE rn <= 3""".stripMargin
 
+  private val kmeansSql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |cent AS (
+      | SELECT label AS list_id, list(m ORDER BY dim) AS c FROM (
+      |  SELECT label, dim, avg(x) AS m
+      |  FROM (SELECT label, unnest(v) AS x,
+      |        unnest(range(1, len(v) + 1)) AS dim FROM e)
+      |  GROUP BY label, dim)
+      | GROUP BY label),
+      |scored AS (
+      | SELECT e.vec_id, e.v, cent.list_id,
+      |  round(list_dot_product(cent.c, cent.c)
+      |   - 2 * list_dot_product(e.v, cent.c), 6) AS score
+      | FROM e, cent),
+      |assigned AS (
+      | SELECT vec_id, v, list_id FROM (
+      |  SELECT vec_id, v, list_id,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY score, list_id) AS rn
+      |  FROM scored) WHERE rn = 1)
+      |SELECT list_id AS cluster_id, CAST(dim AS BIGINT) AS dim,
+      | round(avg(x), 6) AS centroid_val, count(*) AS n_assigned
+      |FROM (SELECT list_id, unnest(v) AS x,
+      |      unnest(range(0, len(v))) AS dim FROM assigned)
+      |GROUP BY list_id, dim""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "embedding_kmeans_step" -> kmeansSql,
     "ann_ivf_topk" -> ivfSql,
     "ann_bruteforce_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

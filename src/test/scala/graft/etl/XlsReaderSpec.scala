@@ -47,4 +47,13 @@ class XlsReaderSpec extends AnyFunSuite {
     assert(XlsxReader.renderNumber("3.5") == "3.5")
     assert(XlsxReader.renderNumber("1e3") == "1000")
   }
+  test("RK encode/decode round-trips 1000 random 30-bit ints") {
+    val rnd = new scala.util.Random(5)
+    (1 to 1000).foreach { _ =>
+      val v = rnd.nextInt(1 << 29) - (1 << 28)
+      assert(XlsReader.decodeRk((v << 2) | 0x2) == v.toDouble)
+      assert(XlsReader.decodeRk((v << 2) | 0x3) == v / 100.0)
+    }
+  }
+
 }

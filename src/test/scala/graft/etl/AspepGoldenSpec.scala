@@ -72,10 +72,23 @@ class AspepGoldenSpec extends AnyFunSuite {
   check(extended, "NE", "public welfare", 2022, "ft_employment_5yr_abs", 2167d - 2426d)
   check(extended, "DE", "natural resources", 2008, "ft_employment_5yr_abs", 485d - 420d)
 
+  // 2024-dependent tuples (asset_checks.py:23-28) activate automatically
+  // if a later environment provides the 2024 workbook (reference
+  // downloads it at run time; none on disk here)
+  if (new java.io.File(s"$rawDir/aspep_2024.xlsx").exists()
+      || new java.io.File(s"$rawDir/aspep_2024.xls").exists()) {
+    check(combined, "AZ", "electric power", 2024, "ft_employment", 4d)
+    check(combined, "WA", "corrections", 2024, "ft_pay", 71593739d)
+    check(derived, "MO", "corrections", 2024, "pay_per_fte", 38884335d / 9591d)
+    check(extended, "IA", "hospitals", 2024, "ft_eq_employment_5yr_abs", 10004d - 9172d)
+    check(extended, "IA", "hospitals", 2024, "ft_eq_employment_1yr_abs", 10004d - 9386d)
+  }
+
   test("combined covers 2003-2023 with plausible volume") {
     val years = combined.select(col("year")).distinct().collect().map(_.getInt(0)).sorted
-    assert(years.head == 2003 && years.last == 2023, years.mkString(","))
-    assert(years.length == 21)
+    assert(years.head == 2003, years.mkString(","))
+    assert(years.last == 2023 || years.last == 2024, years.mkString(","))
+    assert(years.length >= 21)
     val n = combined.count()
     assert(n > 30000 && n < 50000, s"combined rows = $n")
   }

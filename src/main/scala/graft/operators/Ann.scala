@@ -150,7 +150,81 @@ object Ann {
         col("centroid_val"), col("n_assigned"))
   }
 
+  /** Product-quantization ANN with ADC (asymmetric distance):
+    *  - train: the 64-dim space splits into 8 subspaces of 8 dims;
+    *    per-subspace codebooks (16 centroids) seeded from the label
+    *    partition means — one scan + keyed agg;
+    *  - encode: every vector maps to 8 one-byte codes (argmin per
+    *    subspace) — a narrow broadcast map over the corpus; at scale
+    *    the 64-byte vector compresses to 8 bytes;
+    *  - search: per query, a 16x8 lookup table of query-to-centroid
+    *    distances; approximate distance = sum of 8 LUT hits per
+    *    corpus code row (keyed join, no vector math per pair);
+    *  - re-rank: exact cosine on the top-10 ADC candidates only.
+    * This is the standard IVF-PQ search shape minus the coarse stage
+    * (composable with annIvfTopk's list pruning).
+    */
+  def annPqAdcTopk(s: SparkSession, d: String): DataFrame = {
+    val nSub = 8
+    val subDim = 8
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+
+    // codebooks: per (label k, subspace) mean subvector
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("label"), (col("dim") / subDim).cast("int").as("sub"),
+        pmod(col("dim"), lit(subDim)).as("subdim"), col("x"))
+      .groupBy(col("label"), col("sub"), col("subdim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label").as("k"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("subdim"), col("m")))),
+        p => p.getField("m")).as("c"))
+
+    def subv(v: Column, sub: Column): Column = slice(v, sub * subDim + 1, lit(subDim))
+
+    // encode: argmin_k |c|^2 - 2 x_sub . c per (vector, subspace)
+    val encScore = round(dot(col("c"), col("c"))
+      - lit(2) * dot(subv(col("v"), col("sub")), col("c")), 6)
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("score"), col("k"))
+    val codes = e.join(broadcast(cent))
+      .select(col("vec_id"), col("sub"), col("k"), encScore.as("score"))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("k").as("code"))
+
+    // per-query LUT over the same score (query constant dropped)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("v").as("vq"))
+    val lutScore = round(dot(col("c"), col("c"))
+      - lit(2) * dot(subv(col("vq"), col("sub")), col("c")), 6)
+    val lut = q.join(broadcast(cent))
+      .select(col("qid"), col("vq"), col("sub"), col("k"), lutScore.as("d"))
+
+    // ADC: sum the 8 LUT hits per (query, corpus vector)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_dist"), col("nid"))
+    val candidates = codes
+      .join(lut, codes("sub") === lut("sub") && codes("code") === lut("k"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(round(sum(col("d")), 6).as("approx_dist"), first(col("vq")).as("vq"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= 10)
+
+    // exact re-rank of the shortlist
+    val cos = round(cosine(col("vq"), col("v")), 6)
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    candidates
+      .join(e.select(col("vec_id").as("nid"), col("v")), Seq("nid"))
+      .select(col("qid"), col("nid"), col("approx_dist"), cos.as("cos"))
+      .withColumn("rn", row_number().over(wRank).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("nid"), col("approx_dist"), col("cos"), col("rn"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "ann_pq_adc_topk" -> (annPqAdcTopk _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -217,7 +291,52 @@ object Ann {
       |      unnest(range(0, len(v))) AS dim FROM assigned)
       |GROUP BY list_id, dim""".stripMargin
 
+  private val pqSql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |dims AS (
+      | SELECT label, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM e),
+      |centd AS (
+      | SELECT label, CAST(dim // 8 AS INT) AS sub, dim % 8 AS subdim, avg(x) AS m
+      | FROM dims GROUP BY 1, 2, 3),
+      |cent AS (
+      | SELECT label AS k, sub, list(m ORDER BY subdim) AS c
+      | FROM centd GROUP BY label, sub),
+      |codes AS (
+      | SELECT vec_id, sub, k AS code FROM (
+      |  SELECT e.vec_id, cent.sub, cent.k,
+      |   round(list_dot_product(cent.c, cent.c)
+      |    - 2 * list_dot_product(e.v[cent.sub*8+1 : cent.sub*8+8], cent.c), 6) AS score,
+      |   row_number() OVER (PARTITION BY e.vec_id, cent.sub
+      |    ORDER BY round(list_dot_product(cent.c, cent.c)
+      |     - 2 * list_dot_product(e.v[cent.sub*8+1 : cent.sub*8+8], cent.c), 6), cent.k) AS rn
+      |  FROM e, cent) WHERE rn = 1),
+      |lut AS (
+      | SELECT q.vec_id AS qid, q.v AS vq, cent.sub, cent.k,
+      |  round(list_dot_product(cent.c, cent.c)
+      |   - 2 * list_dot_product(q.v[cent.sub*8+1 : cent.sub*8+8], cent.c), 6) AS d
+      | FROM e q, cent WHERE q.vec_id < 8),
+      |adc AS (
+      | SELECT qid, nid, approx_dist, vq,
+      |  row_number() OVER (PARTITION BY qid ORDER BY approx_dist, nid) AS arn
+      | FROM (
+      |  SELECT l.qid, cd.vec_id AS nid, round(sum(l.d), 6) AS approx_dist,
+      |   any_value(l.vq) AS vq
+      |  FROM codes cd JOIN lut l ON l.sub = cd.sub AND l.k = cd.code
+      |  WHERE cd.vec_id <> l.qid
+      |  GROUP BY l.qid, cd.vec_id)),
+      |rr AS (
+      | SELECT a.qid, a.nid, a.approx_dist,
+      |  round(list_dot_product(a.vq, b.v)
+      |   / (sqrt(list_dot_product(a.vq, a.vq)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      | FROM adc a JOIN e b ON b.vec_id = a.nid
+      | WHERE a.arn <= 10)
+      |SELECT qid, nid, approx_dist, cos, rn FROM (
+      | SELECT qid, nid, approx_dist, cos,
+      |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM rr)
+      |WHERE rn <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "ann_pq_adc_topk" -> pqSql,
     "embedding_kmeans_step" -> kmeansSql,
     "ann_ivf_topk" -> ivfSql,
     "ann_bruteforce_topk" ->

@@ -32,7 +32,9 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t2 = timeOnce(fn)
-      name -> (if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+      // -1.0 whenever EITHER run fails: a flaky query must read as
+      // failed, not as the surviving run's time
+      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

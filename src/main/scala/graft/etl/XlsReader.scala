@@ -30,7 +30,10 @@ object XlsReader {
     val difatStart = buf.getInt(68)
     val numDifatSecs = buf.getInt(72)
 
-    def sectorOffset(sec: Int): Int = 512 + sec * secSize
+    // CFB spec: sector 0 starts right after the 512-byte header, i.e.
+    // offset (sec + 1) * secSize — which also holds for version-4 files
+    // (4096-byte sectors), where the header pads to a full sector.
+    def sectorOffset(sec: Int): Int = (sec + 1) * secSize
 
     // DIFAT: 109 entries in header, then chained DIFAT sectors
     val fatSectors = ArrayBuffer.empty[Int]

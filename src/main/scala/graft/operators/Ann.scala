@@ -55,7 +55,10 @@ object Ann {
       .select(col("vec_id").as("qid"), col("v").as("vq"))
     val cos = round(cosine(col("vq"), col("v")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    q.join(broadcast(e), col("vec_id") =!= col("qid"))
+    // Broadcast the tiny query side and STREAM the corpus once — the
+    // build relation of this nested-loop join must be the 8-row query
+    // set, never the corpus (which is the 100 TB side at scale).
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)

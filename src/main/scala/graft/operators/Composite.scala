@@ -101,14 +101,6 @@ object Composite {
         |SELECT 'ALL-mean', week, round(avg(revenue), 4), NULL, NULL
         |FROM ranked GROUP BY week""".stripMargin,
 
-    "slugify_names" ->
-      """SELECT p_partkey,
-        | lower(regexp_replace(regexp_replace(trim(p_name), '\s+', '_', 'g'),
-        |   '[^a-zA-Z0-9_]', '', 'g')) AS name_slug,
-        | lower(regexp_replace(regexp_replace(trim(p_type), '\s+', '_', 'g'),
-        |   '[^a-zA-Z0-9_]', '', 'g')) AS type_slug
-        |FROM part""".stripMargin,
-
     "trim_case_normalize" ->
       """SELECT p_partkey,
         | lower(trim(p_name)) AS name_norm,

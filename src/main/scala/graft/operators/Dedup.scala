@@ -64,10 +64,12 @@ object Dedup {
   def minhashSignature(s: SparkSession, d: String): DataFrame =
     minhashSigDf(s, d)
 
-  /** LSH candidate pairs: 4 bands of 2 signatures; docs sharing any
-    * band hash become a pair; est_jaccard = matching sigs / 8.
+  /** LSH band-join candidate pairs plus the cached signature table.
+    * Shared by dedupMinhashLsh (which attaches signatures for the
+    * estimate) and dedupClusters / dedupPipeline (which only need the
+    * pair set — keeping the signature-attach joins out of their plans).
     */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  private[operators] def lshCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // Materialize the signature table ONCE before candidate generation:
     // it feeds three downstream reads (two band-join sides + the
     // signature attach), and recomputing the shingle->md5->min pipeline
@@ -81,22 +83,39 @@ object Dedup {
     val bandHashes = array((0 until 4).map { b =>
       md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
     }: _*)
-    // slim candidate generation: only (doc_id, band) through the join
-    val bands = sig.select(col("doc_id"), posexplode(bandHashes).as(Seq("bid", "bh")))
+    // slim candidate generation: only (doc_id, band) through the join.
+    // Null-signature docs (< 3 tokens, zero shingles) are excluded from
+    // banding: they carry no shingle evidence, and their band hash would
+    // otherwise collapse every short doc into one shared bucket (and the
+    // engines disagree on NULL concat semantics — Spark concat_ws skips
+    // nulls, DuckDB md5(NULL) is NULL).
+    val bands = sig.filter(col("sig0").isNotNull)
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("bid", "bh")))
     val pairs = bands.select(col("doc_id").as("doc_a"), col("bid"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bid"), col("bh")),
         Seq("bid", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
+    (pairs, sig)
+  }
 
+  /** LSH candidate pairs: 4 bands of 2 signatures; docs sharing any
+    * band hash become a pair; est_jaccard = matching sigs / 8.
+    */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val (pairs, sig) = lshCandidates(s, d)
     // attach signatures to the (much smaller) pair set for the estimate
     val est = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
       lit(0), (acc, x) => acc + x).cast("double") / 8
+    // attach via plain shuffle joins on doc_a/doc_b: `sig` has one row
+    // per DOCUMENT, so broadcasting it would ship the corpus to every
+    // executor. AQE still turns these into broadcasts when the table is
+    // genuinely small; at 100 TB they stay keyed shuffles.
     pairs
-      .join(broadcast(sig.select(col("doc_id").as("doc_a"), col("sig_arr").as("sig_a"))), Seq("doc_a"))
-      .join(broadcast(sig.select(col("doc_id").as("doc_b"), col("sig_arr").as("sig_b"))), Seq("doc_b"))
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig_arr").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig_arr").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), round(est, 6).as("est_jaccard"),
         col("shared_bands"))
   }
@@ -141,42 +160,73 @@ object Dedup {
       .filter(col("hamming") <= 16)
   }
 
-  /** Connected-component clustering over the LSH candidate pairs —
-    * the "pick one canonical document per near-dup cluster" step of a
-    * dedup pipeline. Distributed min-label propagation: labels start
-    * as doc_id, each iteration takes the min over neighbors, loop to
-    * fixpoint (components here are tiny; the iteration count is the
-    * cluster diameter). Same shape as GraphX's connected components,
-    * but pure DataFrame: one keyed join + agg per iteration, with
-    * localCheckpoint truncating the lineage so iteration N doesn't
-    * replay iterations 1..N-1.
+  /** Exact connected components over an undirected edge list by
+    * min-label propagation with pointer-halving. Per iteration, ONE
+    * materializing job:
+    *   lbl'(u) = min(lbl(u), min_{v~u} lbl(v), lbl(lbl(u)))
+    * where the third term (the shortcut through the PREVIOUS label
+    * table) compresses label chains like pointer jumping, cutting the
+    * iteration count from O(diameter) toward O(log diameter). The
+    * change flag rides along in the same pass, so detecting the
+    * fixpoint is a sub-millisecond sum over the freshly checkpointed
+    * (in-memory) label table — not a second join replaying the
+    * iteration. localCheckpoint truncates lineage so iteration N never
+    * replays 1..N-1.
+    *
+    * Correctness: labels only decrease, every label is a node id from
+    * the same component (induction: neighbor labels and
+    * label-of-label both stay in-component), and at the fixpoint two
+    * adjacent nodes cannot hold different labels — so every component
+    * converges to exactly its min node id, matching the recursive-CTE
+    * oracle. A non-converged exit is a hard error, not a silent
+    * wrong answer.
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupMinhashLsh(s, d)
-      .select(col("doc_a"), col("doc_b")).cache()
+  private[operators] def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    // one up-front job materializes the (typically expensive) pair set
+    val pairs = pairsIn.localCheckpoint(true)
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
-      .cache()
     var labels = edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 25
+    while (changed > 0 && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("doc").as("dst"), col("lbl").as("nbr_lbl")), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("nbr_lbl")).as("min_nbr"))
-      val next = labels.join(nbrMin, Seq("doc"), "left")
+      val prop = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("l1"))
+      // shortcut through the previous (checkpointed) labels: no
+      // recompute of `prop`, still a valid in-component upper bound
+      val next = prop
+        .join(labels.select(col("lbl").as("l2"), col("doc").as("l1")), Seq("l1"), "left")
         .select(col("doc"),
-          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("lbl"),
+          (least(col("l1"), coalesce(col("l2"), col("l1"))) =!= col("old")).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.agg(coalesce(sum(col("chg").cast("long")), lit(0L)))
+        .first().getLong(0)
+      labels = next.select(col("doc"), col("lbl"))
       iter += 1
     }
+    require(changed == 0,
+      s"connectedComponents: not converged after $maxIter iterations")
+    labels
+  }
+
+  /** Connected-component clustering over the LSH candidate pairs —
+    * the "pick one canonical document per near-dup cluster" step of a
+    * dedup pipeline. Same shape as GraphX's connected components, but
+    * pure DataFrame (see connectedComponents for the iteration math).
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      lshCandidates(s, d)._1.select(col("doc_a"), col("doc_b")))
     val sizes = labels.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
@@ -312,7 +362,7 @@ object Dedup {
          |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
          |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
          |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
-         | FROM sig)
+         | FROM sig WHERE sig0 IS NOT NULL)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | round(CAST(len(list_filter(range(0, 8),
          |   i -> a.sig_arr[CAST(i + 1 AS INT)] = b.sig_arr[CAST(i + 1 AS INT)])) AS DOUBLE) / 8, 6) AS est_jaccard,
@@ -358,7 +408,7 @@ object Dedup {
          |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
          |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
          |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
-         | FROM sig),
+         | FROM sig WHERE sig0 IS NOT NULL),
          |pairs AS (
          | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh

@@ -26,10 +26,16 @@ case class Slugify(child: Expression) extends UnaryExpression {
   override def prettyName: String = "slugify"
 
   override protected def nullSafeEval(input: Any): Any =
-    Slugify.eval(input.asInstanceOf[UTF8String])
+    Slugify.slugifyUtf8(input.asInstanceOf[UTF8String])
 
+  // NB: the kernel must NOT be named `eval`: the companion class (this
+  // case class) inherits eval(InternalRow), and a same-named object
+  // method gets no static forwarder — the generated call then fails to
+  // javac-compile and the WHOLE STAGE silently falls back to
+  // interpreted mode (observed as "ERROR CodeGenerator: Failed to
+  // compile" in the logs).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Slugify.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Slugify.slugifyUtf8($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Slugify =
     copy(child = newChild)
@@ -37,7 +43,7 @@ case class Slugify(child: Expression) extends UnaryExpression {
 
 object Slugify {
   /** Static kernel shared by interpreted eval and generated code. */
-  def eval(s: UTF8String): UTF8String =
+  def slugifyUtf8(s: UTF8String): UTF8String =
     UTF8String.fromString(graft.etl.Slug.slugify(s.toString))
 
   /** Column-API entry. */

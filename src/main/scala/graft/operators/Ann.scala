@@ -138,13 +138,18 @@ object Ann {
         p => p.getField("m")).as("c"))
       .select(col("label").as("list_id"), col("c"))
     // squared L2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is per-row constant and
-    // cancels in the argmin, so rank on (|c|^2 - 2 v.c)
+    // cancels in the argmin, so rank on (|c|^2 - 2 v.c).
+    // Argmin via min_by over a (score, list_id) struct — lexicographic
+    // struct ordering gives the same deterministic tie-break as the
+    // former row_number window, but as a hash aggregate with MAP-SIDE
+    // partial aggregation: the corpus-x-k joined rows reduce to one row
+    // per vector before the shuffle, instead of sort-shuffling them all.
     val score = round(dot(col("c"), col("c")) - lit(2) * dot(col("v"), col("c")), 6)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("list_id"))
     val assigned = e.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("list_id"), score.as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("list_id"), col("v")),
+        struct(score.as("score"), col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.list_id").as("list_id"), col("best.v").as("v"))
     assigned
       .select(col("list_id").as("cluster_id"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cluster_id"), col("dim"))
@@ -185,16 +190,15 @@ object Ann {
 
     def subv(v: Column, sub: Column): Column = slice(v, sub * subDim + 1, lit(subDim))
 
-    // encode: argmin_k |c|^2 - 2 x_sub . c per (vector, subspace)
+    // encode: argmin_k |c|^2 - 2 x_sub . c per (vector, subspace),
+    // via min_by for map-side partial aggregation (see
+    // embeddingKmeansStep) — corpus x 16-centroid rows collapse to one
+    // code per (vector, subspace) before any shuffle
     val encScore = round(dot(col("c"), col("c"))
       - lit(2) * dot(subv(col("v"), col("sub")), col("c")), 6)
-    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("score"), col("k"))
     val codes = e.join(broadcast(cent))
-      .select(col("vec_id"), col("sub"), col("k"), encScore.as("score"))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("k").as("code"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("k"), struct(encScore.as("score"), col("k"))).as("code"))
 
     // per-query LUT over the same score (query constant dropped)
     val q = e.filter(col("vec_id") < 8)

@@ -141,23 +141,40 @@ object Dedup {
     agged.select(col("doc_id"), fp.as("simhash"), col("n_tokens"))
   }
 
-  /** SimHash near-dup pairs: within a source block, pairs whose 60-bit
-    * fingerprints differ in at most `maxHamming` bits. Hamming distance
-    * is a single codegen'd expression: bit_count(a XOR b) — no custom
-    * Expression needed (Spark and DuckDB both ship bit_count).
+  /** SimHash near-dup pairs, band-blocked: the 60-bit fingerprint
+    * splits into 4 bands of 15 bits; candidates are pairs sharing at
+    * least one exact band, verified with full hamming <= 16. The
+    * blocking key is derived from the fingerprint itself, so bucket
+    * sizes stay bounded at any corpus size (unlike a metadata key such
+    * as `source`, which is unbounded-cardinality-per-value). Recall is
+    * probabilistic: a pair at hamming h survives iff its bit diffs
+    * miss one band entirely (guaranteed only for h <= 3; pigeonhole
+    * spreads 16 diffs over 4 bands otherwise) — the standard
+    * bands+verify trade; add bands/permuted band sets for higher
+    * recall. Hamming distance is a single codegen'd expression:
+    * bit_count(a XOR b) — no custom Expression needed (Spark and
+    * DuckDB both ship bit_count).
     */
   def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = dedupSimhash(s, d)
-      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
-      .cache()
+    val fp = dedupSimhash(s, d).select(col("doc_id"), col("simhash")).cache()
     fp.count() // materialize once; both self-join sides read it
-    val a = fp.select(col("source"), col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
-    val b = fp.select(col("source"), col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    val bandArr = array((0 until 4).map { b =>
+      shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
+    }: _*)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+      posexplode(bandArr).as(Seq("bid", "bv")))
+    val a = bands.select(col("bid"), col("bv"), col("doc_id").as("doc_a"),
+      col("simhash").as("fp_a"))
+    val b = bands.select(col("bid"), col("bv"), col("doc_id").as("doc_b"),
+      col("simhash").as("fp_b"))
     val hamming = bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long")
-    a.join(b, Seq("source"))
+    a.join(b, Seq("bid", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("source"), col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= 16)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("hamming")).as("hamming"),
+        count(lit(1)).as("shared_bands"))
   }
 
   /** Exact connected components over an undirected edge list by
@@ -390,12 +407,19 @@ object Dedup {
          | SELECT doc_id, $simhashBitSums
          | FROM h GROUP BY doc_id),
          |fp AS (
-         | SELECT sb.doc_id, $simhashFp AS simhash, d.source
-         | FROM sb JOIN documents d ON sb.doc_id = d.doc_id)
-         |SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16""".stripMargin,
+         | SELECT doc_id, $simhashFp AS simhash FROM sb),
+         |bands AS (
+         | SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS bid,
+         |  unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+         |          (simhash >> 30) & 32767, (simhash >> 45) & 32767]) AS bv
+         | FROM fp)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+         | count(*) AS shared_bands
+         |FROM bands a JOIN bands b ON a.bid = b.bid AND a.bv = b.bv
+         | AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "dedup_clusters" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

@@ -252,6 +252,53 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** End-to-end dedup pipeline — the composed shape a production 100 TB
+    * dedup actually runs, instead of re-blocking on raw metadata keys:
+    *
+    *   LSH band candidates  ->  exact unigram-Jaccard verify (>= 0.5)
+    *     ->  connected components over verified edges
+    *     ->  canonical pick (min doc_id per cluster) over ALL documents
+    *
+    * Each stage is keyed: the verify join only touches the candidate
+    * pair set (not all within-block pairs), components run on verified
+    * edges only, and the final canonical pick is a left join of the
+    * corpus against the (much smaller) clustered subset — singleton
+    * documents become their own cluster without ever entering a
+    * pairwise stage. This is the scale path for dedupNgramJaccard's
+    * documented within-block quadratic: the exact-Jaccard work is
+    * bounded by LSH recall, not block size.
+    */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val (pairs, _) = lshCandidates(s, d)
+    // exact unigram sets for the verify stage; set SIZES projected in a
+    // second select (CollapseProject re-inlines aliased non-cheap
+    // expressions — see wordShingles contract)
+    val uni = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(col("toks")).as("uni"))
+      .select(col("doc_id"), col("uni"), size(col("uni")).as("nu"))
+    val cand = pairs.select(col("doc_a"), col("doc_b"))
+      .join(uni.select(col("doc_id").as("doc_a"), col("uni").as("uni_a"),
+        col("nu").as("nu_a")), Seq("doc_a"))
+      .join(uni.select(col("doc_id").as("doc_b"), col("uni").as("uni_b"),
+        col("nu").as("nu_b")), Seq("doc_b"))
+    val i = size(array_intersect(col("uni_a"), col("uni_b")))
+    val jac = round(i.cast("double") / (col("nu_a") + col("nu_b") - i), 6)
+    val verified = cand
+      .select(col("doc_a"), col("doc_b"), jac.as("jac1"))
+      .filter(col("jac1") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(verified)
+    val withLbl = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.select(col("doc").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val sizes = withLbl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withLbl.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Blocked pairwise n-gram Jaccard: candidate pairs limited to the
     * same `source` block (the blocking key a real pipeline would pick:
     * crawl shard, domain, near-dup cluster). jac1 = unigram set
@@ -324,6 +371,7 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_pipeline" -> (dedupPipeline _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embedding_cosine_neardup" -> (embeddingCosineNeardup _)
   )
@@ -449,6 +497,49 @@ object Dedup {
          |SELECT comp.doc AS doc_id, comp.cluster_id, sizes.cluster_size,
          | comp.doc = comp.cluster_id AS is_canonical
          |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
+
+    "dedup_pipeline" ->
+      s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sig AS (SELECT doc_id, $sigSelect FROM hs),
+         |bands AS (
+         | SELECT doc_id,
+         |  unnest([0, 1, 2, 3]) AS bid,
+         |  unnest([
+         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+         | FROM sig WHERE sig0 IS NOT NULL),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+         |  AND a.doc_id < b.doc_id),
+         |uni AS (
+         | SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS uni
+         | FROM documents),
+         |ver AS (
+         | SELECT p.doc_a, p.doc_b
+         | FROM pairs p
+         |  JOIN uni a ON a.doc_id = p.doc_a
+         |  JOIN uni b ON b.doc_id = p.doc_b
+         | WHERE round(CAST(len(list_intersect(a.uni, b.uni)) AS DOUBLE)
+         |   / (len(a.uni) + len(b.uni) - len(list_intersect(a.uni, b.uni))), 6) >= 0.5),
+         |edges AS (
+         | SELECT doc_a AS src, doc_b AS dst FROM ver
+         | UNION ALL SELECT doc_b, doc_a FROM ver),
+         |reach(doc, lbl) AS (
+         | SELECT DISTINCT src, src FROM edges
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+         |alld AS (
+         | SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         | FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+         |sizes AS (
+         | SELECT cluster_id, count(*) AS cluster_size FROM alld GROUP BY cluster_id)
+         |SELECT a.doc_id, a.cluster_id, s.cluster_size,
+         | a.doc_id = a.cluster_id AS is_canonical
+         |FROM alld a JOIN sizes s USING (cluster_id)""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH base AS (

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Composed dedup pipeline (LSH candidates -> Jaccard verify -> CC ->
+  * canonical pick) plus the connected-components kernel it rides on.
+  */
+class DedupPipelineSpec extends SparkTestBase {
+
+  test("connectedComponents: long chain converges to min label") {
+    import spark.implicits._
+    // path graph 0-1-2-...-29: diameter 29 exceeds the old 20-iteration
+    // naive-propagation budget; pointer-halving must still converge
+    val edges = (0 until 29).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(edges)
+    assert(labels.count() === 30)
+    assert(labels.select("lbl").distinct().as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("connectedComponents: disjoint components get their own min labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(edges)
+    val byDoc = labels.as[(Long, Long)].collect().toMap
+    assert(byDoc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup_pipeline: covers the corpus with one canonical min-id per cluster") {
+    val docs = graft.Tables.documents(spark, sf).count()
+    val out = Dedup.dedupPipeline(spark, sf).cache()
+    assert(out.count() === docs) // every document is assigned, singletons included
+    val perCluster = out.groupBy("cluster_id").agg(
+      sum(col("is_canonical").cast("long")).as("n_canon"),
+      min("doc_id").as("min_doc"),
+      first("cluster_size").as("sz"),
+      count(lit(1)).as("n"))
+    assert(perCluster.filter(col("n_canon") =!= 1).count() === 0)
+    assert(perCluster.filter(col("min_doc") =!= col("cluster_id")).count() === 0)
+    assert(perCluster.filter(col("sz") =!= col("n")).count() === 0)
+    // the LSH->verify path must actually merge something at sf0.001
+    assert(out.filter(col("cluster_size") > 1).count() > 0)
+    out.unpersist()
+  }
+}

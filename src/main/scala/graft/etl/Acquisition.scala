@@ -94,6 +94,16 @@ object Acquisition {
             contentEncoding: Option[String]): Unit
   }
 
+  /** Replicates the reference's publish loop faithfully, including its
+    * quirk (assets.py:90-96, 555-566): gzipping a text artifact writes a
+    * `.gz` SIBLING into the data directory itself, and the compressed
+    * bytes upload under the ORIGINAL (uncompressed) key with
+    * Content-Encoding gzip. The walk is snapshotted up front (like
+    * os.walk's per-directory scandir), so the first run uploads only the
+    * originals — but any RE-run's walk also finds the `.gz` siblings
+    * from the previous run and uploads them as raw binary objects
+    * (`foo.json.gz` alongside `foo.json`). docs/DIVERGENCES.md #7a.
+    */
   def publishDirectory(outDir: Path, prefix: String, publisher: Publisher): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val files = Files.walk(outDir).iterator().asScala
@@ -107,7 +117,9 @@ object Acquisition {
         val bos = new java.io.ByteArrayOutputStream()
         val gz = new GZIPOutputStream(bos)
         gz.write(raw); gz.close()
-        publisher.put(key, bos.toByteArray, Some("text/plain"), Some("gzip"))
+        val body = bos.toByteArray
+        Files.write(Paths.get(p.toString + ".gz"), body)
+        publisher.put(key, body, Some("text/plain"), Some("gzip"))
       } else publisher.put(key, raw, None, None)
       key
     }

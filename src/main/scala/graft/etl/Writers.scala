@@ -13,8 +13,16 @@ import java.nio.charset.StandardCharsets
   */
 object Writers {
 
-  /** K1: single pretty JSON array file, null fields included, NaN/inf
-    * -> null (pandas to_json behavior), stable column order.
+  /** K1: single pretty JSON array file, byte-identical to pandas
+    * `to_json(orient="records", indent=4)` (reference assets.py:325) for
+    * the artifact domain: null fields included, NaN/inf -> null, ujson
+    * escaping (forward slash and non-ASCII escaped, lowercase hex),
+    * ujson double rendering (10 decimal places, trailing zeros trimmed,
+    * whole floats keep ".0"), zero rows -> "[\n\n]". Pinned against a
+    * committed pandas-written fixture (WritersParitySpec). Outside the
+    * artifact domain (|x| >= 1e16) ujson switches to exponent form and
+    * this writer falls back to JVM rendering — values that large never
+    * appear in the published artifacts (dollar amounts and head counts).
     */
   def prettyJsonArray(df: DataFrame, path: String): Unit = {
     val schema = df.schema
@@ -35,6 +43,7 @@ object Writers {
         }
         w.write("\n    }")
       }
+      if (first) w.write("\n") // pandas renders an empty frame as [\n\n]
       w.write("\n]")
     } finally w.close()
   }
@@ -46,12 +55,8 @@ object Writers {
   private def renderValue(row: org.apache.spark.sql.Row, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) "null"
     else dt match {
-      case DoubleType =>
-        val d = row.getDouble(i)
-        if (d.isNaN || d.isInfinite) "null"
-        else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString + ".0"
-        else d.toString
-      case FloatType => row.getFloat(i).toString
+      case DoubleType => pandasDouble(row.getDouble(i))
+      case FloatType => pandasDouble(row.getFloat(i).toDouble)
       case IntegerType => row.getInt(i).toString
       case LongType => row.getLong(i).toString
       case StringType => jsonStr(row.getString(i))
@@ -59,15 +64,36 @@ object Writers {
       case _ => jsonStr(String.valueOf(row.get(i)))
     }
 
+  /** ujson (pandas to_json) double rendering: fixed-point with
+    * double_precision=10 decimal places, trailing zeros trimmed, at
+    * least one digit kept after the point — so 1.0 -> "1.0",
+    * 0.1 -> "0.1", pi -> "3.1415926536", 1e-7 -> "0.0000001",
+    * 1.5e-11 -> "0.0". NaN/inf -> null.
+    */
+  private def pandasDouble(d: Double): String =
+    if (d.isNaN || d.isInfinite) "null"
+    else if (math.abs(d) >= 1e16) d.toString // ujson exponent territory; outside artifact domain
+    else {
+      // exact-binary-value rounding (new BigDecimal(d), not valueOf):
+      // ujson rounds the EXACT double, so -1234567.89 renders as
+      // -1234567.8899999999; Java's %.10f re-expands the shortest repr
+      // and would give -1234567.8900000000 instead
+      val s = new java.math.BigDecimal(d)
+        .setScale(10, java.math.RoundingMode.HALF_EVEN).toPlainString
+      val t = s.reverse.dropWhile(_ == '0').reverse
+      if (t.endsWith(".")) t + "0" else t
+    }
+
   private def jsonStr(s: String): String = {
     val b = new StringBuilder("\"")
     s.foreach {
       case '"' => b.append("\\\"")
       case '\\' => b.append("\\\\")
+      case '/' => b.append("\\/") // ujson escapes forward slashes
       case '\n' => b.append("\\n")
       case '\r' => b.append("\\r")
       case '\t' => b.append("\\t")
-      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c if c < ' ' || c > '~' => b.append(f"\\u${c.toInt}%04x")
       case c => b.append(c)
     }
     b.append('"').toString

@@ -81,5 +81,27 @@ class AcquisitionSpec extends AnyFunSuite {
     assert(new String(in.readAllBytes()) == "[1,2,3]")
     val (binBody, bct, bce) = puts("aspep/b.bin")
     assert(binBody.toSeq == Seq[Byte](9, 9) && bct.isEmpty && bce.isEmpty)
+    // reference quirk: the gz sibling lands IN the data directory
+    assert(Files.exists(dir.resolve("a.json.gz")))
+  }
+
+  test("publishDirectory re-run uploads stale .gz siblings as raw binary") {
+    val dir = Files.createTempDirectory("out")
+    Files.write(dir.resolve("a.json"), "[1,2,3]".getBytes)
+    var puts = Map.empty[String, (Array[Byte], Option[String], Option[String])]
+    val pub = new Publisher {
+      def put(key: String, body: Array[Byte], ct: Option[String], ce: Option[String]): Unit =
+        puts += key -> ((body, ct, ce))
+    }
+    // first run: original key only, walk snapshot predates the sibling
+    assert(publishDirectory(dir, "aspep", pub).toSet == Set("aspep/a.json"))
+    // second run: the previous run's sibling is walked and uploaded raw,
+    // exactly like the reference's os.walk re-run (assets.py:555-566)
+    val keys2 = publishDirectory(dir, "aspep", pub)
+    assert(keys2.toSet == Set("aspep/a.json", "aspep/a.json.gz"))
+    val (gzBody, gct, gce) = puts("aspep/a.json.gz")
+    assert(gct.isEmpty && gce.isEmpty)
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(gzBody))
+    assert(new String(in.readAllBytes()) == "[1,2,3]")
   }
 }

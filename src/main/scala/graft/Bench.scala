@@ -36,10 +36,32 @@ object Bench {
       // failed, not as the surviving run's time
       name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def toJson(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Second scale factor (VERDICT r01 #9): derive a 10x corpus from
+    // sfDir (ScaleUp — deterministic key-remapped replication) and run
+    // every query ONCE at that scale, surfacing shuffle/spill behavior
+    // the sf0.1 run hides. Single-pass timings (cold plans, warm input
+    // cache) keep the added wall-clock bounded; the primary metric and
+    // per-query keys stay untouched for round-over-round comparison.
+    // Disable with SPARK_GRAFT_SF1=0.
+    val sf1Extra: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") ""
+      else try {
+        val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/bench-sf1")
+        ScaleUp.ensure(spark, sfDir, sf1Dir, 10)
+        def timeAt(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sf1Dir).count() } catch { case _: Throwable => return -1.0 }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val r1 = SparkEntry.queries.map { case (n, fn) => n -> timeAt(fn) }
+        s""","sf1_queries":${toJson(r1)},"sf1_total":${r1.values.filter(_ > 0).sum},"sf1_factor":10"""
+      } catch { case _: Throwable => "" }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1Extra}""")
     spark.stop()
   }
 }

@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for the training-data pipeline: content-
+  * hash sampling (the reproducible way to subsample a 100 TB crawl),
+  * per-stratum top-k sampling, TF-IDF salient-term extraction, and
+  * BM25 keyword relevance scoring.
+  *
+  * Scale design: sampling is a pure narrow filter on a hash of the
+  * primary key — no shuffle, no RNG state, identical output on any
+  * cluster size or partitioning (unlike `df.sample`, whose result
+  * depends on partition layout). TF-IDF is two keyed aggregations
+  * (term-frequency, document-frequency) joined on `term` — the join is
+  * vocabulary-sized, NOT corpus-sized, and stays a shuffle join so it
+  * cannot OOM an executor at 100 TB. BM25 against a fixed query-term
+  * set never explodes tokens at all: per-document term counts are
+  * narrow array expressions, and the global stats (N, avgdl, df) are
+  * one scalar aggregate broadcast back over the corpus.
+  */
+object Corpus {
+
+  /** Deterministic stratified sampling by content hash: down-sample
+    * the dominant language (en -> 30%) and keep the long tail whole —
+    * the standard rebalancing step before training-data mixing.
+    * `bucket` is stable: hash60 of a salted doc_id, mod 100; the
+    * filter is a narrow scan predicate with zero shuffle.
+    */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(hash60(concat(lit("smp"), col("doc_id").cast("string"))), lit(100))
+    val keepBelow = when(col("lang") === "en", lit(30)).otherwise(lit(100))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        bucket.as("bucket"))
+      .filter(col("bucket") < keepBelow)
+  }
+
+  /** Uniform k-per-stratum sample (k=5 per `source`): rank rows inside
+    * each stratum by a content hash and keep the first k. One shuffle
+    * on the stratum key; the per-group state is a single counter, so
+    * group size never pressures memory. The distributed analogue of
+    * reservoir sampling with a deterministic "random" order.
+    */
+  def sampleTopkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(hash60(concat(lit("tk"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 5)
+  }
+
+  /** Top-5 salient terms per document by smoothed TF-IDF:
+    * tfidf(t, d) = (tf / dl) * (ln((N + 1) / (df + 1)) + 1).
+    *
+    * Shape: explode -> one (doc, term) agg carrying dl through the
+    * groupBy (dl is functionally dependent on doc_id — no second
+    * shuffle and no corpus self-join to re-attach it); df is a
+    * vocabulary-sized agg of that table; N is a broadcast scalar. The
+    * final per-doc top-k is one window on doc_id. Ties order by term
+    * so ranking is engine-independent.
+    */
+  def tfidfTopterms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    val tf = base.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs") + 1).cast("double") / (col("df_t") + 1)) + 1.0
+    val tfidf = col("tf").cast("double") / col("dl") * idf
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("raw_tfidf").desc, col("term"))
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("raw_tfidf", tfidf)
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= 5)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("raw_tfidf"), 6).as("tfidf"), col("term_rank"))
+  }
+
+  private val bm25Terms = Seq("spark", "join", "window")
+
+  /** BM25 relevance of every document against a fixed query-term set.
+    * Zero explode: per-term tf and dl are narrow array expressions on
+    * the materialized token array; corpus stats (N, avgdl, per-term
+    * df) come from ONE scalar aggregate of that narrow projection,
+    * broadcast back with a 1-row cross join. Two passes over the
+    * corpus total — the minimum any corpus-normalized score needs —
+    * and both are scan-speed.
+    */
+  def bm25Score(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+          bm25Terms.map(t =>
+            size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val stats = per.agg(
+      (Seq(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs")) ++
+        bm25Terms.map(t =>
+          sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))): _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    // literals written out (2.2, 0.25) rather than derived (k1+1,
+    // 1-b): scalac folds Double arithmetic whose last-ulp rounding
+    // need not match the SQL literal the oracle parses — and the
+    // rounded 6-dp score must be bit-equal across engines.
+    def contrib(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val idf = log(lit(1.0) +
+        ((col("n_docs") - col(s"df_$t")).cast("double") + 0.5) /
+          (col(s"df_$t").cast("double") + 0.5))
+      idf * (tf * 2.2) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    }
+    val score = bm25Terms.map(contrib).reduce(_ + _)
+    per.crossJoin(broadcast(stats))
+      .filter(bm25Terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+      .select(
+        Seq(col("doc_id"), col("dl")) ++ bm25Terms.map(t => col(s"tf_$t")) :+
+          round(score, 6).as("bm25"): _*)
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "sample_topk_per_group" -> (sampleTopkPerGroup _),
+    "tfidf_topterms" -> (tfidfTopterms _),
+    "bm25_score" -> (bm25Score _)
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_stratified" ->
+      """WITH b AS (
+        | SELECT doc_id, lang, source,
+        |  ('0x' || substr(md5('smp' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        | FROM documents)
+        |SELECT doc_id, lang, source, bucket FROM b
+        |WHERE bucket < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)""".stripMargin,
+
+    "sample_topk_per_group" ->
+      """WITH r AS (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY
+        |   ('0x' || substr(md5('tk' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS sample_rank
+        | FROM documents)
+        |SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 5""".stripMargin,
+
+    "tfidf_topterms" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |base AS (
+         | SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM toks),
+         |tf AS (
+         | SELECT doc_id, dl, term, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+         |dft AS (
+         | SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         | SELECT tf.doc_id, tf.term, tf.tf,
+         |  CAST(tf.tf AS DOUBLE) / tf.dl
+         |    * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (dft.df_t + 1)) + 1.0) AS raw_tfidf
+         | FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |ranked AS (
+         | SELECT doc_id, term, tf, raw_tfidf,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY raw_tfidf DESC, term) AS term_rank
+         | FROM scored)
+         |SELECT doc_id, term, tf, round(raw_tfidf, 6) AS tfidf, term_rank
+         |FROM ranked WHERE term_rank <= 5""".stripMargin,
+
+    "bm25_score" ->
+      s"""WITH per AS (
+         | SELECT doc_id, len(w) AS dl,
+         |  len(list_filter(w, x -> x = 'spark')) AS tf_spark,
+         |  len(list_filter(w, x -> x = 'join')) AS tf_join,
+         |  len(list_filter(w, x -> x = 'window')) AS tf_window
+         | FROM (SELECT doc_id, string_split($normSql, ' ') AS w FROM documents)),
+         |stats AS (
+         | SELECT sum(dl) AS sum_dl, count(*) AS n_docs,
+         |  sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+         |  sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+         |  sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+         | FROM per)
+         |SELECT doc_id, dl, tf_spark, tf_join, tf_window,
+         | round(
+         |   ln(1.0 + (CAST(n_docs - df_spark AS DOUBLE) + 0.5) / (CAST(df_spark AS DOUBLE) + 0.5))
+         |     * (CAST(tf_spark AS DOUBLE) * 2.2)
+         |     / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+         | + ln(1.0 + (CAST(n_docs - df_join AS DOUBLE) + 0.5) / (CAST(df_join AS DOUBLE) + 0.5))
+         |     * (CAST(tf_join AS DOUBLE) * 2.2)
+         |     / (CAST(tf_join AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs))))
+         | + ln(1.0 + (CAST(n_docs - df_window AS DOUBLE) + 0.5) / (CAST(df_window AS DOUBLE) + 0.5))
+         |     * (CAST(tf_window AS DOUBLE) * 2.2)
+         |     / (CAST(tf_window AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS bm25
+         |FROM per CROSS JOIN stats
+         |WHERE tf_spark + tf_join + tf_window > 0""".stripMargin
+  )
+}

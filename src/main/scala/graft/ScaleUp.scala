@@ -99,7 +99,7 @@ object ScaleUp {
         when(col("rep") === 0, col("source"))
           .otherwise(concat(col("source"), lit("_r"), col("rep"))).as("source"),
         col("rep"))
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_chars"), col("rep")))
 
@@ -109,12 +109,18 @@ object ScaleUp {
         col("rep")))
   }
 
-  /** Generate only if the completion marker is absent (idempotent). */
+  /** Generate only if the completion marker is absent or was written
+    * for a different (srcDir, factor) — a stale corpus derived from a
+    * different base would silently poison the sf1 bench numbers. */
   def ensure(s: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
-    if (!marker.exists()) {
+    val stamp = s"$srcDir|$factor"
+    val current = if (marker.exists())
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+    else ""
+    if (current != stamp) {
       run(s, srcDir, outDir, factor)
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
   }
 

@@ -104,10 +104,10 @@ object Corpus {
         Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
           bm25Terms.map(t =>
             size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
-    val stats = per.agg(
-      (Seq(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs")) ++
-        bm25Terms.map(t =>
-          sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))): _*)
+    val aggCols = Seq(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs")) ++
+      bm25Terms.map(t =>
+        sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))
+    val stats = per.agg(aggCols.head, aggCols.tail: _*)
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     // literals written out (2.2, 0.25) rather than derived (k1+1,
     // 1-b): scalac folds Double arithmetic whose last-ulp rounding

@@ -2,15 +2,15 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Time a single query (dev utility; the reportable numbers come from
-  * Bench). usage: runMain graft.TimeOne <queryName> [sfDir] [runs]
+/** Targeted timing harness: `runMain graft.TimeOne <dir> <query>...`
+  * times each named query (2 runs, prints both — paired A/B runs are
+  * the only meaningful comparison on a shared box, see docs/PLANS.md).
   */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val d = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val runs = if (args.length > 2) args(2).toInt else 2
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val dir = args(0)
+    val names = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,14 +19,14 @@ object TimeOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, d, t).count())
-    (1 to runs).foreach { i =>
-      spark.sharedState.cacheManager.clearCache()
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, d).count()
-      println(f"run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val c = fn(spark, dir).count()
+        println(f"[time] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+      }
     }
     spark.stop()
   }

@@ -119,24 +119,30 @@ object Ann {
   }
 
   /** One k-means training iteration for the IVF coarse quantizer:
-    * centroids seeded from the label partition, every vector
-    * re-assigned to its nearest centroid (squared L2, deterministic
-    * round+id tie-break), centroids recomputed from the assignment.
-    * Output is LONG format (cluster, dim, value) so the oracle compare
-    * stays scalar. At scale: centroids broadcast, assignment is a
-    * narrow map over the corpus, recompute is one keyed shuffle —
-    * the standard distributed-k-means iteration shape.
+    * centroids seeded from the label partition folded into at most 16
+    * seed groups (`label % 16` — identity on the driver corpora, whose
+    * labels are 0..9), every vector re-assigned to its nearest centroid
+    * (squared L2, deterministic round+id tie-break), centroids
+    * recomputed from the assignment. Output is LONG format
+    * (cluster, dim, value) so the oracle compare stays scalar.
+    *
+    * k is CAPPED, not proportional to the corpus: assignment cost is
+    * corpus x k, and a k that grows with the data makes the step
+    * quadratic (measured: 34x at a 10x scale-up when k rode the label
+    * count). Real distributed k-means fixes k as a hyperparameter; at
+    * scale centroids stay a broadcast table, assignment is a narrow
+    * map over the corpus, recompute is one keyed shuffle.
     */
   def embeddingKmeansStep(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
     val cent = e
-      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
+      .select(pmod(col("label"), lit(16)).as("seed"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("seed"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("seed"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
         p => p.getField("m")).as("c"))
-      .select(col("label").as("list_id"), col("c"))
+      .select(col("seed").as("list_id"), col("c"))
     // squared L2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is per-row constant and
     // cancels in the argmin, so rank on (|c|^2 - 2 v.c).
     // Argmin via min_by over a (score, list_id) struct — lexicographic
@@ -178,13 +184,18 @@ object Ann {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
 
-    // codebooks: per (label k, subspace) mean subvector
+    // codebooks: per (code word k, subspace) mean subvector. The code
+    // space is CAPPED at 16 words per subspace (label % 16 — identity
+    // on the driver corpora, labels 0..9): PQ's whole point is a
+    // fixed-size codebook (here 4-bit codes), and encode cost is
+    // corpus x codebook — a codebook that grew with the corpus made
+    // encoding quadratic (measured: 103x at a 10x scale-up).
     val cent = e
-      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .select(col("label"), (col("dim") / subDim).cast("int").as("sub"),
+      .select(pmod(col("label"), lit(16)).as("kw"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("kw"), (col("dim") / subDim).cast("int").as("sub"),
         pmod(col("dim"), lit(subDim)).as("subdim"), col("x"))
-      .groupBy(col("label"), col("sub"), col("subdim")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label").as("k"), col("sub"))
+      .groupBy(col("kw"), col("sub"), col("subdim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("kw").as("k"), col("sub"))
       .agg(transform(array_sort(collect_list(struct(col("subdim"), col("m")))),
         p => p.getField("m")).as("c"))
 
@@ -206,16 +217,19 @@ object Ann {
     val lutScore = round(dot(col("c"), col("c"))
       - lit(2) * dot(subv(col("vq"), col("sub")), col("c")), 6)
     val lut = q.join(broadcast(cent))
-      .select(col("qid"), col("vq"), col("sub"), col("k"), lutScore.as("d"))
+      .select(col("qid"), col("sub"), col("k"), lutScore.as("d"))
 
-    // ADC: sum the 8 LUT hits per (query, corpus vector)
+    // ADC: sum the 8 LUT hits per (query, corpus vector). The corpus-
+    // sized aggregate and top-10 window carry ONLY (qid, nid, dist) —
+    // the 64-dim query vector rejoins AFTER the shortlist (8x10 rows),
+    // never riding a corpus-sized shuffle or sort.
     val wAdc = Window.partitionBy(col("qid"))
       .orderBy(col("approx_dist"), col("nid"))
     val candidates = codes
       .join(lut, codes("sub") === lut("sub") && codes("code") === lut("k"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
-      .agg(round(sum(col("d")), 6).as("approx_dist"), first(col("vq")).as("vq"))
+      .agg(round(sum(col("d")), 6).as("approx_dist"))
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= 10)
 
@@ -223,6 +237,7 @@ object Ann {
     val cos = round(cosine(col("vq"), col("v")), 6)
     val wRank = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     candidates
+      .join(broadcast(q), Seq("qid"))
       .join(e.select(col("vec_id").as("nid"), col("v")), Seq("nid"))
       .select(col("qid"), col("nid"), col("approx_dist"), cos.as("cos"))
       .withColumn("rn", row_number().over(wRank).cast("long"))
@@ -276,12 +291,12 @@ object Ann {
   private val kmeansSql =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |cent AS (
-      | SELECT label AS list_id, list(m ORDER BY dim) AS c FROM (
-      |  SELECT label, dim, avg(x) AS m
-      |  FROM (SELECT label, unnest(v) AS x,
+      | SELECT seed AS list_id, list(m ORDER BY dim) AS c FROM (
+      |  SELECT seed, dim, avg(x) AS m
+      |  FROM (SELECT label % 16 AS seed, unnest(v) AS x,
       |        unnest(range(1, len(v) + 1)) AS dim FROM e)
-      |  GROUP BY label, dim)
-      | GROUP BY label),
+      |  GROUP BY seed, dim)
+      | GROUP BY seed),
       |scored AS (
       | SELECT e.vec_id, e.v, cent.list_id,
       |  round(list_dot_product(cent.c, cent.c)
@@ -301,13 +316,13 @@ object Ann {
   private val pqSql =
     """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
       |dims AS (
-      | SELECT label, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM e),
+      | SELECT label % 16 AS kw, unnest(v) AS x, unnest(range(0, len(v))) AS dim FROM e),
       |centd AS (
-      | SELECT label, CAST(dim // 8 AS INT) AS sub, dim % 8 AS subdim, avg(x) AS m
+      | SELECT kw, CAST(dim // 8 AS INT) AS sub, dim % 8 AS subdim, avg(x) AS m
       | FROM dims GROUP BY 1, 2, 3),
       |cent AS (
-      | SELECT label AS k, sub, list(m ORDER BY subdim) AS c
-      | FROM centd GROUP BY label, sub),
+      | SELECT kw AS k, sub, list(m ORDER BY subdim) AS c
+      | FROM centd GROUP BY kw, sub),
       |codes AS (
       | SELECT vec_id, sub, k AS code FROM (
       |  SELECT e.vec_id, cent.sub, cent.k,

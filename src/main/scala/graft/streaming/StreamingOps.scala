@@ -27,13 +27,24 @@ object StreamingOps {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a landing dir of events parquet files. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Streaming source over a landing dir of events parquet files.
+    * Two layouts exist: the driver corpus lands `events.parquet` as a
+    * single FILE inside `dir` (stream `dir` + name filter — the file
+    * source requires a directory basePath), derived corpora (ScaleUp)
+    * as a parquet DIRECTORY of part files (stream that directory — a
+    * parent-dir pathGlobFilter on the file NAME would silently read
+    * zero part files).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(s"$dir/events.parquet")
+    val src =
+      if (path.isDirectory)
+        spark.readStream.schema(eventsSchema).parquet(path.toString)
+      else
+        spark.readStream.schema(eventsSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Tumbling 1h event-time windows with a 2h watermark — the
     * streaming twin of the batch event_window_agg query (same buckets,

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the corpus-curation operators (the value
+  * parity vs DuckDB is the driver's oracle gate; these pin the
+  * engine-independent semantics).
+  */
+class CorpusSpec extends SparkTestBase {
+
+  test("sample_stratified: deterministic, bucket-bounded, en downsampled") {
+    val a = Corpus.sampleStratified(spark, sf)
+    val b = Corpus.sampleStratified(spark, sf)
+    // content-hash sampling is a pure filter: two runs are identical
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    assert(a.filter(col("bucket") < 0 || col("bucket") >= 100).count() == 0)
+    // non-en strata keep every row; en keeps ~30%
+    val docs = graft.Tables.documents(spark, sf)
+    val nonEn = docs.filter(col("lang") =!= "en").count()
+    assert(a.filter(col("lang") =!= "en").count() == nonEn)
+    val enTotal = docs.filter(col("lang") === "en").count()
+    val enKept = a.filter(col("lang") === "en").count()
+    assert(enKept < enTotal && enKept > 0)
+  }
+
+  test("sample_topk_per_group: at most k per stratum, ranks contiguous from 1") {
+    val s = Corpus.sampleTopkPerGroup(spark, sf)
+    val per = s.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("sample_rank")).as("mx"),
+        min(col("sample_rank")).as("mn"))
+    assert(per.filter(col("n") > 5 || col("mx") > 5 || col("mn") =!= 1 ||
+      col("mx") =!= col("n")).count() == 0)
+    // every stratum with >=5 docs yields exactly 5
+    val big = graft.Tables.documents(spark, sf)
+      .groupBy(col("source")).count().filter(col("count") >= 5)
+    val full = per.join(big, "source").filter(col("n") =!= 5)
+    assert(full.count() == 0)
+  }
+
+  test("tfidf_topterms: per-doc ranks 1..<=5, score non-increasing with rank") {
+    val t = Corpus.tfidfTopterms(spark, sf)
+    assert(t.filter(col("term_rank") < 1 || col("term_rank") > 5).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("term_rank"))
+    val bad = t.withColumn("prev", lag(col("tfidf"), 1).over(w))
+      .filter(col("prev").isNotNull && col("tfidf") > col("prev"))
+    assert(bad.count() == 0)
+    // ranks contiguous: a doc with max rank r has exactly r rows
+    val per = t.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("term_rank")).as("mx"))
+    assert(per.filter(col("n") =!= col("mx")).count() == 0)
+  }
+
+  test("bm25_score: only matching docs, positive scores, tf consistency") {
+    val b = Corpus.bm25Score(spark, sf)
+    assert(b.count() > 0)
+    assert(b.filter(col("tf_spark") + col("tf_join") + col("tf_window") <= 0)
+      .count() == 0)
+    assert(b.filter(col("bm25") <= 0).count() == 0)
+    // tf from the operator == naive token count from the raw text
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), x => x === lit("spark"))).cast("long").as("naive_tf"))
+    val joined = b.join(docs, "doc_id").filter(col("tf_spark") =!= col("naive_tf"))
+    assert(joined.count() == 0)
+  }
+}

@@ -34,12 +34,16 @@ class StreamingSpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
-  test("flatMapGroupsWithState gap sessions == batch sessionize (closed sessions)") {
-    val streamed = StreamingOps.runGapSessionsOnce(spark, sf, "stream_sessions")
-    // batch truth: per-event session seq -> per-session aggregates,
-    // excluding each user's LAST session (still open in the stream)
-    val seq = graft.operators.Relational.eventsSessionize(spark, sf)
-    val ev = graft.Tables.events(spark, sf)
+  /** Pin streamed gap sessions == batch truth over any table dir.
+    * Batch truth: per-event session seq -> per-session aggregates,
+    * excluding each user's LAST session unless its gap timeout already
+    * fell behind the 2h watermark (AvailableNow runs the timeout batch,
+    * so only final sessions still inside the horizon stay open).
+    */
+  private def assertGapSessionTwin(dir: String, queryName: String): Unit = {
+    val streamed = StreamingOps.runGapSessionsOnce(spark, dir, queryName)
+    val seq = graft.operators.Relational.eventsSessionize(spark, dir)
+    val ev = graft.Tables.events(spark, dir)
       .selectExpr("event_id", "coalesce(value, 0.0) AS v")
     val sessions = seq.join(ev, "event_id")
       .groupBy(col("user_id"), col("session_seq"))
@@ -47,10 +51,7 @@ class StreamingSpec extends SparkTestBase {
         count(lit(1)).as("n_events"), sum("v").as("sum_value"))
     val lastSeq = sessions.groupBy("user_id")
       .agg(max("session_seq").as("last_seq"))
-    // a user's FINAL session is also emitted once its gap timeout falls
-    // behind the 2h watermark (AvailableNow runs the timeout batch), so
-    // only final sessions still inside the horizon stay open
-    val maxEpoch = graft.Tables.events(spark, sf)
+    val maxEpoch = graft.Tables.events(spark, dir)
       .agg(max(expr("CAST(unix_timestamp(ts) AS LONG)"))).head().getLong(0)
     val closedBatch = sessions.join(lastSeq, "user_id")
       .filter(col("session_seq") =!= col("last_seq") ||
@@ -62,5 +63,17 @@ class StreamingSpec extends SparkTestBase {
     assert(streamedNorm.count() == closedBatch.count())
     assert(streamedNorm.exceptAll(closedBatch).count() == 0)
     assert(closedBatch.exceptAll(streamedNorm).count() == 0)
+  }
+
+  test("flatMapGroupsWithState gap sessions == batch sessionize (closed sessions)") {
+    assertGapSessionTwin(sf, "stream_sessions")
+  }
+
+  test("gap sessions twin holds on the ScaleUp (3x) corpus") {
+    // guards the stateful path against scale-dependent bugs: 3x users,
+    // per-replica user_id offsets, identical timestamp range
+    val scaled = java.nio.file.Files.createTempDirectory("graft_sess_sf3").toString
+    graft.ScaleUp.run(spark, sf, scaled, 3)
+    assertGapSessionTwin(scaled, "stream_sessions_sf3")
   }
 }

@@ -14,12 +14,24 @@ object VectorFunctions {
   /** Cast array<float> -> array<double> so all accumulation is double. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd kernel ([[DotProduct]]) — identical fold order
+    * and null semantics to the expression-tree form
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` it replaced.
+    */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity with null-safe zero-norm guard. */
   def cosine(a: Column, b: Column): Column =
     Cleaning.safeDiv(dot(a, b), norm2(a) * norm2(b))
+
+  /** Cosine with PRE-COMPUTED norms: per-pair work drops from 3 dot
+    * products to 1 (and the safeDiv guard re-references cheap scalar
+    * attributes, not 64-element aggregates). Compute the norm once per
+    * row in its own select before any pair join — see
+    * docs/PLANS.md "precompute per-row invariants".
+    */
+  def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    Cleaning.safeDiv(dot(a, b), na * nb)
 }

@@ -51,9 +51,10 @@ object Ann {
   def annBruteforceTopk(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm2(col("v")))
     val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("v").as("vq"))
-    val cos = round(cosine(col("vq"), col("v")), 6)
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nv").as("nq"))
+    val cos = round(cosinePre(col("vq"), col("nq"), col("v"), col("nv")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     // Broadcast the tiny query side and STREAM the corpus once — the
     // build relation of this nested-loop join must be the 8-row query
@@ -69,9 +70,11 @@ object Ann {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("bucket", bucketCol(col("v")))
+      .withColumn("nv", norm2(col("v")))
     val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket"))
-    val cos = round(cosine(col("vq"), col("v")), 6)
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket"),
+        col("nv").as("nq"))
+    val cos = round(cosinePre(col("vq"), col("nq"), col("v"), col("nv")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     q.join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
@@ -90,6 +93,7 @@ object Ann {
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nv", norm2(col("v")))
     // centroids: element-wise mean per label via posexplode + pivot-free agg
     val centroids = e
       .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -100,16 +104,16 @@ object Ann {
       .select(col("label").as("list_id"), col("c"))
     // assign every query vector to its nearest centroid (max cosine)
     val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("v").as("vq"))
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nv").as("nq"))
     val qAssign = q.join(broadcast(centroids))
-      .select(col("qid"), col("vq"), col("list_id"),
+      .select(col("qid"), col("vq"), col("nq"), col("list_id"),
         round(cosine(col("vq"), col("c")), 6).as("ccos"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ccos").desc, col("list_id"))))
       .filter(col("crn") === 1)
-      .select(col("qid"), col("vq"), col("list_id"))
-    // probe only the assigned list
-    val cos = round(cosine(col("vq"), col("v")), 6)
+      .select(col("qid"), col("vq"), col("nq"), col("list_id"))
+    // probe only the assigned list (norms precomputed on both sides)
+    val cos = round(cosinePre(col("vq"), col("nq"), col("v"), col("nv")), 6)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     qAssign.join(e, col("label") === col("list_id"))
       .filter(col("vec_id") =!= col("qid"))

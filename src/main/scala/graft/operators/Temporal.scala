@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators Spark lacks as built-ins, re-expressed in
+  * the shapes that survive 100 TB:
+  *
+  *  - AS-OF join (event-time attribution): NOT an inequality join —
+  *    Spark would plan that as a broadcast-nested-loop or an unbounded
+  *    sort-merge range scan. Instead the classic union+window form:
+  *    tag both sides, union, one hash shuffle on the key, one
+  *    per-partition sort on (time, side), and `last(x, ignoreNulls)`
+  *    carries the most recent right-side row forward. Cost is one
+  *    shuffle of left+right combined — the same stage a plain groupBy
+  *    would need — and the per-key state is a single row.
+  *  - sliding range-window aggregation: Spark's native
+  *    `rangeBetween` over a numeric event-time ordering.
+  *  - interval (band) join via grid bucketization: explode each
+  *    interval into the fixed-width grid cells it covers, equi-join
+  *    probe rows on their cell, then apply the exact bounds as a
+  *    residual filter. Turns an inequality join into a keyed shuffle
+  *    that scales with BOTH sides (a broadcast inequality join dies
+  *    when the interval side outgrows one executor).
+  */
+object Temporal {
+
+  /** Click->purchase attribution: for every purchase event, the same
+    * user's most recent click at-or-before it (ties: the click wins,
+    * i.e. inclusive `purchase.ts >= click.ts`). Clicks are first
+    * deduped per (user, ts) to max event_id so the as-of pick is
+    * deterministic in any engine.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("us"), col("click_id"),
+        lit(0).as("side"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), lit(null).cast("long").as("click_id"),
+        lit(1).as("side"), col("event_id").as("purchase_id"))
+    // one shuffle: hash by user, sort by (time, side) — side=0 (click)
+    // sorts before side=1 (purchase) at equal time, giving >= semantics
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("last_click_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("us").as("purchase_us"),
+        col("last_click_id").as("click_id"),
+        (col("us") - col("last_click_us")).as("gap_us"))
+  }
+
+  /** Per event: how many events (and how much value) the same user
+    * produced in the preceding 5 minutes — a sliding event-time rate
+    * feature. Native range window over a numeric epoch ordering; the
+    * `1 PRECEDING` upper bound excludes the current second's peers
+    * identically in any engine.
+    */
+  def rangeWindowCount(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-300, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        expr("CAST(unix_timestamp(ts) AS LONG)").as("epoch_s"),
+        expr("coalesce(value, 0.0)").as("v"))
+      .select(col("event_id"), col("user_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("n_prev_5m"),
+        round(sum(col("v")).over(w), 6).as("sum_prev_5m"))
+      .withColumn("sum_prev_5m", coalesce(col("sum_prev_5m"), lit(0.0)))
+  }
+
+  /** Price bands, including one overlapping band — the join is
+    * genuinely many-to-many. Integer bounds, [lo, hi).
+    */
+  private[operators] val bands: Seq[(String, Int, Int)] = Seq(
+    ("budget", 900, 920), ("mid", 920, 950), ("upper", 950, 980),
+    ("lux", 980, 1000), ("premium_950plus", 950, 1000),
+    ("entry_905_915", 905, 915), ("point_930s", 930, 940))
+
+  private val Grid = 5
+
+  /** Interval join via grid bucketization: every band explodes into
+    * the 5-wide grid cells it covers, every part row computes its one
+    * cell, and the join is a plain equi-join on the cell with the
+    * exact bounds as a residual filter. With a 6-row band table a
+    * broadcast would do — the point is the shape: cell-join scales
+    * when the interval side is ALSO corpus-sized, where a broadcast
+    * inequality join cannot.
+    */
+  def intervalBandJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = bands.toDF("band_name", "lo", "hi")
+      .withColumn("bucket",
+        explode(sequence(floor(col("lo") / Grid).cast("long"),
+          floor((col("hi") - 1) / Grid).cast("long"))))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"))
+      .withColumn("bucket", floor(col("p_retailprice") / Grid).cast("long"))
+    p.join(b, Seq("bucket"))
+      .filter(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .select(col("p_partkey"), col("band_name"), col("p_retailprice"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "asof_join" -> (asofJoin _),
+    "range_window_count" -> (rangeWindowCount _),
+    "interval_band_join" -> (intervalBandJoin _)
+  )
+
+  private val bandsValues = bands
+    .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |clicks AS (
+        | SELECT user_id, us, max(event_id) AS click_id
+        | FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        | SELECT event_id AS purchase_id, user_id, us
+        | FROM ev WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.us AS purchase_us,
+        | c.click_id, p.us - c.us AS gap_us
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.us >= c.us""".stripMargin,
+
+    "range_window_count" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  coalesce(value, 0.0) AS v
+        | FROM events)
+        |SELECT event_id, user_id, epoch_s,
+        | count(*) OVER w AS n_prev_5m,
+        | coalesce(round(sum(v) OVER w, 6), 0.0) AS sum_prev_5m
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        | RANGE BETWEEN 300 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    "interval_band_join" ->
+      s"""WITH bands(band_name, lo, hi) AS (VALUES $bandsValues)
+         |SELECT p_partkey, band_name, p_retailprice
+         |FROM part JOIN bands
+         |  ON p_retailprice >= lo AND p_retailprice < hi""".stripMargin
+  )
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multi-granularity aggregation: ROLLUP subtotals and PIVOT
+  * reshaping. Both are single-pass shapes — Spark expands grouping
+  * sets inside ONE aggregate (Expand + partial agg before the
+  * shuffle), which is the scalable alternative to unioning one
+  * groupBy per granularity and re-reading the fact table N times.
+  * Sums use the decimal-cast pattern (see q1_agg) so subtotal values
+  * are order-independent and exactly reproducible cross-engine.
+  */
+object MultiDim {
+
+  /** Revenue subtotals at (returnflag, linestatus), (returnflag), and
+    * grand-total granularity in one pass. Null grouping keys from the
+    * rollup are folded to 'ALL' — the source columns are never null,
+    * so the sentinel is unambiguous and the oracle compare stays
+    * engine-independent.
+    */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(20,6)")).cast("double").as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(20,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("revenue"), col("n"))
+
+  /** Order counts and decimal-exact totals pivoted by order status —
+    * the wide reshape (one column set per status value). Pivot values
+    * are pinned explicitly: at 100 TB an unpinned pivot first runs a
+    * distinct scan to discover them, and an unexpected new value
+    * silently widens the schema.
+    */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,6)")).cast("double"))
+      .select(col("priority"), col("O").as("total_o"),
+        col("F").as("total_f"), col("P").as("total_p"))
+
+  val queries: Map[String, Relational.Q] = Map(
+    "rollup_revenue" -> (rollupRevenue _),
+    "pivot_status" -> (pivotStatus _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rollup_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority AS priority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
+  )
+}

@@ -47,9 +47,24 @@ object MultiDim {
       .select(col("priority"), col("O").as("total_o"),
         col("F").as("total_f"), col("P").as("total_p"))
 
+  /** Two-phase salted aggregation over the 5-value (maximally skewed)
+    * event_type key: partial agg on (key, salt16), final agg on key.
+    * AQE cannot split a skewed HASH AGGREGATE (its skew handling is
+    * join-only), so this is the explicit pattern for hot groupBy keys
+    * at scale. The salt derives from stable row content (never rand():
+    * retries/replays must agree) and only shapes the shuffle — results
+    * are engine-independent, so the oracle is the plain GROUP BY.
+    */
+  def saltedEventAgg(s: SparkSession, d: String): DataFrame =
+    graft.functions.Salting.saltedAgg(
+      Tables.events(s, d), "event_type", "event_id", 16)(
+      ("__salt", Seq(count(lit(1)).as("pn"), sum(col("value")).as("ps"))),
+      Seq(sum(col("pn")).as("n"), round(sum(col("ps")), 4).as("sum_value")))
+
   val queries: Map[String, Relational.Q] = Map(
     "rollup_revenue" -> (rollupRevenue _),
-    "pivot_status" -> (pivotStatus _)
+    "pivot_status" -> (pivotStatus _),
+    "salted_event_agg" -> (saltedEventAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -70,6 +85,10 @@ object MultiDim {
         |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_f,
         | CAST(sum(CASE WHEN o_orderstatus = 'P'
         |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_p
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "salted_event_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

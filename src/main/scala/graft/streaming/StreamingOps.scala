@@ -167,6 +167,44 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream attribution join: every purchase joined to the
+    * same user's clicks in the preceding hour (inclusive) — the
+    * watermarked two-stream join surface. Both sides carry a 2h
+    * watermark and the join condition bounds event-time distance, so
+    * the state store can expire rows: unbounded-state stream joins
+    * don't survive production. Inner join: matched pairs emit as soon
+    * as both rows arrive; the watermark governs state cleanup.
+    */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        expr("unix_micros(p_ts) - unix_micros(c_ts)").as("gap_us"))
+  }
+
+  /** Streaming driver for attributionJoin (append mode, memory sink). */
+  def runAttributionOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = attributionJoin(readEvents(spark, dir), readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run to completion over whatever is in the landing dir (test/demo
     * harness): memory sink + processAllAvailable.
     */

@@ -69,6 +69,24 @@ class StreamingSpec extends SparkTestBase {
     assertGapSessionTwin(sf, "stream_sessions")
   }
 
+  test("stream-stream attribution join == batch interval join") {
+    val streamed = StreamingOps.runAttributionOnce(spark, sf, "stream_attr")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("us").as("cus"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .join(clicks, col("user_id") === col("cu") &&
+        col("cus") >= col("us") - 3600000000L && col("cus") <= col("us"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), (col("us") - col("cus")).as("gap_us"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("gap sessions twin holds on the ScaleUp (3x) corpus") {
     // guards the stateful path against scale-dependent bugs: 3x users,
     // per-replica user_id offsets, identical timestamp range

@@ -129,11 +129,60 @@ object Corpus {
           round(score, 6).as("bm25"): _*)
   }
 
+  private val ChunkSize = 32
+  private val Stride = 24
+
+  /** Fixed-size token chunking with overlap (32-token windows, stride
+    * 24) — the standard LLM-preprocessing split. Pure narrow explode:
+    * chunk count per doc is ceil((n - size)/stride) + 1 (every token
+    * covered, last window anchored so it never runs past a short
+    * tail), zero shuffle, output is (doc, chunk) keyed for downstream
+    * tokenize/pack stages. Integer chunk-index arithmetic is written
+    * `(n - 9) div 24` so Spark's truncating div and DuckDB's flooring
+    * `//` agree after the greatest(0, _) clamp.
+    */
+  def docChunk(s: SparkSession, d: String): DataFrame = {
+    val lastStart = greatest(lit(0L),
+      expr(s"(n - ${ChunkSize - Stride + 1}) div $Stride"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), lastStart)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * Stride + 1).cast("int"), lit(ChunkSize)), " ").as("chunk_text"),
+        least(col("n") - col("chunk_id") * Stride, lit(ChunkSize.toLong)).as("n_tokens"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * word 3-gram with the held-out set (doc_id % 97 == 0 stands in
+    * for the benchmark corpus). The shape that scales: explode to
+    * distinct (doc, gram-hash), keyed join against the (small)
+    * benchmark gram set, count per doc — one shuffle on the hash,
+    * never a doc x doc comparison.
+    */
+  def decontamination(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordShingles(col("toks"), 3))).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("h"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("h")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(bench, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_topk_per_group" -> (sampleTopkPerGroup _),
     "tfidf_topterms" -> (tfidfTopterms _),
-    "bm25_score" -> (bm25Score _)
+    "bm25_score" -> (bm25Score _),
+    "doc_chunk" -> (docChunk _),
+    "decontamination" -> (decontamination _)
   )
 
   private val normSql =
@@ -204,6 +253,37 @@ object Corpus {
          |     * (CAST(tf_window AS DOUBLE) * 2.2)
          |     / (CAST(tf_window AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / n_docs)))), 6) AS bm25
          |FROM per CROSS JOIN stats
-         |WHERE tf_spark + tf_join + tf_window > 0""".stripMargin
+         |WHERE tf_spark + tf_join + tf_window > 0""".stripMargin,
+
+    "doc_chunk" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |b AS (
+         | SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks),
+         |c AS (
+         | SELECT doc_id, n, w,
+         |  unnest(range(0, greatest((n - 9) // 24, 0) + 1)) AS chunk_id
+         | FROM b)
+         |SELECT doc_id, chunk_id,
+         | array_to_string(w[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)], ' ') AS chunk_text,
+         | least(n - chunk_id * 24, 32) AS n_tokens
+         |FROM c""".stripMargin,
+
+    "decontamination" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |sh AS (
+         | SELECT doc_id, CASE WHEN len(w) >= 3
+         |  THEN list_transform(range(0, len(w) - 2),
+         |        i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+         |  ELSE [] END AS shingles FROM toks),
+         |g AS (
+         | SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+         | FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0)
+         |SELECT g.doc_id, count(DISTINCT g.h) AS n_shared
+         |FROM g JOIN bench USING (h)
+         |WHERE g.doc_id % 97 <> 0
+         |GROUP BY g.doc_id""".stripMargin
   )
 }

@@ -52,6 +52,31 @@ class CorpusSpec extends SparkTestBase {
     assert(per.filter(col("n") =!= col("mx")).count() == 0)
   }
 
+  test("doc_chunk: contiguous ids from 0, full token coverage, bounded windows") {
+    val c = Corpus.docChunk(spark, sf)
+    // per doc: ids 0..max contiguous, and the last window reaches n
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+    val per = c.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), max(col("chunk_id")).as("mx"),
+        min(col("chunk_id")).as("mn"), max(col("n_tokens")).as("max_win"))
+    assert(per.filter(col("mn") =!= 0 || col("mx") =!= col("n_chunks") - 1).count() == 0)
+    assert(c.filter(col("n_tokens") < 1 || col("n_tokens") > 32).count() == 0)
+    val uncovered = per.join(docs, "doc_id")
+      .filter(col("mx") * 24 + 32 < col("n"))
+    assert(uncovered.count() == 0)
+    // every document chunks (even short ones -> exactly one window)
+    assert(per.count() == docs.count())
+  }
+
+  test("decontamination: benchmark docs never flagged, counts positive") {
+    val dc = Corpus.decontamination(spark, sf)
+    assert(dc.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(dc.filter(col("n_shared") < 1).count() == 0)
+    assert(dc.count() > 0)
+  }
+
   test("bm25_score: only matching docs, positive scores, tf consistency") {
     val b = Corpus.bm25Score(spark, sf)
     assert(b.count() > 0)

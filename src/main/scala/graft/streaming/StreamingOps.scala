@@ -205,6 +205,32 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup over a landing stream of events — the
+    * ingest-time twin of the batch hash-groupBy dedup: keep the first
+    * arrival per (user_id, event_type, value) content key, drop later
+    * duplicates. `dropDuplicatesWithinWatermark` bounds the state
+    * store to the watermark horizon (plain dropDuplicates on a stream
+    * grows state forever — not a production shape); within the
+    * horizon the dedup is exact.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "value")
+
+  /** Streaming driver for dedupStream (append mode, memory sink). */
+  def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = dedupStream(readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Run to completion over whatever is in the landing dir (test/demo
     * harness): memory sink + processAllAvailable.
     */

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL extension entry point must register the native functions on
+  * a session built with `spark.sql.extensions=graft.GraftExtensions`.
+  * A second session is created on the SAME SparkContext (getOrCreate
+  * reuses it) with the extension applied, then active/default are
+  * restored for the other suites.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension registers slugify and dot_product for pure SQL") {
+    // make sure a base session/context exists first
+    val base = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions is a STATIC conf — ignored when the
+      // SparkContext already exists — so the in-JVM test uses the
+      // programmatic equivalent; a fresh cluster reads the conf form.
+      val withExt = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val slug = withExt.sql("SELECT slugify(' Total Pay  (March) ') AS s")
+        .head().getString(0)
+      assert(slug == "total_pay_march")
+      val d = withExt.sql(
+        "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

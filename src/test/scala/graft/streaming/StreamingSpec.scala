@@ -87,6 +87,19 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
+    val streamed = StreamingOps.runDedupOnce(spark, sf, "stream_dedup")
+    val batch = graft.Tables.events(spark, sf)
+    assert(streamed.count() ==
+      batch.select(col("user_id"), col("event_type"), col("value"))
+        .distinct().count())
+    // output keys are unique and every kept row exists in the source
+    val perKey = spark.table("stream_dedup")
+      .groupBy(col("user_id"), col("event_type"), col("value")).count()
+      .filter(col("count") > 1)
+    assert(perKey.count() == 0)
+  }
+
   test("gap sessions twin holds on the ScaleUp (3x) corpus") {
     // guards the stateful path against scale-dependent bugs: 3x users,
     // per-replica user_id offsets, identical timestamp range

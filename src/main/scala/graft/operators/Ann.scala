@@ -205,13 +205,18 @@ object Ann {
 
     def subv(v: Column, sub: Column): Column = slice(v, sub * subDim + 1, lit(subDim))
 
-    // encode: argmin_k |c|^2 - 2 x_sub . c per (vector, subspace),
-    // via min_by for map-side partial aggregation (see
-    // embeddingKmeansStep) — corpus x 16-centroid rows collapse to one
-    // code per (vector, subspace) before any shuffle
+    // encode: argmin_k |c|^2 - 2 x_sub . c per (vector, subspace), via
+    // min_by for map-side partial aggregation (see embeddingKmeansStep).
+    // The corpus first explodes to 8-dim SUBvectors so the x16-centroid
+    // intermediate carries 8 doubles per row, not the full 64-dim
+    // vector (8x narrower), and the centroid attach becomes an
+    // equi-join on `sub` instead of a pure cross.
+    val vsub = e
+      .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"), subv(col("v"), col("sub")).as("vs"))
     val encScore = round(dot(col("c"), col("c"))
-      - lit(2) * dot(subv(col("v"), col("sub")), col("c")), 6)
-    val codes = e.join(broadcast(cent))
+      - lit(2) * dot(col("vs"), col("c")), 6)
+    val codes = vsub.join(broadcast(cent), Seq("sub"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("k"), struct(encScore.as("score"), col("k"))).as("code"))
 

@@ -61,10 +61,43 @@ object MultiDim {
       ("__salt", Seq(count(lit(1)).as("pn"), sum(col("value")).as("ps"))),
       Seq(sum(col("pn")).as("n"), round(sum(col("ps")), 4).as("sum_value")))
 
+  /** Decile assignment over document length (ntile) + per-decile
+    * stats — the equal-frequency binning step of a length-balanced
+    * training mix. One global-order window; the deterministic
+    * (n_chars, doc_id) tiebreak keeps tile membership engine-
+    * independent. A single-partition global sort is the honest cost
+    * of exact ntile; approximate at 100 TB with percentile cuts.
+    */
+  def ntileBands(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
+  /** Customers with no orders since 1998 (inactive customers) — the
+    * anti-join tier: one keyed shuffle, the date filter pushed to the
+    * orders scan BEFORE the join (Spark builds a hash anti join,
+    * never a NOT IN re-scan).
+    */
+  def customersWithoutOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= "1998-01-01")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
   val queries: Map[String, Relational.Q] = Map(
     "rollup_revenue" -> (rollupRevenue _),
     "pivot_status" -> (pivotStatus _),
-    "salted_event_agg" -> (saltedEventAgg _)
+    "salted_event_agg" -> (saltedEventAgg _),
+    "ntile_bands" -> (ntileBands _),
+    "anti_join_customers" -> (customersWithoutOrders _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -89,6 +122,21 @@ object MultiDim {
 
     "salted_event_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ntile_bands" ->
+      """WITH t AS (
+        | SELECT doc_id, n_chars,
+        |  ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        | FROM documents)
+        |SELECT decile, count(*) AS n, min(n_chars) AS min_chars,
+        | max(n_chars) AS max_chars
+        |FROM t GROUP BY decile""".stripMargin,
+
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= '1998-01-01')""".stripMargin
   )
 }

@@ -90,7 +90,12 @@ object Multimodal {
   }
 
   val queries: Map[String, Relational.Q] = Map(
-    "multimodal_features" -> (multimodalFeatures _)
+    "multimodal_features" -> (multimodalFeatures _),
+    // mapPartitions decode path: not SQL-expressible (typed stub
+    // decoder), so no oracleSql entry — the driver records the
+    // weaker rows-only check; value semantics are pinned by
+    // MultimodalSpec instead.
+    "multimodal_decode" -> ((s, d) => decodeFeatures(s, d))
   )
 
   private val fakeSql = (0 until 4).map { dd =>

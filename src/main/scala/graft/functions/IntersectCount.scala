@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+
+/** Native `|A ∩ B|` for two SORTED, DISTINCT, null-free string arrays
+  * — a single merge walk with zero per-pair allocation.
+  *
+  * `size(array_intersect(a, b))` builds a hash set of one side and an
+  * output array PER PAIR; in a blocked pairwise dedup that is the hot
+  * path (millions of pairs x ~hundreds of elements). With both sets
+  * sorted once per ROW (array_sort on the doc projection), the
+  * per-pair cost drops to an ordered scan. Value-identical to
+  * size(array_intersect) under the precondition (distinct inputs:
+  * every common element counted once; binary UTF8 order matches
+  * array_sort). Null ARRAY -> null result (like array_intersect);
+  * null ELEMENTS are a precondition violation and are skipped.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count expects two array<string> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    IntersectCount.walk(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.IntersectCount.walk($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCount {
+
+  /** Static merge-walk kernel (shared by interpreted eval + codegen). */
+  def walk(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) { i += 1 }
+      else if (b.isNullAt(j)) { j += 1 }
+      else {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    n
+  }
+
+  /** Column-API entry. Both inputs MUST be array_sort'ed distinct
+    * arrays (sort once per row, not per pair).
+    */
+  def intersectCount(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(
+      IntersectCount(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+}

@@ -275,14 +275,14 @@ object Dedup {
     // expressions — see wordShingles contract)
     val uni = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(col("toks")).as("uni"))
+      .select(col("doc_id"), array_sort(array_distinct(col("toks"))).as("uni"))
       .select(col("doc_id"), col("uni"), size(col("uni")).as("nu"))
     val cand = pairs.select(col("doc_a"), col("doc_b"))
       .join(uni.select(col("doc_id").as("doc_a"), col("uni").as("uni_a"),
         col("nu").as("nu_a")), Seq("doc_a"))
       .join(uni.select(col("doc_id").as("doc_b"), col("uni").as("uni_b"),
         col("nu").as("nu_b")), Seq("doc_b"))
-    val i = size(array_intersect(col("uni_a"), col("uni_b")))
+    val i = graft.functions.IntersectCount.intersectCount(col("uni_a"), col("uni_b"))
     val jac = round(i.cast("double") / (col("nu_a") + col("nu_b") - i), 6)
     val verified = cand
       .select(col("doc_a"), col("doc_b"), jac.as("jac1"))
@@ -309,11 +309,13 @@ object Dedup {
     // set SIZES from the set attributes (never reference an aliased
     // non-cheap expression twice in one later select — CollapseProject
     // re-inlines it; see wordShingles contract)
+    // sets are SORTED once per row so the per-pair intersection is a
+    // native merge walk (IntersectCount), not a per-pair hash set
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
-        array_distinct(col("toks")).as("uni"),
-        array_distinct(wordShingles(col("toks"), 3)).as("tri"))
+        array_sort(array_distinct(col("toks"))).as("uni"),
+        array_sort(array_distinct(wordShingles(col("toks"), 3))).as("tri"))
       .select(col("doc_id"), col("source"), col("uni"), col("tri"),
         size(col("uni")).as("nu"), size(col("tri")).as("nt"))
     val a = base.select(col("source"), col("doc_id").as("doc_a"),
@@ -325,7 +327,7 @@ object Dedup {
     // |A ∪ B| = |A| + |B| - |A ∩ B| for sets: ONE set-op per jaccard
     // instead of two, value-identical to intersect/union sizes.
     def jac(x: Column, y: Column, nx: Column, ny: Column) = {
-      val i = size(array_intersect(x, y))
+      val i = graft.functions.IntersectCount.intersectCount(x, y)
       round(i.cast("double") / (nx + ny - i), 6)
     }
     // (A size-ratio prefilter — jac <= min|A|,|B| / max|A|,|B| — is the

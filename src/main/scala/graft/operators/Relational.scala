@@ -241,6 +241,20 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** Semi-structured extraction: parse the JSON `props` payload
+    * scan-side (get_json_object — a codegen'd path expression, no
+    * schema inference pass) and aggregate the extracted field. The
+    * 100 TB shape: JSON parsing stays a narrow map fused into the
+    * scan stage; only the extracted scalars reach the shuffle.
+    */
+  def jsonPropsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), round(avg(col("k")), 6).as("avg_k"))
+
   /** Gap-based sessionization (30-min inactivity boundary) as a pure
     * window computation — the batch twin of the stateful streaming
     * sessionizer in graft.streaming. One shuffle on user_id.
@@ -259,6 +273,7 @@ object Relational {
   }
 
   val queries: Map[String, Q] = Map(
+    "json_props_agg" -> (jsonPropsAgg _),
     "events_sessionize" -> (eventsSessionize _),
     "q1_agg" -> (q1Agg _),
     "broadcast_left_join" -> (broadcastLeftJoin _),
@@ -446,6 +461,15 @@ object Relational {
     "event_window_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "json_props_agg" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+        | round(avg(k), 6) AS avg_k
+        |FROM e GROUP BY event_type""".stripMargin
   )
 }

@@ -43,9 +43,21 @@ def main():
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
             # Spark-written table: a DIRECTORY of part files
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            src = f"read_parquet('{p}/*.parquet')"
         elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            src = f"read_parquet('{p}')"
+        else:
+            continue
+        sel = "*"
+        if t == "events":
+            # driver files carry TIMESTAMP(NANOS) (DuckDB reads TIMESTAMP);
+            # Spark-derived corpora (ScaleUp) store the same nanos as plain
+            # INT64 (Spark cannot write nanos timestamps). Normalize the
+            # INT64 form exactly like the Spark reader: nanos div 1000 -> us.
+            ts_t = con.sql(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+            if ts_t == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):

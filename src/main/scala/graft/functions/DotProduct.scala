@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dense dot product over two `array<double>` columns.
   *
@@ -24,14 +24,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (isVec(left.dataType) && isVec(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_product expects two array<double> arguments, got " +
+      s"dot_product expects two array<double|float> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -39,12 +40,24 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
+  // Float inputs are accepted directly (widened per element inside the
+  // kernel — bit-identical to a cast-then-multiply) so embedding pair
+  // joins can ship the raw 4-byte floats instead of a doubled copy:
+  // HALF the shuffle bytes of every pairwise vector stage.
+  private lazy val leftFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+  private lazy val rightFloat = right.dataType match {
+    case ArrayType(FloatType, _) => true; case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    DotProduct.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    DotProduct.dotBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""java.lang.Double ${ev.value}_r = graft.functions.DotProduct.dotBoxed($a, $b);
+      s"""java.lang.Double ${ev.value}_r = graft.functions.DotProduct.dotBoxed($a, $b, $leftFloat, $rightFloat);
          |if (${ev.value}_r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
          |""".stripMargin)
@@ -59,16 +72,21 @@ object DotProduct {
   /** Static kernel shared by interpreted eval and generated code.
     * Boxed return: zip_with pads the shorter array with nulls and a
     * null element poisons the whole fold, so mismatched lengths or a
-    * null element must yield SQL NULL, not an exception.
+    * null element must yield SQL NULL, not an exception. Float
+    * elements widen to double before multiplying — exactly what the
+    * cast-transform produced.
     */
-  def dotBoxed(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def dotBoxed(a: ArrayData, b: ArrayData,
+               aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getDouble(i) * b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
       i += 1
     }
     java.lang.Double.valueOf(acc)

@@ -50,7 +50,7 @@ object Ann {
   /** Exact brute-force cosine top-5 for queries vec_id < 8. */
   def annBruteforceTopk(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v")) // raw float vecs: dot widens in-kernel, half the pair-join bytes
       .withColumn("nv", norm2(col("v")))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("nv").as("nq"))
@@ -68,7 +68,7 @@ object Ann {
   /** LSH-bucketed ANN: candidates share a 4-bit hyperplane bucket. */
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v")) // raw float vecs: dot widens in-kernel, half the pair-join bytes
       .withColumn("bucket", bucketCol(col("v")))
       .withColumn("nv", norm2(col("v")))
     val q = e.filter(col("vec_id") < 8)
@@ -92,7 +92,7 @@ object Ann {
     */
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v")) // raw float vecs: dot widens in-kernel, half the pair-join bytes
       .withColumn("nv", norm2(col("v")))
     // centroids: element-wise mean per label via posexplode + pivot-free agg
     val centroids = e
@@ -139,7 +139,7 @@ object Ann {
     */
   def embeddingKmeansStep(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v")) // raw float vecs: dot widens in-kernel, half the pair-join bytes
     val cent = e
       .select(pmod(col("label"), lit(16)).as("seed"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("seed"), col("dim")).agg(avg(col("x")).as("m"))
@@ -186,7 +186,7 @@ object Ann {
     val nSub = 8
     val subDim = 8
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v")) // raw float vecs: dot widens in-kernel, half the pair-join bytes
 
     // codebooks: per (code word k, subspace) mean subvector. The code
     // space is CAPPED at 16 words per subspace (label % 16 — identity

@@ -349,7 +349,7 @@ object Dedup {
     // Precompute each vector's norm BEFORE the pair join: per-pair work
     // drops from 3 dot products to 1 (3x at sf0.1, more at scale).
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), col("embedding").as("v")) // raw float vecs: dot widens in-kernel, half the pair-join bytes
       .withColumn("nrm", norm2(col("v")))
     val a = e.select(col("label"), col("vec_id").as("qid"), col("v").as("va"),
       col("nrm").as("na"))

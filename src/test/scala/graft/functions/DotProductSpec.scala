@@ -24,6 +24,20 @@ class DotProductSpec extends SparkTestBase {
     assert(diff.count() == 0)
   }
 
+  test("raw float input == cast-then-multiply (in-kernel widening)") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("embedding").as("f"),
+        VectorFunctions.toDouble(col("embedding")).as("d"))
+    val diff = e.select(
+        DotProduct.dot(col("f"), col("f")).as("ff"),
+        DotProduct.dot(col("f"), col("d")).as("fd"),
+        DotProduct.dot(col("d"), col("d")).as("dd"),
+        treeDot(col("d"), col("d")).as("tree"))
+      .filter(col("ff") =!= col("tree") || col("fd") =!= col("tree") ||
+        col("dd") =!= col("tree"))
+    assert(diff.count() == 0)
+  }
+
   test("null semantics: null array, null element, length mismatch") {
     import spark.implicits._
     val df = Seq(

@@ -231,6 +231,31 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Durable sink for the hourly aggregation: foreachBatch in COMPLETE
+    * mode rewrites the parquet output with the full current aggregate
+    * each micro-batch — idempotent under restart/replay by
+    * construction (a replayed batch rewrites identical content; a
+    * checkpointed re-run with no new files writes nothing). Memory
+    * sinks are test scaffolding; this is the durable shape. At a scale
+    * where the full agg is too big to rewrite, the update-mode twin is
+    * a MERGE into a keyed table (bucket, event_type) — partition-
+    * overwrite granularity must then match the agg key, not a coarser
+    * column, or a partial batch clobbers sibling buckets.
+    */
+  def runHourlyToParquet(spark: SparkSession, dir: String, outDir: String,
+                         checkpoint: String): Unit = {
+    val q = hourlyAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run to completion over whatever is in the landing dir (test/demo
     * harness): memory sink + processAllAvailable.
     */

@@ -69,6 +69,22 @@ class StreamingSpec extends SparkTestBase {
     assertGapSessionTwin(sf, "stream_sessions")
   }
 
+  test("foreachBatch parquet sink: durable output == batch, restart-idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    StreamingOps.runHourlyToParquet(spark, sf, out, ckpt)
+    val batch = Relational.eventWindowAgg(spark, sf)
+    def readBack = spark.read.parquet(out)
+      .select(col("bucket"), col("event_type"), col("n"), col("sum_value"))
+    assert(readBack.count() == batch.count())
+    assert(readBack.exceptAll(batch).count() == 0)
+    // re-running against the same checkpoint replays nothing and leaves
+    // the durable output unchanged (idempotent restart)
+    StreamingOps.runHourlyToParquet(spark, sf, out, ckpt)
+    assert(readBack.count() == batch.count())
+    assert(readBack.exceptAll(batch).count() == 0)
+  }
+
   test("stream-stream attribution join == batch interval join") {
     val streamed = StreamingOps.runAttributionOnce(spark, sf, "stream_attr")
     val ev = graft.Tables.events(spark, sf)

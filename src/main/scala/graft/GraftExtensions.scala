@@ -28,5 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => functions.DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[functions.IntersectCount].getName, "intersect_count"),
+      (exprs: Seq[Expression]) => functions.IntersectCount(exprs.head, exprs(1))))
   }
 }

@@ -36,6 +36,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .head().getDouble(0)
       assert(d == 11.0)
+      val ic = withExt.sql(
+        "SELECT intersect_count(array('a','b','c'), array('b','c','d')) AS n")
+        .head().getInt(0)
+      assert(ic == 2)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

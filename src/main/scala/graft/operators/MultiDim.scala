@@ -92,7 +92,26 @@ object MultiDim {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
+  /** Exact interpolated quartiles of quantity per returnflag: one
+    * percentile aggregate evaluating all three cut points in a single
+    * buffer pass, exploded to (flag, q, value) rows so the oracle
+    * compare stays scalar. Exact percentile buffers per group —
+    * bounded here; the 100 TB form is approx_percentile with a fixed
+    * error budget.
+    */
+  def groupQuantiles(s: SparkSession, d: String): DataFrame = {
+    val qs = Seq(0.25, 0.5, 0.75)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_quantity, array(${qs.mkString(", ")}))").as("vals"))
+      .select(col("l_returnflag"), posexplode(col("vals")).as(Seq("qi", "v")))
+      .select(col("l_returnflag"),
+        element_at(typedlit(qs), col("qi") + 1).as("q"),
+        round(col("v"), 6).as("quantile_val"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "group_quantiles" -> (groupQuantiles _),
     "rollup_revenue" -> (rollupRevenue _),
     "pivot_status" -> (pivotStatus _),
     "salted_event_agg" -> (saltedEventAgg _),
@@ -123,6 +142,19 @@ object MultiDim {
     "salted_event_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "group_quantiles" ->
+      """SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS quantile_val
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS quantile_val
+        |FROM lineitem GROUP BY 1
+        |UNION ALL
+        |SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS q,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS quantile_val
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "ntile_bands" ->
       """WITH t AS (

@@ -110,7 +110,22 @@ object MultiDim {
         round(col("v"), 6).as("quantile_val"))
   }
 
+  /** Distribution position of every document in its source's length
+    * distribution: percent_rank + cume_dist over a unique
+    * (n_chars, doc_id) order — the per-stratum CDF features a
+    * length-balanced sampler consumes. One window shuffle on source.
+    */
+  def lengthDistribution(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "length_distribution" -> (lengthDistribution _),
     "group_quantiles" -> (groupQuantiles _),
     "rollup_revenue" -> (rollupRevenue _),
     "pivot_status" -> (pivotStatus _),
@@ -142,6 +157,13 @@ object MultiDim {
     "salted_event_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "length_distribution" ->
+      """SELECT doc_id, source, n_chars,
+        | round(percent_rank() OVER w, 6) AS pct_rank,
+        | round(cume_dist() OVER w, 6) AS cume
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)""".stripMargin,
 
     "group_quantiles" ->
       """SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q,

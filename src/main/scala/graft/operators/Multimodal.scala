@@ -52,8 +52,34 @@ object Multimodal {
   }
 
   /** Frame sampling: every `stride`-th byte ("frame") of the payload. */
-  def frameSample(payload: Array[Byte], stride: Int): Array[Byte] =
-    payload.indices.collect { case i if i % stride == 0 => payload(i) }.toArray
+  def frameSample(payload: Array[Byte], stride: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < payload.length) { out(j) = payload(i); i += stride; j += 1 }
+    out
+  }
+
+  /** Fused sample+decode — semantically `decodeStub(frameSample(p, stride))`
+    * (pinned equal in MultimodalSpec) without materializing the frame
+    * array: one primitive while-loop per row, zero allocation beyond the
+    * 8-double accumulator. This is the hot path the decode query runs.
+    */
+  def decodeStrided(payload: Array[Byte], stride: Int): (Int, Array[Double]) = {
+    val nFeat = 8
+    val acc = new Array[Double](nFeat)
+    var i = 0
+    var j = 0
+    while (i < payload.length) {
+      acc(j % nFeat) += (payload(i) & 0xff).toDouble
+      i += stride
+      j += 1
+    }
+    val n = math.max(j / nFeat, 1)
+    var k = 0
+    while (k < nFeat) { acc(k) = acc(k) / n / 255.0; k += 1 }
+    (j, acc)
+  }
 
   /** The decode pipeline: mapPartitions over typed rows, one decode
     * call per row, batch-local — mirrors mapInPandas batch semantics.
@@ -66,12 +92,24 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val frames = frameSample(r.payload, stride)
-          MediaFeatures(r.doc_id, r.n_bytes, frames.length, decodeStub(frames))
+          val (nFrames, feats) = decodeStrided(r.payload, stride)
+          MediaFeatures(r.doc_id, r.n_bytes, nFrames, feats)
         }
       }
       .toDF()
   }
+
+  /** Gate-shaped decode output: the feature vector posexploded to
+    * (doc_id, n_bytes, n_frames, dim, value) scalar rows so the
+    * driver's rows-only compare (pandas sort) can order it — an
+    * array<double> column is unsortable there. Values rounded to 9 dp
+    * purely to keep the dump byte-stable across JVMs.
+    */
+  def decodeFeaturesFlat(s: SparkSession, d: String): DataFrame =
+    decodeFeatures(s, d)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        posexplode(col("features")).as(Seq("dim", "value")))
+      .withColumn("value", round(col("value"), 9))
 
   /** SQL-expressible byte-level features (oracle-checkable): payload
     * size, first-4-byte header (via whole-blob hex — DuckDB lacks
@@ -93,9 +131,9 @@ object Multimodal {
     "multimodal_features" -> (multimodalFeatures _),
     // mapPartitions decode path: not SQL-expressible (typed stub
     // decoder), so no oracleSql entry — the driver records the
-    // weaker rows-only check; value semantics are pinned by
-    // MultimodalSpec instead.
-    "multimodal_decode" -> ((s, d) => decodeFeatures(s, d))
+    // weaker rows-only check over the posexploded scalar shape;
+    // value semantics are pinned by MultimodalSpec instead.
+    "multimodal_decode" -> (decodeFeaturesFlat _)
   )
 
   private val fakeSql = (0 until 4).map { dd =>

@@ -71,13 +71,15 @@ object Corpus {
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         explode(col("toks")).as("term"))
     // Materialize tf ONCE: it feeds BOTH the document-frequency agg
-    // and the final scoring join — without the cache each branch
-    // replays the corpus explode+groupBy (self-join recompute; the
-    // 100 TB version is a parquet checkpoint between stages).
+    // and the final scoring join — without it each branch replays the
+    // corpus explode+groupBy (self-join recompute; the 100 TB version
+    // is a parquet checkpoint between stages). Eager localCheckpoint,
+    // NOT cache(): nothing outlives the query in the cacheManager, so
+    // a re-run pays full cost (honest bench) and a long session never
+    // accumulates stale InMemoryRelations.
     val tf = base.groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .cache()
-    tf.count()
+      .localCheckpoint(true)
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs") + 1).cast("double") / (col("df_t") + 1)) + 1.0
@@ -105,16 +107,16 @@ object Corpus {
     */
   def bm25Score(s: SparkSession, d: String): DataFrame = {
     // Materialize the narrow per-doc stats ONCE: they feed both the
-    // global-stats aggregate and the final scoring pass — uncached,
+    // global-stats aggregate and the final scoring pass — otherwise
     // each branch re-tokenizes the raw corpus (self-join recompute).
+    // Eager localCheckpoint, not cache(): see tfidfTopterms.
     val per = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
           bm25Terms.map(t =>
             size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
-      .cache()
-    per.count()
+      .localCheckpoint(true)
     val aggCols = Seq(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs")) ++
       bm25Terms.map(t =>
         sum((col(s"tf_$t") > 0).cast("long")).as(s"df_$t"))

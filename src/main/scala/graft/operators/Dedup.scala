@@ -73,12 +73,13 @@ object Dedup {
     // Materialize the signature table ONCE before candidate generation:
     // it feeds three downstream reads (two band-join sides + the
     // signature attach), and recomputing the shingle->md5->min pipeline
-    // per read dominated the runtime. The 100 TB version of this cache
-    // is writing the signature table to parquet between stages.
+    // per read dominated the runtime. Eager localCheckpoint, not
+    // cache(): nothing outlives the query in the cacheManager (honest
+    // re-run timings, no session-long accumulation). The 100 TB version
+    // of this is writing the signature table to parquet between stages.
     val sig = minhashSigDf(s, d)
       .withColumn("sig_arr", array((0 until 8).map(j => col(s"sig$j")): _*))
-      .cache()
-    sig.count() // populate before the self-join re-reads it
+      .localCheckpoint(true)
 
     val bandHashes = array((0 until 4).map { b =>
       md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
@@ -156,8 +157,10 @@ object Dedup {
     * DuckDB both ship bit_count).
     */
   def dedupSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val fp = dedupSimhash(s, d).select(col("doc_id"), col("simhash")).cache()
-    fp.count() // materialize once; both self-join sides read it
+    // materialize once (both self-join sides read it); localCheckpoint
+    // not cache() — see lshCandidates
+    val fp = dedupSimhash(s, d).select(col("doc_id"), col("simhash"))
+      .localCheckpoint(true)
     val bandArr = array((0 until 4).map { b =>
       shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
     }: _*)

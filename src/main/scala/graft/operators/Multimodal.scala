@@ -103,13 +103,15 @@ object Multimodal {
     * (doc_id, n_bytes, n_frames, dim, value) scalar rows so the
     * driver's rows-only compare (pandas sort) can order it — an
     * array<double> column is unsortable there. Values rounded to 9 dp
-    * purely to keep the dump byte-stable across JVMs.
+    * purely to keep the dump byte-stable across JVMs; derived ints
+    * cast to long for oracle type parity (DuckDB counts are BIGINT).
     */
   def decodeFeaturesFlat(s: SparkSession, d: String): DataFrame =
     decodeFeatures(s, d)
-      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+      .select(col("doc_id"), col("n_bytes"), col("n_frames").cast("long").as("n_frames"),
         posexplode(col("features")).as(Seq("dim", "value")))
-      .withColumn("value", round(col("value"), 9))
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        col("dim").cast("long").as("dim"), round(col("value"), 9).as("value"))
 
   /** SQL-expressible byte-level features (oracle-checkable): payload
     * size, first-4-byte header (via whole-blob hex — DuckDB lacks
@@ -129,10 +131,10 @@ object Multimodal {
 
   val queries: Map[String, Relational.Q] = Map(
     "multimodal_features" -> (multimodalFeatures _),
-    // mapPartitions decode path: not SQL-expressible (typed stub
-    // decoder), so no oracleSql entry — the driver records the
-    // weaker rows-only check over the posexploded scalar shape;
-    // value semantics are pinned by MultimodalSpec instead.
+    // mapPartitions decode path; the stub decoder is pure byte
+    // arithmetic, so the oracle replays it in DuckDB via hex-pair
+    // byte extraction (no BLOB substring there: hex the whole blob,
+    // then substr) — value semantics also pinned by MultimodalSpec.
     "multimodal_decode" -> (decodeFeaturesFlat _)
   )
 
@@ -146,6 +148,25 @@ object Multimodal {
          | octet_length(text::BLOB) AS n_bytes,
          | lower(substr(hex(text::BLOB), 1, 8)) AS header_hex,
          | $fakeSql
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    // decodeStrided(payload, 16) replayed in SQL: frame j reads byte
+    // j*16 (hex pair at 32*j+1), accumulator dim = j % 8 (the strided
+    // range picks each dim's frames directly), n = max(n_frames // 8, 1).
+    "multimodal_decode" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  octet_length(text::BLOB) AS n_bytes,
+        |  hex(text::BLOB) AS h,
+        |  (octet_length(text::BLOB) + 15) // 16 AS n_frames
+        | FROM documents),
+        |d AS (
+        | SELECT doc_id, n_bytes, n_frames, h, unnest(range(0, 8)) AS dim
+        | FROM base)
+        |SELECT doc_id, n_bytes, n_frames, dim,
+        | round(coalesce(list_sum(list_transform(range(dim, n_frames, 8),
+        |   j -> ('0x' || substr(h, CAST(32 * j + 1 AS INT), 2))::INT)), 0)::DOUBLE
+        |  / greatest(n_frames // 8, 1) / 255.0, 9) AS value
+        |FROM d""".stripMargin
   )
 }

@@ -57,7 +57,18 @@ object Bench {
           try { fn(spark, sf1Dir).count() } catch { case _: Throwable => return -1.0 }
           (System.nanoTime() - t0) / 1e9
         }
-        val r1 = SparkEntry.queries.map { case (n, fn) => n -> timeAt(fn) }
+        // paired re-run for the expensive queries only: single-run sf1
+        // numbers drift 3-4x with ambient load on a shared box; min-of-2
+        // bounds the noise while keeping the added wall-clock
+        // proportional to the few slow queries (sub-second ones are
+        // dominated by fixed overhead and don't need it)
+        val r1 = SparkEntry.queries.map { case (n, fn) =>
+          val t1 = timeAt(fn)
+          val t =
+            if (t1 < 1.0) t1
+            else { val t2 = timeAt(fn); if (t2 < 0) -1.0 else math.min(t1, t2) }
+          n -> t
+        }
         s""","sf1_queries":${toJson(r1)},"sf1_total":${r1.values.filter(_ > 0).sum},"sf1_factor":10"""
       } catch { case _: Throwable => "" }
 

@@ -20,7 +20,8 @@ object SparkEntry {
     * pipeline needs (SURVEY.md §4.4).
     */
   def entry(spark: SparkSession): DataFrame =
-    Composite.panelPipeline(spark, "/root/testdata/sf0.001")
+    Composite.panelPipeline(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -207,8 +207,13 @@ object Dedup {
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("lbl"))
+    // Seed lbl = min(doc, min neighbor) instead of the identity: the
+    // groupBy costs the same shuffle the distinct() would, and it IS
+    // iteration 1's output (identity seeds make the first neighbor-min
+    // pass a no-op shortcut) — one fewer full join+agg round trip.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc"), least(col("src"), col("mn")).as("lbl"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0

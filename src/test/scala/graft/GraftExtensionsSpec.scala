@@ -40,6 +40,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT intersect_count(array('a','b','c'), array('b','c','d')) AS n")
         .head().getInt(0)
       assert(ic == 2)
+      // wrong arity must be a proper analysis error naming the function
+      // and the expected count, not an IndexOutOfBoundsException
+      for ((sql, fn) <- Seq(
+          "SELECT dot_product(array(1.0d))" -> "dot_product",
+          "SELECT slugify('a', 'b')" -> "slugify",
+          "SELECT intersect_count(array('a'))" -> "intersect_count")) {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          withExt.sql(sql).collect()
+        }
+        assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", sql)
+        assert(e.getMessage.contains(fn), sql)
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

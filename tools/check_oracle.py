@@ -54,8 +54,13 @@ def main():
             # Spark-derived corpora (ScaleUp) store the same nanos as plain
             # INT64 (Spark cannot write nanos timestamps). Normalize the
             # INT64 form exactly like the Spark reader: nanos div 1000 -> us.
-            ts_t = con.sql(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
-            if ts_t == "BIGINT":
+            # guard: empty events parquet -> fetchone() is None; fall
+            # back to the schema-level type (works on zero rows too)
+            row = con.sql(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()
+            if row is None:
+                row = con.sql(
+                    f"SELECT column_type FROM (DESCRIBE SELECT ts FROM {src})").fetchone()
+            if row is not None and row[0] == "BIGINT":
                 sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
         con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM {src}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -17,10 +17,12 @@ object TextFunctions {
 
   /** 60-bit stable content hash: first 15 hex chars of md5 as a long.
     * 15 nibbles = 60 bits, safely inside a signed 64-bit value on both
-    * engines (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT).
+    * engines (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT). Bound to
+    * the native [[Hash60]] kernel — value-identical to the composed
+    * `conv(substring(md5(c), 1, 15), 16, 10)` without its five string
+    * round-trips per call (pinned equal in Hash60Spec).
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hash60(c: Column): Column = Hash60.hash60(c)
 
   /** Canonical text normalization: punctuation -> space, collapse
     * whitespace, trim, lowercase. The shared preprocessing step for

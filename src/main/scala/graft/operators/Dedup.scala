@@ -200,10 +200,34 @@ object Dedup {
     * converges to exactly its min node id, matching the recursive-CTE
     * oracle. A non-converged exit is a hard error, not a silent
     * wrong answer.
+    *
+    * `checkpointDir` selects the 100 TB materialization mode: per-
+    * iteration label tables go to parquet (bounded executor memory,
+    * survives executor loss) instead of in-memory localCheckpoint —
+    * result-identical, pinned in DedupPipelineSpec.
     */
-  private[operators] def connectedComponents(pairsIn: DataFrame): DataFrame = {
+  private[operators] def connectedComponents(
+      pairsIn: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Materialization strategy per iteration: in-memory localCheckpoint
+    // by default (right for the bench corpora — no disk round-trip),
+    // parquet under `checkpointDir` when set — the 100 TB mode, where a
+    // corpus-sized label table must not live in executor memory and a
+    // lost executor must not replay the whole iteration history.
+    // Parquet also fully truncates lineage (a LogicalRDD from
+    // localCheckpoint still pins the blocks of every live reference).
+    var gen = 0
+    def materialize(df: DataFrame, name: String): DataFrame =
+      checkpointDir match {
+        case None => df.localCheckpoint(true)
+        case Some(dir) =>
+          val path = s"$dir/$name-$gen"
+          gen += 1
+          df.write.mode("overwrite").parquet(path)
+          df.sparkSession.read.parquet(path)
+      }
     // one up-front job materializes the (typically expensive) pair set
-    val pairs = pairsIn.localCheckpoint(true)
+    val pairs = materialize(pairsIn, "pairs")
     val edges = pairs
       .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnsRenamed(Map("doc_a" -> "src", "doc_b" -> "dst"))
@@ -211,10 +235,11 @@ object Dedup {
     // groupBy costs the same shuffle the distinct() would, and it IS
     // iteration 1's output (identity seeds make the first neighbor-min
     // pass a no-op shortcut) — one fewer full join+agg round trip.
-    var labels = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("src").as("doc"), least(col("src"), col("mn")).as("lbl"))
-      .localCheckpoint(true)
+    var labels = materialize(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src").as("doc"), least(col("src"), col("mn")).as("lbl")),
+      "labels")
     var changed = 1L
     var iter = 0
     val maxIter = 25
@@ -228,12 +253,12 @@ object Dedup {
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("l1"))
       // shortcut through the previous (checkpointed) labels: no
       // recompute of `prop`, still a valid in-component upper bound
-      val next = prop
+      val next = materialize(prop
         .join(labels.select(col("lbl").as("l2"), col("doc").as("l1")), Seq("l1"), "left")
         .select(col("doc"),
           least(col("l1"), coalesce(col("l2"), col("l1"))).as("lbl"),
-          (least(col("l1"), coalesce(col("l2"), col("l1"))) =!= col("old")).as("chg"))
-        .localCheckpoint(true)
+          (least(col("l1"), coalesce(col("l2"), col("l1"))) =!= col("old")).as("chg")),
+        "labels")
       changed = next.agg(coalesce(sum(col("chg").cast("long")), lit(0L)))
         .first().getLong(0)
       labels = next.select(col("doc"), col("lbl"))

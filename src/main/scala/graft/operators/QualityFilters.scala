@@ -1,0 +1,370 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Corpus quality / curation operators beyond the basic text-analysis
+  * set: Gopher-style repetition signals, PII detection + redaction,
+  * character-entropy scoring, training-sequence packing, weighted
+  * source mixing, and cluster-blocked semantic dedup (SemDeDup shape).
+  *
+  * Scale design: everything except `sequence_pack`'s per-source window
+  * and `semantic_dedup`'s blocked pair join is a narrow per-row
+  * projection — zero shuffle, scan-speed at 100 TB, column pruning
+  * reaches the parquet reader. Ratio outputs are integer parts-per-
+  * million (`floor(1e6*k/n)`) rather than rounded doubles: exact on
+  * both engines, no float-lattice rounding ties (see
+  * docs/PLANS.md rounding notes).
+  */
+object QualityFilters {
+
+  /** floor(1e6 * k / tot) as an exact long ppm; 0 when tot = 0.
+    * floor-after-double is safe here: k*1e6 < 2^53 and the true
+    * rational is never within an ulp of an integer it isn't equal to
+    * (denominators are token counts ≤ ~1e5).
+    */
+  private def ppm(k: Column, tot: Column): Column =
+    when(tot > 0, floor(lit(1000000.0) * k / tot).cast("long")).otherwise(lit(0L))
+
+  /** Gopher-style repetition filter (Rae et al. 2021 §A1.1, adapted to
+    * word level — this corpus has no line structure): most-frequent-
+    * word fraction, duplicate word-2-gram fraction, duplicate
+    * word-3-gram fraction, each as exact ppm, plus the pass flag at
+    * the (fixed-hyperparameter) 20% top-word / 30% dup-trigram
+    * thresholds. Pure narrow projection — the O(distinct × n) top-word
+    * count stays inside one row, no shuffle anywhere.
+    */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        array_sort(col("toks")).as("stoks"),
+        wordShingles(col("toks"), 2).as("bg"),
+        wordShingles(col("toks"), 3).as("tg"))
+    val n = size(col("toks")).cast("long")
+    // Most-frequent-token count as a single run-length fold over the
+    // SORTED tokens — O(n log n) total, one lambda level. The naive
+    // form (transform over distinct x filter over toks) is O(d x n)
+    // nested-lambda work AND a time bomb under predicate pushdown: a
+    // filter on the output substitutes the whole tree into the inner
+    // lambda, re-evaluating the tokenizer per element per element.
+    val topCnt = aggregate(col("stoks"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val nbg = size(col("bg")).cast("long")
+    val dbg = size(array_distinct(col("bg"))).cast("long")
+    val ntg = size(col("tg")).cast("long")
+    val dtg = size(array_distinct(col("tg"))).cast("long")
+    base
+      .select(col("doc_id"), n.as("n_tokens"),
+        ppm(topCnt, n).as("top_word_ppm"),
+        ppm(nbg - dbg, nbg).as("dup_bigram_ppm"),
+        ppm(ntg - dtg, ntg).as("dup_trigram_ppm"))
+      .withColumn("passes_repetition",
+        when(col("top_word_ppm") <= 200000 && col("dup_trigram_ppm") <= 300000,
+          lit(1L)).otherwise(lit(0L)))
+  }
+
+  // Shared with the oracle SQL below; kept dialect-neutral (no
+  // lookarounds, no backrefs — Spark is java.util.regex, DuckDB is RE2).
+  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  private val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+
+  /** PII detection + redaction (emails, IPv4). The synthetic corpus
+    * carries no PII, so a deterministic injection (doc_id % 7 -> an
+    * email, else doc_id % 11 -> an IP) makes the redaction observable
+    * and oracle-checkable; the injection is plain string concat
+    * replayed identically by the oracle. Narrow projection: two regex
+    * counts + two regex rewrites per row, zero shuffle — this is the
+    * C4/Gopher-style scrub that runs at scan speed over 100 TB.
+    */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+      .when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 port")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("aug"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+          IpRe, "<IP>").as("redacted"))
+  }
+
+  /** Unigram character entropy of the normalized text (nats, 6 dp) —
+    * the cheap gibberish/boilerplate signal: low entropy = repeated
+    * filler, high = random noise. Per-row O(distinct × n) with the
+    * distinct set sorted so the fold order (and thus the float sum) is
+    * identical on both engines. Zero shuffle.
+    */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), charShingles(col("norm"), 1).as("chars"))
+      .select(col("doc_id"), col("chars"), array_sort(col("chars")).as("schars"))
+    val n = size(col("chars")).cast("double")
+    // Entropy as a run-length fold over the SORTED chars (see
+    // repetitionFilter's fold note): each run of length r contributes
+    // p*ln(p), p = r/n, added in sorted-char order — the exact term
+    // sequence the oracle's list_sum over sorted distinct chars uses.
+    def contrib(run: Column): Column = {
+      val p = run.cast("double") / n
+      when(run > 0, p * log(p)).otherwise(lit(0.0))
+    }
+    val negEnt = aggregate(col("schars"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
+      (acc, c) => {
+        val same = c === acc.getField("prev")
+        struct(c.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("acc"))
+            .otherwise(acc.getField("acc") + contrib(acc.getField("run"))).as("acc"))
+      },
+      acc => acc.getField("acc") + contrib(acc.getField("run")))
+    base.select(col("doc_id"),
+      size(col("chars")).cast("long").as("n_chars_norm"),
+      size(array_distinct(col("chars"))).cast("long").as("n_distinct_chars"),
+      when(size(col("chars")) > 0, round(-negEnt, 6)).otherwise(lit(0.0))
+        .as("char_entropy"))
+  }
+
+  private val CtxLen = 512L
+
+  /** Training-sequence packing: concatenate documents in deterministic
+    * order and split into fixed 512-token contexts — each doc is
+    * assigned the context window its first token lands in plus its
+    * offset inside it (concat-then-chunk semantics; docs may straddle
+    * boundaries). Packing is per `source` shard: one keyed window
+    * (running sum of token counts), which is exactly how the 100 TB
+    * version parallelizes — shards pack independently, no global sort.
+    * 512 = 2^9, so pack id/offset are shift/mask — exact on both
+    * engines.
+    */
+  def sequencePack(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        shiftright(col("start_tok"), 9).as("pack_id"),
+        pmod(col("start_tok"), lit(CtxLen)).as("pack_offset"))
+  }
+
+  /** Weighted source mixing: each source gets a deterministic target
+    * keep-rate (hash of the source name -> 100..999 permille — a
+    * stand-in for the mixture-weights table a real run broadcasts),
+    * and rows are kept by an independent content-hash bucket. Pure
+    * narrow filter, zero shuffle, reproducible on any partitioning —
+    * the scalable form of "sample source X at rate w_X".
+    */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val weight = pmod(hash60(col("source")), lit(900L)) + lit(100L)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("weight_permille", weight)
+      .filter(pmod(hash60(concat(lit("mix"), col("doc_id").cast("string"))),
+        lit(1000L)) < col("weight_permille"))
+  }
+
+  /** Cluster-blocked semantic dedup (the SemDeDup shape, Abbas et al.
+    * 2023): assign every embedding to its nearest k-means centroid
+    * (k = 16, FIXED — see docs/PLANS.md rule 1), then mark rows that
+    * have a lower-id neighbor above the similarity threshold within
+    * the same cluster; survivors are `keep_flag = 1`. The threshold
+    * (0.30) is a hyperparameter tuned to this synthetic corpus's
+    * cosine range — real near-dup corpora run 0.95+.
+    *
+    * Scale shape: centroids are a broadcast constant, assignment is a
+    * narrow map, the only pair work is within a cluster block (keyed
+    * equi-join on cluster_id), and the assignment table is
+    * materialized ONCE (eager localCheckpoint) because three branches
+    * consume it — otherwise each branch replays the corpus × k scoring
+    * (self-join recompute).
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val cent = e
+      .select(pmod(col("label"), lit(16)).as("seed"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("seed"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("seed"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        p => p.getField("m")).as("c"))
+      .select(col("seed").as("cluster_id"), col("c"))
+    val score = round(dot(col("c"), col("c")) - lit(2) * dot(col("v"), col("c")), 6)
+    val assigned = e.join(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cluster_id"), col("v")),
+        struct(score.as("score"), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"), col("best.v").as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cluster_id"), col("vec_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("bid"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val cos = round(graft.functions.Cleaning.safeDiv(
+      dot(col("va"), col("vb")), col("na") * col("nb")), 6)
+    val sim = a.join(b, Seq("cluster_id"))
+      .filter(col("bid") < col("vec_id"))
+      .select(col("vec_id"), cos.as("cos"))
+      .filter(col("cos") >= 0.3)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_similar_smaller"))
+    assigned.select(col("vec_id"), col("cluster_id"))
+      .join(sim, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"),
+        coalesce(col("n_similar_smaller"), lit(0L)).as("n_similar_smaller"),
+        when(col("n_similar_smaller").isNull, lit(1L)).otherwise(lit(0L))
+          .as("keep_flag"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "repetition_filter" -> (repetitionFilter _),
+    "pii_redact" -> (piiRedact _),
+    "char_entropy" -> (charEntropy _),
+    "sequence_pack" -> (sequencePack _),
+    "mixture_sample" -> (mixtureSample _),
+    "semantic_dedup" -> (semanticDedup _)
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  val oracleSql: Map[String, String] = Map(
+    "repetition_filter" ->
+      s"""WITH t AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |b AS (
+         | SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+         |  CASE WHEN len(w) >= 2 THEN list_transform(range(0, len(w) - 1),
+         |    i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' ')) ELSE [] END AS bg,
+         |  CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 2),
+         |    i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) ELSE [] END AS tg
+         | FROM t),
+         |m AS (
+         | SELECT doc_id, n,
+         |  list_max(list_transform(list_sort(list_distinct(w)),
+         |    x -> len(list_filter(w, tk -> tk = x)))) AS topc,
+         |  len(bg) AS nbg, len(list_distinct(bg)) AS dbg,
+         |  len(tg) AS ntg, len(list_distinct(tg)) AS dtg
+         | FROM b),
+         |r AS (
+         | SELECT doc_id, n AS n_tokens,
+         |  CAST(floor(1000000.0 * topc / n) AS BIGINT) AS top_word_ppm,
+         |  CASE WHEN nbg > 0 THEN CAST(floor(1000000.0 * (nbg - dbg) / nbg) AS BIGINT) ELSE 0 END AS dup_bigram_ppm,
+         |  CASE WHEN ntg > 0 THEN CAST(floor(1000000.0 * (ntg - dtg) / ntg) AS BIGINT) ELSE 0 END AS dup_trigram_ppm
+         | FROM m)
+         |SELECT doc_id, n_tokens, top_word_ppm, dup_bigram_ppm, dup_trigram_ppm,
+         | CAST(CASE WHEN top_word_ppm <= 200000 AND dup_trigram_ppm <= 300000
+         |  THEN 1 ELSE 0 END AS BIGINT) AS passes_repetition
+         |FROM r""".stripMargin,
+
+    "pii_redact" ->
+      """WITH a AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |   WHEN doc_id % 11 = 0
+        |    THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 port'
+        |   ELSE text END AS aug
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(aug, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS n_emails,
+        | len(regexp_extract_all(aug, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ips,
+        | regexp_replace(
+        |   regexp_replace(aug, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |   '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS redacted
+        |FROM a""".stripMargin,
+
+    "char_entropy" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),
+         |c AS (
+         | SELECT doc_id, list_transform(range(0, length(norm)),
+         |   i -> substring(norm, CAST(i + 1 AS INT), 1)) AS chars
+         | FROM t),
+         |d AS (
+         | SELECT doc_id, chars, list_sort(list_distinct(chars)) AS dchars FROM c)
+         |SELECT doc_id,
+         | CAST(len(chars) AS BIGINT) AS n_chars_norm,
+         | CAST(len(dchars) AS BIGINT) AS n_distinct_chars,
+         | CASE WHEN len(chars) > 0 THEN round(-list_sum(list_transform(dchars,
+         |   ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
+         |     * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 6)
+         |  ELSE 0.0 END AS char_entropy
+         |FROM d""".stripMargin,
+
+    "sequence_pack" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         | FROM t)
+         |SELECT doc_id, source, n_tokens,
+         | start_tok // 512 AS pack_id,
+         | start_tok % 512 AS pack_offset
+         |FROM c""".stripMargin,
+
+    "mixture_sample" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  ('0x' || substr(md5(source), 1, 15))::BIGINT % 900 + 100 AS weight_permille
+        | FROM documents)
+        |SELECT doc_id, source, weight_permille FROM t
+        |WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+        |  < weight_permille""".stripMargin,
+
+    "semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (
+        | SELECT seed AS cluster_id, list(m ORDER BY dim) AS c FROM (
+        |  SELECT seed, dim, avg(x) AS m
+        |  FROM (SELECT label % 16 AS seed, unnest(v) AS x,
+        |        unnest(range(1, len(v) + 1)) AS dim FROM e)
+        |  GROUP BY seed, dim)
+        | GROUP BY seed),
+        |scored AS (
+        | SELECT e.vec_id, e.v, cent.cluster_id,
+        |  round(list_dot_product(cent.c, cent.c)
+        |   - 2 * list_dot_product(e.v, cent.c), 6) AS score
+        | FROM e, cent),
+        |assigned AS (
+        | SELECT vec_id, v, cluster_id FROM (
+        |  SELECT vec_id, v, cluster_id,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY score, cluster_id) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |p AS (
+        | SELECT a.vec_id,
+        |  round(list_dot_product(a.v, b.v)
+        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        | FROM assigned a JOIN assigned b
+        |  ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id),
+        |simc AS (
+        | SELECT vec_id, count(*) AS n_similar_smaller FROM p
+        | WHERE cos >= 0.3 GROUP BY vec_id)
+        |SELECT a.vec_id, a.cluster_id,
+        | coalesce(s.n_similar_smaller, 0) AS n_similar_smaller,
+        | CAST(CASE WHEN s.n_similar_smaller IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+        |FROM assigned a LEFT JOIN simc s USING (vec_id)""".stripMargin
+  )
+}

@@ -29,12 +29,30 @@ object QualityFilters {
   private def ppm(k: Column, tot: Column): Column =
     when(tot > 0, floor(lit(1000000.0) * k / tot).cast("long")).otherwise(lit(0L))
 
+  /** Most-frequent-element count as a single run-length fold over a
+    * SORTED array — O(n log n) total, one lambda level. The naive form
+    * (transform over distinct x filter over the array) is O(d x n)
+    * nested-lambda work AND a time bomb under predicate pushdown: a
+    * filter on the output substitutes the whole tree into the inner
+    * lambda, re-evaluating the tokenizer per element per element.
+    */
+  private def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Gopher-style repetition filter (Rae et al. 2021 §A1.1, adapted to
     * word level — this corpus has no line structure): most-frequent-
     * word fraction, duplicate word-2-gram fraction, duplicate
     * word-3-gram fraction, each as exact ppm, plus the pass flag at
     * the (fixed-hyperparameter) 20% top-word / 30% dup-trigram
-    * thresholds. Pure narrow projection — the O(distinct × n) top-word
+    * thresholds. Pure narrow projection — the O(n log n) top-word
     * count stays inside one row, no shuffle anywhere.
     */
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
@@ -45,21 +63,7 @@ object QualityFilters {
         wordShingles(col("toks"), 2).as("bg"),
         wordShingles(col("toks"), 3).as("tg"))
     val n = size(col("toks")).cast("long")
-    // Most-frequent-token count as a single run-length fold over the
-    // SORTED tokens — O(n log n) total, one lambda level. The naive
-    // form (transform over distinct x filter over toks) is O(d x n)
-    // nested-lambda work AND a time bomb under predicate pushdown: a
-    // filter on the output substitutes the whole tree into the inner
-    // lambda, re-evaluating the tokenizer per element per element.
-    val topCnt = aggregate(col("stoks"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    val topCnt = maxRunLength(col("stoks"))
     val nbg = size(col("bg")).cast("long")
     val dbg = size(array_distinct(col("bg"))).cast("long")
     val ntg = size(col("tg")).cast("long")
@@ -110,36 +114,29 @@ object QualityFilters {
     * distinct set sorted so the fold order (and thus the float sum) is
     * identical on both engines. Zero shuffle.
     */
-  def charEntropy(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), normText(col("text")).as("norm"))
-      .select(col("doc_id"), charShingles(col("norm"), 1).as("chars"))
-      .select(col("doc_id"), col("chars"), array_sort(col("chars")).as("schars"))
-    val n = size(col("chars")).cast("double")
-    // Entropy as a run-length fold over the SORTED chars (see
-    // repetitionFilter's fold note): each run of length r contributes
-    // p*ln(p), p = r/n, added in sorted-char order — the exact term
-    // sequence the oracle's list_sum over sorted distinct chars uses.
-    def contrib(run: Column): Column = {
-      val p = run.cast("double") / n
-      when(run > 0, p * log(p)).otherwise(lit(0.0))
-    }
-    val negEnt = aggregate(col("schars"),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0.0).as("acc")),
-      (acc, c) => {
-        val same = c === acc.getField("prev")
-        struct(c.as("prev"),
-          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
-          when(same, acc.getField("acc"))
-            .otherwise(acc.getField("acc") + contrib(acc.getField("run"))).as("acc"))
-      },
-      acc => acc.getField("acc") + contrib(acc.getField("run")))
-    base.select(col("doc_id"),
-      size(col("chars")).cast("long").as("n_chars_norm"),
-      size(array_distinct(col("chars"))).cast("long").as("n_distinct_chars"),
-      when(size(col("chars")) > 0, round(-negEnt, 6)).otherwise(lit(0.0))
-        .as("char_entropy"))
+  /** round(ln(n) - Σr·ln(r)/n, 6) over the codepoints of a normalized
+    * string, n = codepoint count. The Σ r·ln r term is the native
+    * [[graft.functions.CharStats]] kernel — one O(n) counting pass per
+    * row in ascending-codepoint order (the exact term sequence the
+    * oracle's list_sum over sorted distinct chars produces). The
+    * expression-tree form (per-char array + sort + fold) measured
+    * 42.8 s at sf1; the kernel is ~50x cheaper and, being a leaf call,
+    * is also immune to predicate-pushdown tree substitution.
+    */
+  private def entropyOfNorm(norm: Column): Column = {
+    val n = length(norm).cast("double")
+    when(length(norm) > 0,
+      round(log(n) - graft.functions.CharStats.charRlnR(norm) / n, 6))
+      .otherwise(lit(0.0))
   }
+
+  def charEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        graft.functions.CharStats.charDistinct(col("norm")).as("n_distinct_chars"),
+        entropyOfNorm(col("norm")).as("char_entropy"))
 
   private val CtxLen = 512L
 
@@ -235,17 +232,109 @@ object QualityFilters {
           .as("keep_flag"))
   }
 
+  /** End-to-end curation pipeline — the composed "prepare a training
+    * shard" shape, analogous to dedup_pipeline for dedup:
+    *
+    *   quality gate (repetition ppm + char entropy)
+    *     -> decontamination drop (>= 2 shared benchmark 3-grams)
+    *     -> PII redaction
+    *     -> weighted mixture sampling
+    *     -> per-source sequence packing of the survivors.
+    *
+    * Scale shape: ONE narrow corpus scan computes every per-row signal
+    * (folds over sorted arrays — linear even if a predicate pushdown
+    * inlines them); the only shuffles are the decontamination gram
+    * join (keyed on the gram hash, never doc x doc), the left-anti
+    * drop (keyed on doc_id), and the per-source packing window.
+    * Thresholds are fixed hyperparameters (20% top-word, 30%
+    * dup-trigram, entropy >= 2.7 nats, >= 2 shared grams).
+    */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val aug = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+      .when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 port")))
+      .otherwise(col("text"))
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"), aug.as("aug"))
+      .select(col("doc_id"), col("source"), col("aug"),
+        tokens(col("text")).as("toks"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("source"), col("aug"), col("toks"), col("norm"),
+        array_sort(col("toks")).as("stoks"),
+        wordShingles(col("toks"), 3).as("tg"))
+    val n = size(col("toks")).cast("long")
+    val topPpm = ppm(maxRunLength(col("stoks")), n)
+    val ntg = size(col("tg")).cast("long")
+    val triPpm = ppm(ntg - size(array_distinct(col("tg"))).cast("long"), ntg)
+    val ent = entropyOfNorm(col("norm"))
+    val redTokens = size(tokens(
+      regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"), IpRe, "<IP>")))
+      .cast("long")
+    val weight = pmod(hash60(col("source")), lit(900L)) + lit(100L)
+    val contaminated = Corpus.decontamination(s, d)
+      .filter(col("n_shared") >= 2).select(col("doc_id"))
+    // Materialize the narrow signal table BEFORE filtering (eager
+    // localCheckpoint = the stage boundary a 100 TB run writes to
+    // parquet). Without the barrier, the threshold predicate pushes
+    // below these projections and substitutes the regex/normalization
+    // trees into the shingle lambdas — re-evaluated per element
+    // (measured: the pipeline went from unbounded (>5 min at sf0.01)
+    // to 3 s with the barrier).
+    val kept = sig
+      .select(col("doc_id"), col("source"), topPpm.as("top_ppm"),
+        triPpm.as("tri_ppm"), ent.as("ent"), redTokens.as("n_tokens"))
+      .localCheckpoint(true)
+      .filter(col("top_ppm") <= 200000 && col("tri_ppm") <= 300000 &&
+        col("ent") >= 2.7 && pmod(col("doc_id"), lit(97)) =!= 0 &&
+        pmod(hash60(concat(lit("mix"), col("doc_id").cast("string"))),
+          lit(1000L)) < weight)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    kept
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        shiftright(col("start_tok"), 9).as("pack_id"),
+        pmod(col("start_tok"), lit(CtxLen)).as("pack_offset"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "repetition_filter" -> (repetitionFilter _),
     "pii_redact" -> (piiRedact _),
     "char_entropy" -> (charEntropy _),
     "sequence_pack" -> (sequencePack _),
     "mixture_sample" -> (mixtureSample _),
-    "semantic_dedup" -> (semanticDedup _)
+    "semantic_dedup" -> (semanticDedup _),
+    "curation_pipeline" -> (curationPipeline _)
   )
 
-  private val normSql =
-    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+  private def normSqlOf(e: String): String =
+    s"lower(trim(regexp_replace(regexp_replace($e, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+  private val normSql = normSqlOf("text")
+
+  // DuckDB fragments shared by the standalone queries and the pipeline
+  private val trigramSql =
+    "CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 2), i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) ELSE [] END"
+  // H = ln(n) - (Σ r·ln r)/n, same term order as the Spark-side fold
+  private val entropySql =
+    """CASE WHEN len(chars) > 0 THEN round(ln(len(chars)) - list_sum(list_transform(list_sort(list_distinct(chars)),
+      |   ch -> CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+      |     * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)))) / len(chars), 6)
+      |  ELSE 0.0 END""".stripMargin
+  private val augSql =
+    """CASE WHEN doc_id % 7 = 0
+      |    THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |   WHEN doc_id % 11 = 0
+      |    THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 port'
+      |   ELSE text END""".stripMargin
+  private val redactedSql =
+    """regexp_replace(
+      |   regexp_replace(aug, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+      |   '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "repetition_filter" ->
@@ -304,9 +393,9 @@ object QualityFilters {
          |SELECT doc_id,
          | CAST(len(chars) AS BIGINT) AS n_chars_norm,
          | CAST(len(dchars) AS BIGINT) AS n_distinct_chars,
-         | CASE WHEN len(chars) > 0 THEN round(-list_sum(list_transform(dchars,
-         |   ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))
-         |     * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)))), 6)
+         | CASE WHEN len(chars) > 0 THEN round(ln(len(chars)) - list_sum(list_transform(dchars,
+         |   ch -> CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+         |     * ln(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)))) / len(chars), 6)
          |  ELSE 0.0 END AS char_entropy
          |FROM d""".stripMargin,
 
@@ -365,6 +454,56 @@ object QualityFilters {
         |SELECT a.vec_id, a.cluster_id,
         | coalesce(s.n_similar_smaller, 0) AS n_similar_smaller,
         | CAST(CASE WHEN s.n_similar_smaller IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
-        |FROM assigned a LEFT JOIN simc s USING (vec_id)""".stripMargin
+        |FROM assigned a LEFT JOIN simc s USING (vec_id)""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source, text, $normSql AS norm FROM documents),
+         |tok AS (
+         | SELECT doc_id, source, text, norm, string_split(norm, ' ') AS w FROM t),
+         |q AS (
+         | SELECT doc_id, source, w, CAST(len(w) AS BIGINT) AS n,
+         |  list_max(list_transform(list_sort(list_distinct(w)),
+         |    x -> len(list_filter(w, tk -> tk = x)))) AS topc,
+         |  $trigramSql AS tg,
+         |  list_transform(range(0, length(norm)),
+         |    i -> substring(norm, CAST(i + 1 AS INT), 1)) AS chars
+         | FROM tok),
+         |q2 AS (
+         | SELECT doc_id, source,
+         |  CAST(floor(1000000.0 * topc / n) AS BIGINT) AS top_ppm,
+         |  CASE WHEN len(tg) > 0 THEN CAST(floor(1000000.0 * (len(tg) - len(list_distinct(tg))) / len(tg)) AS BIGINT) ELSE 0 END AS tri_ppm,
+         |  $entropySql AS ent
+         | FROM q),
+         |sh AS (SELECT doc_id, $trigramSql AS shingles FROM tok),
+         |g AS (
+         | SELECT DISTINCT doc_id, ('0x' || substr(md5(s2), 1, 15))::BIGINT AS h
+         | FROM (SELECT doc_id, unnest(shingles) AS s2 FROM sh)),
+         |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+         |contam AS (
+         | SELECT g.doc_id FROM g JOIN bench USING (h)
+         | WHERE g.doc_id % 97 <> 0
+         | GROUP BY g.doc_id HAVING count(DISTINCT g.h) >= 2),
+         |red AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(${normSqlOf(redactedSql)}, ' ')) AS BIGINT) AS n_tokens
+         | FROM (SELECT doc_id, $augSql AS aug FROM documents) a0),
+         |kept AS (
+         | SELECT q2.doc_id, q2.source, red.n_tokens
+         | FROM q2 JOIN red USING (doc_id)
+         | WHERE top_ppm <= 200000 AND tri_ppm <= 300000 AND ent >= 2.7
+         |  AND doc_id % 97 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |  AND ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000
+         |      < ('0x' || substr(md5(source), 1, 15))::BIGINT % 900 + 100),
+         |c AS (
+         | SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         | FROM kept)
+         |SELECT doc_id, source, n_tokens,
+         | start_tok // 512 AS pack_id,
+         | start_tok % 512 AS pack_offset
+         |FROM c""".stripMargin
   )
 }

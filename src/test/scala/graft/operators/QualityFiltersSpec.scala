@@ -88,6 +88,22 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(c > 0.5, s"weight/rate correlation $c")
   }
 
+  test("curation_pipeline: survivors are a strict quality-gated subset, packed per source") {
+    val r = QualityFilters.curationPipeline(spark, sf).cache()
+    val total = graft.Tables.documents(spark, sf).count()
+    val n = r.count()
+    assert(n > 0 && n < total, s"survivors $n of $total")
+    // benchmark docs never survive
+    assert(r.filter(col("doc_id") % 97 === 0).count() === 0)
+    // survivors of the repetition+entropy gate only
+    val rep = QualityFilters.repetitionFilter(spark, sf)
+      .select(col("doc_id"), col("passes_repetition")).cache()
+    assert(r.join(rep, "doc_id").filter(col("passes_repetition") === 0).count() === 0)
+    // packing invariants hold on the survivor set
+    assert(r.filter(col("pack_offset") < 0 || col("pack_offset") >= 512).count() === 0)
+    rep.unpersist(); r.unpersist()
+  }
+
   test("semantic_dedup: keep_flag consistent; cluster count bounded by 16") {
     val r = QualityFilters.semanticDedup(spark, sf).cache()
     assert(r.filter(

@@ -31,8 +31,18 @@ object TextFunctions {
   def normText(c: Column): Column =
     lower(trim(regexp_replace(regexp_replace(c, "[^a-zA-Z0-9\\s]", " "), "\\s+", " ")))
 
-  /** Whitespace tokens of already-normalized text. */
-  def tokens(c: Column): Column = split(normText(c), " ")
+  /** Normalized whitespace tokens. Bound to the native [[NormTokens]]
+    * kernel — value-identical to `split(normText(c), " ")` (pinned in
+    * NormTokensSpec) without the two regex passes per call; this is
+    * the hottest scalar in the text path (7.6 s -> sub-second for the
+    * tokenize-only pass over the sf1 corpus).
+    */
+  def tokens(c: Column): Column = NormTokens.normTokens(c)
+
+  /** The composed regex form `split(normText(c), " ")` — the
+    * DuckDB-oracle contract the kernel is pinned against.
+    */
+  def tokensComposed(c: Column): Column = split(normText(c), " ")
 
   /** Word k-gram shingles (space-joined) with an empty-array guard for
     * short docs (Spark's `sequence(0, n)` flips direction for n<0).

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Ann, Composite, Corpus, Dedup, MultiDim, Multimodal, QualityFilters, Relational, Temporal, TextAnalysis}
+import graft.operators.{Ann, Composite, Corpus, Dedup, MultiDim, Multimodal, QualityFilters, Relational, Temporal, TextAnalysis, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,12 +27,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Ann.queries ++ Multimodal.queries ++ Composite.queries ++ Corpus.queries ++
-      Temporal.queries ++ MultiDim.queries ++ QualityFilters.queries
+      Temporal.queries ++ MultiDim.queries ++ QualityFilters.queries ++
+      TrainPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Ann.oracleSql ++ Multimodal.oracleSql ++ Composite.oracleSql ++ Corpus.oracleSql ++
-      Temporal.oracleSql ++ MultiDim.oracleSql ++ QualityFilters.oracleSql
+      Temporal.oracleSql ++ MultiDim.oracleSql ++ QualityFilters.oracleSql ++
+      TrainPrep.oracleSql
 }

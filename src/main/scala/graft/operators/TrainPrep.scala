@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Training-set preparation operators beyond curation/dedup: corpus-
+  * level language-model quality scoring, exact duplicate-span
+  * detection, deterministic global shuffling into training shards, and
+  * model-based quality classification.
+  *
+  * Scale design notes per operator are on the methods; the common
+  * theme is that every corpus-sized interaction is a keyed shuffle on
+  * a bounded key (term, gram hash, shard id) — nothing corpus-sized is
+  * ever broadcast or compared pairwise.
+  */
+object TrainPrep {
+
+  /** Unigram LM negative log-likelihood per document — the CCNet/
+    * Gopher-style "perplexity" quality signal, with the LM trained on
+    * the corpus itself: avg_nll(d) = ln(T) - (Σ_t tf(d,t)·ln(cnt(t)))/|d|
+    * where cnt(t) is the corpus count of t and T the total token count
+    * (so each token contributes -ln(cnt(t)/T)).
+    *
+    * Shape: one explode → (doc, term) partial-agg (map-side combine),
+    * materialized ONCE (eager localCheckpoint — it feeds both the
+    * vocabulary aggregate and the scoring join; the 100 TB analogue is
+    * the persisted LM artifact). The scoring join is keyed on `term`
+    * (vocabulary-sized, never corpus-broadcast); T is one broadcast
+    * scalar. The per-doc float sum folds over the term list in
+    * ascending-term order so the double rounding is bit-identical on
+    * both engines (same pattern as the CharStats entropy kernel).
+    */
+  def unigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    val tf = base.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("t_tokens"))
+    val sumLl = aggregate(col("terms"), lit(0.0),
+      (acc, x) => acc +
+        x.getField("tf").cast("double") * log(x.getField("cnt").cast("double")))
+    tf.join(vocab, Seq("term"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(array_sort(collect_list(struct(col("term"), col("tf"), col("cnt"))))
+        .as("terms"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        round(log(col("t_tokens").cast("double")) - sumLl / col("dl"), 6)
+          .as("avg_nll"))
+  }
+
+  private val SpanK = 8
+
+  /** Exact duplicate-span detection — the signal behind exact-substring
+    * deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", adapted from suffix-array substrings to
+    * fixed word 8-gram spans, which is the shape a distributed engine
+    * can do with keyed shuffles): for every document, how many of its
+    * 8-token spans also appear in at least one OTHER document, as a
+    * count and an exact ppm fraction.
+    *
+    * Shape: explode to (doc, span-hash) — materialized once, it feeds
+    * the global span-frequency aggregate AND the join back — then one
+    * groupBy on the 60-bit hash (bounded key, partial-agg combines
+    * within-doc repeats map-side) and one keyed join. Never doc × doc;
+    * the downstream "drop the spans" rewrite consumes exactly this
+    * table. Output is all-integer (counts + floor-ppm) — no float
+    * lattice to disagree on.
+    */
+  def dupSpanDetect(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordShingles(col("toks"), SpanK)).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("h"))
+      .localCheckpoint(true)
+    val occ = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("span_docs"))
+    grams.join(occ, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("span_docs") > 1).cast("long")).as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        floor(lit(1000000.0) * col("n_dup_spans") / col("n_spans")).cast("long")
+          .as("dup_span_ppm"))
+  }
+
+  private val Shards = 32
+
+  /** Deterministic global shuffle into training shards: every document
+    * gets a content-hash shard (32-way) and a within-shard position by
+    * a second independent hash — the reproducible "shuffle the corpus
+    * before packing" step. One keyed window per shard; no global sort,
+    * no RNG state, identical output on any cluster size or input
+    * partitioning (unlike `orderBy(rand())`, whose result depends on
+    * partition layout and seed plumbing). At 100 TB each shard window
+    * is 1/32 of the corpus and shards write out in parallel.
+    */
+  def globalShuffle(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(hash60(concat(lit("ord"), col("doc_id").cast("string"))), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("shard",
+        pmod(hash60(concat(lit("shard"), col("doc_id").cast("string"))), lit(Shards)))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
+  /** Model-based quality classification — the fasttext/logreg serving
+    * shape: a fixed weight vector (stand-in for a trained artifact a
+    * real run broadcasts) scores per-row features with a logistic
+    * link; `keep_flag` thresholds the RAW logit (pure rational
+    * arithmetic over integer counts — bit-identical cross-engine),
+    * not the rounded sigmoid. Narrow per-row projection, zero shuffle,
+    * scan speed at 100 TB.
+    */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+    val toks = col("toks")
+    val nWords = size(toks).cast("double")
+    val rawStop = size(filter(toks, t => array_contains(lit(stop.toArray), t)))
+      .cast("double") / nWords
+    val rawPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("double") / length(col("text"))
+    val rawCaps = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0)))
+      .cast("double") / length(col("text"))
+    // w·x + b, written in one fixed association order (left fold) so
+    // both engines evaluate the identical double expression
+    val logit = lit(6.0) * rawStop + lit(0.02) * nWords -
+      lit(8.0) * rawPunct - lit(4.0) * rawCaps - lit(1.5)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        round(rawStop, 6).as("stop_ratio"),
+        round(rawPunct, 6).as("punct_ratio"),
+        round(rawCaps, 6).as("caps_ratio"),
+        round(lit(1.0) / (lit(1.0) + exp(-logit)), 6).as("quality_prob"),
+        when(logit > 0, lit(1L)).otherwise(lit(0L)).as("keep_flag"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "unigram_lm_score" -> (unigramLmScore _),
+    "dup_span_detect" -> (dupSpanDetect _),
+    "global_shuffle" -> (globalShuffle _),
+    "quality_classifier" -> (qualityClassifier _)
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  val oracleSql: Map[String, String] = Map(
+    "unigram_lm_score" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |base AS (
+         | SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS term FROM toks),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM base GROUP BY 1, 2, 3),
+         |vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS t FROM vocab),
+         |per AS (
+         | SELECT tf.doc_id, tf.dl,
+         |  list_sum(list_transform(
+         |    list(struct_pack(term := tf.term, tf := tf.tf, cnt := vocab.cnt) ORDER BY tf.term),
+         |    x -> CAST(x.tf AS DOUBLE) * ln(CAST(x.cnt AS DOUBLE)))) AS s
+         | FROM tf JOIN vocab USING (term) GROUP BY 1, 2)
+         |SELECT per.doc_id, dl AS n_tokens,
+         | round(ln(CAST(t AS DOUBLE)) - s / dl, 6) AS avg_nll
+         |FROM per CROSS JOIN tot""".stripMargin,
+
+    "dup_span_detect" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |g AS (
+         | SELECT doc_id,
+         |  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+         | FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= 8
+         |   THEN list_transform(range(0, len(w) - 7),
+         |         i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' '))
+         |   ELSE [] END) AS gram
+         |  FROM toks)),
+         |occ AS (SELECT h, count(DISTINCT doc_id) AS span_docs FROM g GROUP BY 1),
+         |per AS (
+         | SELECT g.doc_id, count(*) AS n_spans,
+         |  sum(CASE WHEN occ.span_docs > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+         | FROM g JOIN occ USING (h) GROUP BY 1)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         | CAST(floor(1000000.0 * n_dup_spans / n_spans) AS BIGINT) AS dup_span_ppm
+         |FROM per""".stripMargin,
+
+    "global_shuffle" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  ('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS shard
+        | FROM documents)
+        |SELECT doc_id, source, shard,
+        | row_number() OVER (PARTITION BY shard ORDER BY
+        |  ('0x' || substr(md5('ord' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS shard_pos
+        |FROM t""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH t AS (
+         | SELECT doc_id, text, string_split($normSql, ' ') AS toks FROM documents),
+         |f AS (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','it','on','for'], x))) AS DOUBLE) / len(toks) AS raw_stop,
+         |  CAST(len(toks) AS DOUBLE) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text) AS raw_punct,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text) AS raw_caps
+         | FROM t),
+         |z AS (
+         | SELECT doc_id, raw_stop, raw_punct, raw_caps,
+         |  6.0 * raw_stop + 0.02 * n_words - 8.0 * raw_punct - 4.0 * raw_caps - 1.5 AS logit
+         | FROM f)
+         |SELECT doc_id,
+         | round(raw_stop, 6) AS stop_ratio,
+         | round(raw_punct, 6) AS punct_ratio,
+         | round(raw_caps, 6) AS caps_ratio,
+         | round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob,
+         | CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+         |FROM z""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the training-prep operators; the value-level
+  * gate is the DuckDB oracle (oracleSql entries), these pin the
+  * semantic properties that survive any corpus.
+  */
+class TrainPrepSpec extends SparkTestBase {
+
+  test("unigram_lm_score: nll positive and bounded by ln(T)") {
+    val r = TrainPrep.unigramLmScore(spark, sf).cache()
+    // every token probability is in (0, 1]: cnt >= 1 and cnt <= T, so
+    // 0 <= avg_nll <= ln(T)
+    val t = r.agg(sum(col("n_tokens"))).head.getLong(0).toDouble
+    val bad = r.filter(col("avg_nll") < -1e-6 ||
+      col("avg_nll") > math.log(t) + 1e-6).count()
+    assert(bad === 0)
+    assert(r.count() > 0)
+    r.unpersist()
+  }
+
+  test("unigram_lm_score: a doc of rare tokens scores above a doc of common ones") {
+    // the corpus-level signal the filter exists for: higher count ->
+    // lower per-token nll, so docs dominated by frequent terms must
+    // score below the corpus max
+    val r = TrainPrep.unigramLmScore(spark, sf).cache()
+    val mn = r.agg(min(col("avg_nll"))).head.getDouble(0)
+    val mx = r.agg(max(col("avg_nll"))).head.getDouble(0)
+    assert(mx > mn) // non-degenerate spread
+    r.unpersist()
+  }
+
+  test("dup_span_detect: dup counts bounded by span counts, ppm consistent") {
+    val r = TrainPrep.dupSpanDetect(spark, sf).cache()
+    val bad = r.filter(col("n_dup_spans") > col("n_spans") ||
+      col("n_dup_spans") < 0 ||
+      col("dup_span_ppm") =!= floor(lit(1000000.0) * col("n_dup_spans") / col("n_spans")).cast("long"))
+      .count()
+    assert(bad === 0)
+    // only docs with >= 8 tokens appear
+    assert(r.count() > 0)
+    r.unpersist()
+  }
+
+  test("dup_span_detect: a duplicated doc pair flags all spans on both sides") {
+    import spark.implicits._
+    // two identical docs + one unique: every span of the twins is a
+    // cross-doc dup, the unique doc has zero
+    val dir = java.nio.file.Files.createTempDirectory("dupspan").toString
+    val words = (1 to 12).map(i => s"w$i").mkString(" ")
+    Seq((1L, words), (2L, words), (3L, (1 to 12).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val r = TrainPrep.dupSpanDetect(spark, dir).cache()
+    val twins = r.filter(col("doc_id") <= 2)
+    assert(twins.filter(col("n_dup_spans") =!= col("n_spans")).count() === 0)
+    assert(twins.head.getLong(1) === 5) // 12 tokens -> 5 8-gram spans
+    assert(r.filter(col("doc_id") === 3).head.getLong(2) === 0)
+    r.unpersist()
+  }
+
+  test("global_shuffle: every doc exactly once, shards bounded, positions dense") {
+    val r = TrainPrep.globalShuffle(spark, sf).cache()
+    val n = r.count()
+    assert(r.select(col("doc_id")).distinct().count() === n)
+    assert(r.filter(col("shard") < 0 || col("shard") >= 32).count() === 0)
+    // positions are 1..count(shard) dense within each shard
+    val bad = r.groupBy(col("shard"))
+      .agg(count(lit(1)).as("c"), max(col("shard_pos")).as("mx"),
+        min(col("shard_pos")).as("mn"))
+      .filter(col("mx") =!= col("c") || col("mn") =!= 1)
+      .count()
+    assert(bad === 0)
+    r.unpersist()
+  }
+
+  test("global_shuffle: deterministic across partitionings") {
+    val a = TrainPrep.globalShuffle(spark, sf)
+    val b = TrainPrep.globalShuffle(spark, sf).repartition(7)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("quality_classifier: prob in (0,1), keep_flag consistent with 0.5") {
+    val r = TrainPrep.qualityClassifier(spark, sf).cache()
+    val bad = r.filter(col("quality_prob") <= 0 || col("quality_prob") >= 1)
+      .count()
+    assert(bad === 0)
+    // logit > 0 <=> sigmoid > 0.5 (rounded value can sit exactly at
+    // 0.5 only when |logit| < 1e-6; allow that sliver)
+    val inconsistent = r.filter(
+      (col("keep_flag") === 1 && col("quality_prob") < 0.4999995) ||
+        (col("keep_flag") === 0 && col("quality_prob") > 0.5000005)).count()
+    assert(inconsistent === 0)
+    r.unpersist()
+  }
+}

@@ -6,10 +6,11 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** Native `|A ∩ B|` for two SORTED, DISTINCT, null-free string arrays
-  * — a single merge walk with zero per-pair allocation.
+/** Native `|A ∩ B|` for two SORTED, DISTINCT, null-free arrays (both
+  * string or both long) — a single merge walk with zero per-pair
+  * allocation.
   *
   * `size(array_intersect(a, b))` builds a hash set of one side and an
   * output array PER PAIR; in a blocked pairwise dedup that is the hot
@@ -18,33 +19,44 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * per-pair cost drops to an ordered scan. Value-identical to
   * size(array_intersect) under the precondition (distinct inputs:
   * every common element counted once; binary UTF8 order matches
-  * array_sort). Null ARRAY -> null result (like array_intersect);
-  * null ELEMENTS are a precondition violation and are skipped.
+  * array_sort; long order is numeric). Null ARRAY -> null result (like
+  * array_intersect); null ELEMENTS are a precondition violation and
+  * are skipped.
   */
 case class IntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"intersect_count expects two array<string> arguments, got " +
-        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"intersect_count expects two array<string> or two array<bigint> arguments, got " +
+        s"${l.simpleString} and ${r.simpleString}")
   }
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "intersect_count"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    IntersectCount.walk(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // only consulted post-analysis, after checkInputDataTypes passed
+  private def isLong: Boolean = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (isLong)
+      IntersectCount.walkLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      IntersectCount.walk(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isLong) "walkLong" else "walk"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.IntersectCount.walk($a, $b)")
+      s"graft.functions.IntersectCount.$m($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): IntersectCount =
@@ -67,6 +79,29 @@ object IntersectCount {
         val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
         if (c == 0) { n += 1; i += 1; j += 1 }
         else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    n
+  }
+
+  /** Long-array variant of the merge walk (numeric order = array_sort
+    * order for longs).
+    */
+  def walkLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) { i += 1 }
+      else if (b.isNullAt(j)) { j += 1 }
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
         else j += 1
       }
     }

@@ -62,6 +62,18 @@ object TextFunctions {
         i => array_join(slice(toks, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Hashed word k-gram shingles — hash60 of every space-joined
+    * k-token window as a primitive long array. Bound to the native
+    * [[ShingleHash60]] kernel: value-identical to
+    * `transform(wordShingles(toks, k), g => hash60(g))` (pinned in
+    * ShingleHash60Spec) with zero gram-string materialization. Use
+    * wherever downstream only needs gram HASHES (dedup blocking,
+    * decontamination, span counting, set intersection) — long compares
+    * and long distinct beat UTF8 compares at every stage after the
+    * scan. Same attribute-not-expression contract as wordShingles.
+    */
+  def gramHashes(toks: Column, k: Int): Column = ShingleHash60.shingleHash60(toks, k)
+
   /** Character k-gram shingles. Same attribute-not-expression contract
     * as wordShingles: `norm` must be a materialized column.
     */

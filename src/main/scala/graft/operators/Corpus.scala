@@ -176,11 +176,14 @@ object Corpus {
     * never a doc x doc comparison.
     */
   def decontamination(s: SparkSession, d: String): DataFrame = {
+    // gramHashes: grams never exist as strings — the native kernel
+    // digests each 3-token window straight off the token array, and
+    // the distinct runs on primitive longs (same value as distinct-
+    // then-hash: md5 is injective on distinct grams)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(wordShingles(col("toks"), 3))).as("g"))
-      .select(col("doc_id"), hash60(col("g")).as("h"))
+        explode(array_distinct(gramHashes(col("toks"), 3))).as("h"))
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("h")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)

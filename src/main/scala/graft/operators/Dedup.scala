@@ -49,8 +49,8 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val hv = docs
       .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see wordShingles contract
-      .select(col("doc_id"), explode(wordShingles(col("toks"), 3)).as("g"))
-      .select(col("doc_id"), (hash60(col("g")) % P).as("hv"))
+      .select(col("doc_id"), explode(gramHashes(col("toks"), 3)).as("h"))
+      .select(col("doc_id"), (col("h") % P).as("hv"))
     val sigCols = (0 until 8).map { j =>
       val a = 2 * j + 3
       val b = 101 * j + 7
@@ -306,9 +306,13 @@ object Dedup {
     // exact unigram sets for the verify stage; set SIZES projected in a
     // second select (CollapseProject re-inlines aliased non-cheap
     // expressions — see wordShingles contract)
+    // sets carried as sorted distinct HASHES (gramHashes k=1 = hash60
+    // per token): long merge walks + long distinct, no string compares
+    // in the pairwise stage; counts identical (md5 injective on the
+    // distinct token set)
     val uni = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_sort(array_distinct(col("toks"))).as("uni"))
+      .select(col("doc_id"), array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"))
       .select(col("doc_id"), col("uni"), size(col("uni")).as("nu"))
     val cand = pairs.select(col("doc_a"), col("doc_b"))
       .join(uni.select(col("doc_id").as("doc_a"), col("uni").as("uni_a"),
@@ -344,11 +348,15 @@ object Dedup {
     // re-inlines it; see wordShingles contract)
     // sets are SORTED once per row so the per-pair intersection is a
     // native merge walk (IntersectCount), not a per-pair hash set
+    // sets carried as sorted distinct HASHES (gramHashes; k=1 = per-
+    // token hash60): the per-pair merge walk compares longs instead of
+    // UTF8 strings and the per-row distinct+sort runs on primitive
+    // longs; counts identical (md5 injective on the distinct sets)
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(col("toks"))).as("uni"),
-        array_sort(array_distinct(wordShingles(col("toks"), 3))).as("tri"))
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"),
+        array_sort(array_distinct(gramHashes(col("toks"), 3))).as("tri"))
       .select(col("doc_id"), col("source"), col("uni"), col("tri"),
         size(col("uni")).as("nu"), size(col("tri")).as("nt"))
     val a = base.select(col("source"), col("doc_id").as("doc_a"),

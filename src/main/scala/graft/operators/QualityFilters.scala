@@ -60,8 +60,10 @@ object QualityFilters {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         array_sort(col("toks")).as("stoks"),
-        wordShingles(col("toks"), 2).as("bg"),
-        wordShingles(col("toks"), 3).as("tg"))
+        // hashed grams: only sizes/distinct-sizes are consumed, so the
+        // native kernel's long arrays replace gram strings outright
+        gramHashes(col("toks"), 2).as("bg"),
+        gramHashes(col("toks"), 3).as("tg"))
     val n = size(col("toks")).cast("long")
     val topCnt = maxRunLength(col("stoks"))
     val nbg = size(col("bg")).cast("long")
@@ -263,7 +265,7 @@ object QualityFilters {
         tokens(col("text")).as("toks"), normText(col("text")).as("norm"))
       .select(col("doc_id"), col("source"), col("aug"), col("toks"), col("norm"),
         array_sort(col("toks")).as("stoks"),
-        wordShingles(col("toks"), 3).as("tg"))
+        gramHashes(col("toks"), 3).as("tg"))
     val n = size(col("toks")).cast("long")
     val topPpm = ppm(maxRunLength(col("stoks")), n)
     val ntg = size(col("tg")).cast("long")

@@ -76,8 +76,7 @@ object TrainPrep {
   def dupSpanDetect(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(wordShingles(col("toks"), SpanK)).as("g"))
-      .select(col("doc_id"), hash60(col("g")).as("h"))
+      .select(col("doc_id"), explode(gramHashes(col("toks"), SpanK)).as("h"))
       .localCheckpoint(true)
     val occ = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("span_docs"))

@@ -192,13 +192,84 @@ object Corpus {
       .agg(countDistinct(col("h")).as("n_shared"))
   }
 
+  /** Inverted-index construction — the retrieval-side artifact every
+    * corpus pipeline eventually builds: per term, document frequency,
+    * corpus frequency, and the doc_id:tf postings list in doc_id
+    * order. Shape: one explode → (term, doc) partial agg → one keyed
+    * agg on term; output is vocabulary-sized. Postings are emitted as
+    * a joined string (the gate's row compare needs scalar cells); a
+    * real 100 TB index additionally BLOCKS each posting list (fixed-
+    * size runs, one row per block keyed (term, block_id)) so no single
+    * row carries a stopword's full postings — the blocking is a
+    * `floor(rank/B)` column on this exact plan, not a different shape.
+    */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val post = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat(p.getField("doc_id").cast("string"), lit(":"),
+              p.getField("tf").cast("string"))), ",").as("postings"))
+  }
+
+  private val PmiWindow = 4 // co-occurrence lookahead (window size 5)
+
+  /** Windowed co-occurrence statistics with PMI — the corpus-analysis
+    * signal behind collocation mining and embedding evaluation: count
+    * ordered token pairs (x before y, gap <= 4), then
+    * pmi = ln(c_xy · Nt² / (Np · c_x · c_y)).
+    *
+    * Shape: the pair explode is narrow and bounded (≤ 4 pairs per
+    * token position — never doc × doc); pair counts are one keyed agg;
+    * unigram counts join vocabulary-sized; Nt/Np are one broadcast
+    * scalar row. The ln is computed per OUTPUT row from exact integer
+    * counts — no float aggregation anywhere, so no summation-order
+    * divergence. Emitted pairs are bounded by the c_xy >= 5 support
+    * threshold (standard collocation floor).
+    */
+  def pmiCooccur(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+      .select(col("toks"), posexplode(col("toks")).as(Seq("i", "x")))
+      .select(col("x"),
+        explode(slice(col("toks"), col("i") + 2, lit(PmiWindow))).as("y"))
+    // both tables are vocabulary-sized but have multiple consumers
+    // (the scalar totals AND the scoring joins) — materialize once so
+    // the corpus-wide explodes never replay (eager localCheckpoint,
+    // not cache(): see tfidfTopterms)
+    val cxy = pairs.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint(true)
+    val uni = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = uni.agg(sum(col("c")).as("nt")).crossJoin(
+      cxy.agg(sum(col("c_xy")).as("np")))
+    val pmi = log(col("c_xy").cast("double") * col("nt") * col("nt") /
+      (col("np").cast("double") * col("c_x") * col("c_y")))
+    cxy.filter(col("c_xy") >= 5)
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), Seq("x"))
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        round(pmi, 6).as("pmi"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_topk_per_group" -> (sampleTopkPerGroup _),
     "tfidf_topterms" -> (tfidfTopterms _),
     "bm25_score" -> (bm25Score _),
     "doc_chunk" -> (docChunk _),
-    "decontamination" -> (decontamination _)
+    "decontamination" -> (decontamination _),
+    "inverted_index" -> (invertedIndex _),
+    "pmi_cooccur" -> (pmiCooccur _)
   )
 
   private val normSql =
@@ -284,6 +355,44 @@ object Corpus {
          | array_to_string(w[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)], ' ') AS chunk_text,
          | least(n - chunk_id * 24, 32) AS n_tokens
          |FROM c""".stripMargin,
+
+    "inverted_index" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |post AS (
+         | SELECT term, doc_id, count(*) AS tf
+         | FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+         | GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         | string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ','
+         |   ORDER BY doc_id) AS postings
+         |FROM post GROUP BY term""".stripMargin,
+
+    "pmi_cooccur" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |idx AS (
+         | SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i FROM toks
+         | WHERE len(w) >= 2),
+         |pairs AS (
+         | SELECT w[CAST(i + 1 AS INT)] AS x,
+         |  unnest(w[CAST(i + 2 AS INT):CAST(least(i + 5, len(w)) AS INT)]) AS y
+         | FROM idx),
+         |cxy AS (SELECT x, y, count(*) AS c_xy FROM pairs GROUP BY 1, 2),
+         |uni AS (
+         | SELECT t, count(*) AS c
+         | FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+         |tot AS (
+         | SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nt,
+         |        (SELECT CAST(sum(c_xy) AS BIGINT) FROM cxy) AS np)
+         |SELECT cxy.x, cxy.y, cxy.c_xy, ux.c AS c_x, uy.c AS c_y,
+         | round(ln(CAST(cxy.c_xy AS DOUBLE) * nt * nt
+         |   / (CAST(np AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+         |FROM cxy
+         |JOIN uni ux ON ux.t = cxy.x
+         |JOIN uni uy ON uy.t = cxy.y
+         |CROSS JOIN tot
+         |WHERE cxy.c_xy >= 5""".stripMargin,
 
     "decontamination" ->
       s"""WITH toks AS (

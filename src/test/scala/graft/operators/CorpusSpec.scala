@@ -77,6 +77,30 @@ class CorpusSpec extends SparkTestBase {
     assert(dc.count() > 0)
   }
 
+  test("inverted_index: postings account for every token, df <= cf") {
+    val ix = Corpus.invertedIndex(spark, sf).cache()
+    assert(ix.filter(col("df") > col("cf")).count() == 0)
+    // Σ cf over the index == total token count in the corpus
+    val cfSum = ix.agg(sum(col("cf"))).head.getLong(0)
+    val tokTotal = graft.Tables.documents(spark, sf)
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(cfSum === tokTotal)
+    // postings are doc_id-ascending and df-many
+    val bad = ix.filter(size(split(col("postings"), ",")) =!= col("df")).count()
+    assert(bad === 0)
+    ix.unpersist()
+  }
+
+  test("pmi_cooccur: symmetric-count sanity and exact pair accounting") {
+    val p = Corpus.pmiCooccur(spark, sf).cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("c_xy") < 5).count() == 0)
+    // a pair can never co-occur more often than its rarer member occurs
+    assert(p.filter(col("c_xy") > least(col("c_x"), col("c_y")) * 4).count() == 0)
+    p.unpersist()
+  }
+
   test("bm25_score: only matching docs, positive scores, tf consistency") {
     val b = Corpus.bm25Score(spark, sf)
     assert(b.count() > 0)

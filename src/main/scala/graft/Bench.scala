@@ -23,10 +23,17 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => }
     // min of two timed runs per query: wall-clock on a shared box
-    // drifts +-40% with ambient load; the min is the plan's cost
+    // drifts +-40% with ambient load; the min is the plan's cost.
+    // Force FULL evaluation with toRdd.count(), not Dataset.count():
+    // count() plans a new agg that lets Catalyst prune every column, so
+    // a pure-projection query (char_entropy, pii_redact, ...) would be
+    // timed as a row-count scan with none of its expressions evaluated
+    // — the numbers looked 10-20x better than the work actually costs.
+    // toRdd materializes every output column of the plan as-is (the
+    // honest "produce the result set" cost, like a noop sink).
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -54,7 +61,8 @@ object Bench {
         ScaleUp.ensure(spark, sfDir, sf1Dir, 10)
         def timeAt(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sf1Dir).count() } catch { case _: Throwable => return -1.0 }
+          // toRdd.count(): full evaluation, see timeOnce
+          try { fn(spark, sf1Dir).queryExecution.toRdd.count() } catch { case _: Throwable => return -1.0 }
           (System.nanoTime() - t0) / 1e9
         }
         // paired re-run for the expensive queries only: single-run sf1

@@ -24,7 +24,10 @@ object TimeOne {
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val c = fn(spark, dir).count()
+        // toRdd.count() forces every output column; Dataset.count()
+        // lets Catalyst prune pure projections down to a row-count
+        // scan (see Bench.timeOnce)
+        val c = fn(spark, dir).queryExecution.toRdd.count()
         println(f"[time] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
       }
     }

@@ -57,6 +57,32 @@ case class CharRlnR(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Count of codepoints in a fixed character class — native form of
+  * `size(regexp_extract_all(text, cls, 0))` for the single-char
+  * classes the quality signals use (each matched char = one element):
+  * `punct` = [^a-zA-Z0-9\s] (Java \s is ASCII-only, so every non-ASCII
+  * codepoint counts), `upper` = [A-Z].
+  */
+case class CharClassCount(child: Expression, cls: String) extends UnaryExpression {
+  require(cls == "punct" || cls == "upper", s"unknown class $cls")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_class_count expects a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"char_count_$cls"
+  override protected def nullSafeEval(input: Any): Any =
+    if (cls == "punct") CharStats.punctCount(input.asInstanceOf[UTF8String])
+    else CharStats.upperCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (cls == "punct") "punctCount" else "upperCount"
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharStats.$m($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharClassCount =
+    copy(child = newChild)
+}
+
 object CharStats {
 
   /** Per-codepoint counts: int[128] ASCII fast path, sorted-map
@@ -113,8 +139,43 @@ object CharStats {
     sum
   }
 
+  /** Codepoints outside [a-zA-Z0-9] and Java \s (ASCII \t\n\x0B\f\r and
+    * space) — one count per codepoint, like the regex form.
+    */
+  def punctCount(s: UTF8String): Long = {
+    val str = s.toString
+    var n = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      val ws = cp == ' ' || (cp >= '\t' && cp <= '\r') // \t \n \x0B \f \r
+      if (!alnum && !ws) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** Codepoints in [A-Z]. */
+  def upperCount(s: UTF8String): Long = {
+    val b = s.getBytes
+    var n = 0L
+    var i = 0
+    while (i < b.length) {
+      if (b(i) >= 'A' && b(i) <= 'Z') n += 1
+      i += 1
+    }
+    n
+  }
+
   def charDistinct(c: Column): Column =
     ColumnBridge.toColumn(CharDistinct(ColumnBridge.toExpr(c)))
   def charRlnR(c: Column): Column =
     ColumnBridge.toColumn(CharRlnR(ColumnBridge.toExpr(c)))
+  def punctCount(c: Column): Column =
+    ColumnBridge.toColumn(CharClassCount(ColumnBridge.toExpr(c), "punct"))
+  def upperCount(c: Column): Column =
+    ColumnBridge.toColumn(CharClassCount(ColumnBridge.toExpr(c), "upper"))
 }

@@ -26,9 +26,16 @@ object TextFunctions {
 
   /** Canonical text normalization: punctuation -> space, collapse
     * whitespace, trim, lowercase. The shared preprocessing step for
-    * shingling / fingerprinting / quality.
+    * shingling / fingerprinting / quality. Bound to the native
+    * [[NormText]] kernel — value-identical to the composed regex chain
+    * (pinned in NormTextSpec) without the two regex passes per call.
     */
-  def normText(c: Column): Column =
+  def normText(c: Column): Column = NormText.normText(c)
+
+  /** The composed regex form — the DuckDB-oracle contract the kernel
+    * is pinned against.
+    */
+  def normTextComposed(c: Column): Column =
     lower(trim(regexp_replace(regexp_replace(c, "[^a-zA-Z0-9\\s]", " "), "\\s+", " ")))
 
   /** Normalized whitespace tokens. Bound to the native [[NormTokens]]

@@ -29,23 +29,17 @@ object QualityFilters {
   private def ppm(k: Column, tot: Column): Column =
     when(tot > 0, floor(lit(1000000.0) * k / tot).cast("long")).otherwise(lit(0L))
 
-  /** Most-frequent-element count as a single run-length fold over a
-    * SORTED array — O(n log n) total, one lambda level. The naive form
-    * (transform over distinct x filter over the array) is O(d x n)
-    * nested-lambda work AND a time bomb under predicate pushdown: a
-    * filter on the output substitutes the whole tree into the inner
-    * lambda, re-evaluating the tokenizer per element per element.
+  /** Most-frequent-element count = longest run in a SORTED array —
+    * O(n log n) total. The naive form (transform over distinct x
+    * filter over the array) is O(d x n) nested-lambda work AND a time
+    * bomb under predicate pushdown: a filter on the output substitutes
+    * the whole tree into the inner lambda, re-evaluating the tokenizer
+    * per element per element. Bound to the native [[RunLengthMax]]
+    * kernel (pinned equal to the expression fold in RunLengthMaxSpec);
+    * the fold form allocated a 3-field struct per element.
     */
   private def maxRunLength(sorted: Column): Column =
-    aggregate(sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    graft.functions.RunLengthMax.runLengthMax(sorted)
 
   /** Gopher-style repetition filter (Rae et al. 2021 §A1.1, adapted to
     * word level — this corpus has no line structure): most-frequent-

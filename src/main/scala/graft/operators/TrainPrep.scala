@@ -125,9 +125,11 @@ object TrainPrep {
     val nWords = size(toks).cast("double")
     val rawStop = size(filter(toks, t => array_contains(lit(stop.toArray), t)))
       .cast("double") / nWords
-    val rawPunct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    // native codepoint-class counts (== the regex_extract_all sizes,
+    // pinned in CharStatsSpec)
+    val rawPunct = graft.functions.CharStats.punctCount(col("text"))
       .cast("double") / length(col("text"))
-    val rawCaps = size(regexp_extract_all(col("text"), lit("[A-Z]"), lit(0)))
+    val rawCaps = graft.functions.CharStats.upperCount(col("text"))
       .cast("double") / length(col("text"))
     // w·x + b, written in one fixed association order (left fold) so
     // both engines evaluate the identical double expression

@@ -66,6 +66,22 @@ class CharStatsSpec extends SparkTestBase {
     assert(e.getMessage.contains("char_rlnr"))
   }
 
+  test("punctCount/upperCount == regexp_extract_all sizes over corpus + edges") {
+    val corpus = graft.Tables.documents(spark, sf).select($"text")
+    val edges = Seq("", " ", "a!B?c", "ünï ☃", "ALL CAPS 123", "\t\r\n",
+      "a@b.c 1.2.3.4").toDF("text")
+    for (df <- Seq(corpus, edges)) {
+      val bad = df.select(
+        CharStats.punctCount($"text").as("p"),
+        size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("pr"),
+        CharStats.upperCount($"text").as("u"),
+        size(regexp_extract_all($"text", lit("[A-Z]"), lit(0))).cast("long").as("ur"))
+        .filter($"p" =!= $"pr" || $"u" =!= $"ur")
+        .count()
+      assert(bad === 0)
+    }
+  }
+
   test("participates in whole-stage codegen") {
     val df = graft.Tables.documents(spark, sf)
       .select(CharStats.charRlnR($"text").as("r"))

@@ -25,7 +25,12 @@ object Cleaning {
     *   - accounting negatives "(1,234)" -> "-1234"
     * then null-coercing cast to double (assets.py:163 `errors="coerce"`).
     */
-  def cleanNumericStr(c: Column): Column = {
+  def cleanNumericStr(c: Column): Column = NumClean.cleanNumericStr(c)
+
+  /** The composed regex form — the DuckDB-oracle contract the native
+    * [[CleanNumeric]] kernel is pinned against (NumCleanSpec).
+    */
+  def cleanNumericStrComposed(c: Column): Column = {
     val noCommas = regexp_replace(c, ",", "")
     val asciiMinus = regexp_replace(noCommas, "[−–—]", "-")
     regexp_replace(asciiMinus, "^\\((.*)\\)$", "-$1")

@@ -29,7 +29,7 @@ object Composite {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"), weekofyear(col("o_orderdate")).cast("long").as("week"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(20,6)")).cast("double").as("revenue")) // exact decimal sum: see q1_agg note
+        .cast("decimal(18,6)")).cast("double").as("revenue")) // exact decimal sum: see q1_agg note
 
     val wLag = Window.partitionBy("nation").orderBy("week")
     val wRank = Window.partitionBy("week").orderBy(col("revenue").desc, col("nation"))

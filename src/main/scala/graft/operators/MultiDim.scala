@@ -24,9 +24,9 @@ object MultiDim {
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(20,6)")).cast("double").as("sum_qty"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(20,6)")).cast("double").as("revenue"),
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -43,7 +43,7 @@ object MultiDim {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("priority"))
       .pivot("o_orderstatus", Seq("O", "F", "P"))
-      .agg(sum(col("o_totalprice").cast("decimal(20,6)")).cast("double"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"))
       .select(col("priority"), col("O").as("total_o"),
         col("F").as("total_f"), col("P").as("total_p"))
 

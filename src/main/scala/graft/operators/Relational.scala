@@ -38,10 +38,10 @@ object Relational {
         // round() half-way boundaries where engines disagree. Summing
         // in DECIMAL is exact and order-independent; the final cast
         // back to double is deterministic on both engines.
-        sum(col("l_quantity").cast("decimal(20,6)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(20,6)")).cast("double").as("sum_price"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_price"),
         sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(20,6)")).cast("double").as("revenue"),
+          .cast("decimal(18,6)")).cast("double").as("revenue"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("n"))
 
@@ -181,7 +181,9 @@ object Relational {
     * oracle can rebuild the identical inputs. */
   def regexNumericClean(s: SparkSession, d: String): DataFrame = {
     val base = floor(col("l_extendedprice")).cast("long")
-    val fmt  = format_number(base, 0)
+    // native grouping kernel == format_number(base, 0) for longs
+    // (pinned in NumCleanSpec); DecimalFormat was ~40% of this query
+    val fmt  = graft.functions.NumClean.groupDigits(base)
     val messy = when(col("l_discount") > 0.07, concat(lit("("), fmt, lit(")")))
       .when(col("l_discount") > 0.04, concat(lit("−"), fmt))
       .otherwise(fmt)

@@ -61,10 +61,11 @@ case class CharRlnR(child: Expression) extends UnaryExpression {
   * `size(regexp_extract_all(text, cls, 0))` for the single-char
   * classes the quality signals use (each matched char = one element):
   * `punct` = [^a-zA-Z0-9\s] (Java \s is ASCII-only, so every non-ASCII
-  * codepoint counts), `upper` = [A-Z].
+  * codepoint counts), `upper` = [A-Z], `cjk` = [一-鿿]
+  * (U+4E00–U+9FFF, the language-ID CJK block).
   */
 case class CharClassCount(child: Expression, cls: String) extends UnaryExpression {
-  require(cls == "punct" || cls == "upper", s"unknown class $cls")
+  require(cls == "punct" || cls == "upper" || cls == "cjk", s"unknown class $cls")
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -72,13 +73,18 @@ case class CharClassCount(child: Expression, cls: String) extends UnaryExpressio
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = s"char_count_$cls"
-  override protected def nullSafeEval(input: Any): Any =
-    if (cls == "punct") CharStats.punctCount(input.asInstanceOf[UTF8String])
-    else CharStats.upperCount(input.asInstanceOf[UTF8String])
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val m = if (cls == "punct") "punctCount" else "upperCount"
-    defineCodeGen(ctx, ev, c => s"graft.functions.CharStats.$m($c)")
+  private def kernel: String = cls match {
+    case "punct" => "punctCount"
+    case "upper" => "upperCount"
+    case _ => "cjkCount"
   }
+  override protected def nullSafeEval(input: Any): Any = cls match {
+    case "punct" => CharStats.punctCount(input.asInstanceOf[UTF8String])
+    case "upper" => CharStats.upperCount(input.asInstanceOf[UTF8String])
+    case _ => CharStats.cjkCount(input.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharStats.$kernel($c)")
   override protected def withNewChildInternal(newChild: Expression): CharClassCount =
     copy(child = newChild)
 }
@@ -170,6 +176,22 @@ object CharStats {
     n
   }
 
+  /** Codepoints in U+4E00..U+9FFF (the CJK unified block the
+    * language-ID regex [一-鿿] matches).
+    */
+  def cjkCount(s: UTF8String): Long = {
+    val str = s.toString
+    var n = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (cp >= 0x4e00 && cp <= 0x9fff) n += 1
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
   def charDistinct(c: Column): Column =
     ColumnBridge.toColumn(CharDistinct(ColumnBridge.toExpr(c)))
   def charRlnR(c: Column): Column =
@@ -178,4 +200,6 @@ object CharStats {
     ColumnBridge.toColumn(CharClassCount(ColumnBridge.toExpr(c), "punct"))
   def upperCount(c: Column): Column =
     ColumnBridge.toColumn(CharClassCount(ColumnBridge.toExpr(c), "upper"))
+  def cjkCount(c: Column): Column =
+    ColumnBridge.toColumn(CharClassCount(ColumnBridge.toExpr(c), "cjk"))
 }

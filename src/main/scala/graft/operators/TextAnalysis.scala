@@ -35,7 +35,7 @@ object TextAnalysis {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
     val toks = col("toks") // materialized below (TextFunctions contract)
     val nWords = size(toks)
-    val stopHits = size(filter(toks, t => array_contains(lit(stop.toArray), t)))
+    val stopHits = graft.functions.MarkerHits.markerHits(toks, stop)
     // native codepoint count == size(regexp_extract_all(text,
     // '[^a-zA-Z0-9\s]', 0)) — the regex scan was ~40% of this query
     val punct = graft.functions.CharStats.punctCount(col("text"))
@@ -71,14 +71,16 @@ object TextAnalysis {
   def langId(s: SparkSession, d: String): DataFrame = {
     val toks = col("toks") // materialized below (TextFunctions contract)
     val n = size(toks).cast("double")
+    // native marker-set count (== the filter/array_contains form,
+    // pinned in MarkerHitsSpec) — 4 interpreted lambdas per row gone
     def hits(words: Seq[String]) =
-      size(filter(toks, t => array_contains(lit(words.toArray), t))).cast("double")
+      graft.functions.MarkerHits.markerHits(toks, words).cast("double")
     val sEn = round(hits(Seq("the", "a", "and", "of", "is")) / n, 6)
     val sEs = round(hits(Seq("el", "la", "los", "de", "que")) / n, 6)
     val sDe = round(hits(Seq("der", "die", "das", "und", "ist")) / n, 6)
     val sFr = round(hits(Seq("le", "les", "et", "est", "une")) / n, 6)
     val sZh = round(
-      size(regexp_extract_all(col("text"), lit("[一-鿿]"), lit(0))).cast("double")
+      graft.functions.CharStats.cjkCount(col("text")).cast("double")
         / length(col("text")), 6)
     val pred = when(sZh > 0.05, "zh")
       .when(sEn >= greatest(sEs, sDe, sFr), "en")

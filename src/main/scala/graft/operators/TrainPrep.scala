@@ -123,7 +123,7 @@ object TrainPrep {
     val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
     val toks = col("toks")
     val nWords = size(toks).cast("double")
-    val rawStop = size(filter(toks, t => array_contains(lit(stop.toArray), t)))
+    val rawStop = graft.functions.MarkerHits.markerHits(toks, stop)
       .cast("double") / nWords
     // native codepoint-class counts (== the regex_extract_all sizes,
     // pinned in CharStatsSpec)

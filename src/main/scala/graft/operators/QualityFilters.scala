@@ -74,10 +74,9 @@ object QualityFilters {
           lit(1L)).otherwise(lit(0L)))
   }
 
-  // Shared with the oracle SQL below; kept dialect-neutral (no
-  // lookarounds, no backrefs — Spark is java.util.regex, DuckDB is RE2).
-  private val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-  private val IpRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+  // The PII patterns live in graft.functions.PiiScan (native scan,
+  // pinned == these regexes); the oracle SQL below carries the same
+  // dialect-neutral regex text (no lookarounds/backrefs — RE2-safe).
 
   /** PII detection + redaction (emails, IPv4). The synthetic corpus
     * carries no PII, so a deterministic injection (doc_id % 7 -> an
@@ -95,13 +94,14 @@ object QualityFilters {
         concat(col("text"), lit(" from 10.0."),
           pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 port")))
       .otherwise(col("text"))
+    // native scans (pinned == the regex forms in PiiScanSpec): the 4
+    // regex passes were the last regex hot spot in the honest profile
     Tables.documents(s, d)
       .select(col("doc_id"), aug.as("aug"))
       .select(col("doc_id"),
-        size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("aug"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
-        regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
-          IpRe, "<IP>").as("redacted"))
+        graft.functions.PiiScan.countEmails(col("aug")).as("n_emails"),
+        graft.functions.PiiScan.countIps(col("aug")).as("n_ips"),
+        graft.functions.PiiScan.redact(col("aug")).as("redacted"))
   }
 
   /** Unigram character entropy of the normalized text (nats, 6 dp) —
@@ -265,8 +265,7 @@ object QualityFilters {
     val ntg = size(col("tg")).cast("long")
     val triPpm = ppm(ntg - size(array_distinct(col("tg"))).cast("long"), ntg)
     val ent = entropyOfNorm(col("norm"))
-    val redTokens = size(tokens(
-      regexp_replace(regexp_replace(col("aug"), EmailRe, "<EMAIL>"), IpRe, "<IP>")))
+    val redTokens = size(tokens(graft.functions.PiiScan.redact(col("aug"))))
       .cast("long")
     val weight = pmod(hash60(col("source")), lit(900L)) + lit(100L)
     val contaminated = Corpus.decontamination(s, d)

@@ -11,10 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * registers the native codegen expressions as SQL functions on every
-  * session — `slugify(s)` and `dot_product(a, b)` — so pure-SQL
+  * session — `slugify`, `dot_product`, `intersect_count`, `hash60`,
+  * `norm_text`, `norm_tokens`, `shingle_hash60`, `min_gram_hash60`,
+  * `run_length_max`, `pii_redact_text`, `pii_count_emails`,
+  * `pii_count_ips`, `clean_numeric`, `group_digits` — so pure-SQL
   * pipelines (spark-sql, Thrift server, SQL cells) reach them without
   * a Column-API import. The Column API (`functions.Slugify.slugify`,
-  * `functions.VectorFunctions.dot`) binds the same expressions
+  * `functions.VectorFunctions.dot`, …) binds the same expressions
   * directly and needs no extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -55,5 +58,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("intersect_count", 2, exprs)
         functions.IntersectCount(exprs.head, exprs(1))
       }))
+
+    // unary string/array kernels — same registration shape
+    def unary(name: String, clazz: Class[_], build: Expression => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (exprs: Seq[Expression]) => {
+          arity(name, 1, exprs)
+          build(exprs.head)
+        }))
+
+    unary("hash60", classOf[functions.Hash60], functions.Hash60(_))
+    unary("norm_text", classOf[functions.NormText], functions.NormText(_))
+    unary("norm_tokens", classOf[functions.NormTokens], functions.NormTokens(_))
+    unary("run_length_max", classOf[functions.RunLengthMax], functions.RunLengthMax(_))
+    unary("pii_redact_text", classOf[functions.PiiRedact], functions.PiiRedact(_))
+    unary("pii_count_emails", classOf[functions.PiiCount], functions.PiiCount(_, "email"))
+    unary("pii_count_ips", classOf[functions.PiiCount], functions.PiiCount(_, "ip"))
+    unary("clean_numeric", classOf[functions.CleanNumeric], functions.CleanNumeric(_))
+    unary("group_digits", classOf[functions.GroupDigits], functions.GroupDigits(_))
+
+    // (array/string, int-literal) kernels: the k argument must be a
+    // foldable integer literal
+    def withIntLit(name: String, clazz: Class[_],
+        build: (Expression, Int) => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (exprs: Seq[Expression]) => {
+          arity(name, 2, exprs)
+          val k = exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new AnalysisException(
+              errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+              messageParameters = Map(
+                "seedExpr" -> other.sql, "exprWithSeed" -> s"`$name`"))
+          }
+          build(exprs.head, k)
+        }))
+
+    withIntLit("shingle_hash60", classOf[functions.ShingleHash60],
+      functions.ShingleHash60(_, _))
+    withIntLit("min_gram_hash60", classOf[functions.MinGramHash60],
+      functions.MinGramHash60(_, _))
   }
 }

@@ -145,11 +145,40 @@ object TrainPrep {
         when(logit > 0, lit(1L)).otherwise(lit(0L)).as("keep_flag"))
   }
 
+  /** One-row corpus profile — the summary a pipeline reports after
+    * every stage: doc/token/source/lang counts, vocabulary size,
+    * English share, average doc length (exact integer micro-units, no
+    * float lattice). Two scalar aggregates (per-doc stats; distinct
+    * vocabulary over one explode) joined as 1-row broadcasts. The
+    * exact `countDistinct` terms is the honest small-scale form; at
+    * 100 TB swap `approx_count_distinct` (documented trade — profile
+    * numbers tolerate HLL error, the gate query does not).
+    */
+  def corpusProfile(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+    val agg1 = per.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      floor(lit(1000000.0) * sum((col("lang") === "en").cast("long")) /
+        count(lit(1))).cast("long").as("en_ppm"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t")).as("vocab_size"))
+    agg1.crossJoin(broadcast(vocab))
+      .withColumn("avg_doc_len_micro",
+        floor(lit(1000000.0) * col("n_tokens") / col("n_docs")).cast("long"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "unigram_lm_score" -> (unigramLmScore _),
     "dup_span_detect" -> (dupSpanDetect _),
     "global_shuffle" -> (globalShuffle _),
-    "quality_classifier" -> (qualityClassifier _)
+    "quality_classifier" -> (qualityClassifier _),
+    "corpus_profile" -> (corpusProfile _)
   )
 
   private val normSql =
@@ -194,6 +223,24 @@ object TrainPrep {
          |SELECT doc_id, n_spans, n_dup_spans,
          | CAST(floor(1000000.0 * n_dup_spans / n_spans) AS BIGINT) AS dup_span_ppm
          |FROM per""".stripMargin,
+
+    "corpus_profile" ->
+      s"""WITH per AS (
+         | SELECT lang, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS nt
+         | FROM documents),
+         |a AS (
+         | SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  count(DISTINCT source) AS n_sources, count(DISTINCT lang) AS n_langs,
+         |  CAST(floor(1000000.0 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |    / count(*)) AS BIGINT) AS en_ppm
+         | FROM per),
+         |v AS (
+         | SELECT count(DISTINCT t) AS vocab_size
+         | FROM (SELECT unnest(string_split($normSql, ' ')) AS t FROM documents))
+         |SELECT a.*, v.vocab_size,
+         | CAST(floor(1000000.0 * n_tokens / n_docs) AS BIGINT) AS avg_doc_len_micro
+         |FROM a CROSS JOIN v""".stripMargin,
 
     "global_shuffle" ->
       """WITH t AS (

@@ -270,4 +270,73 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** documents.parquet schema as landed (see Tables.documents). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over a landing dir of documents parquet (same
+    * file/directory duality as readEvents).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(s"$dir/documents.parquet")
+    if (path.isDirectory)
+      spark.readStream.schema(documentsSchema).parquet(path.toString)
+    else
+      spark.readStream.schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Streaming quality gate — the ingest-time curation filter: per-doc
+    * repetition / entropy / classifier signals (all native kernels)
+    * and the keep decision, computed as a STATELESS projection+filter,
+    * so it runs identically over a stream of landing files and a batch
+    * scan (pinned equal in StreamingSpec). This is the shape that
+    * scores a crawl as it lands instead of re-scanning the corpus:
+    * zero state, zero shuffle, append mode, scan speed.
+    */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sig = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        graft.functions.NormText.normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("toks"), col("norm"),
+        array_sort(col("toks")).as("stoks"),
+        gramHashes(col("toks"), 3).as("tg"))
+    val n = size(col("toks")).cast("long")
+    val topPpm = when(n > 0,
+      floor(lit(1000000.0) * graft.functions.RunLengthMax.runLengthMax(col("stoks")) / n)
+        .cast("long")).otherwise(lit(0L))
+    val ntg = size(col("tg")).cast("long")
+    val triPpm = when(ntg > 0,
+      floor(lit(1000000.0) * (ntg - size(array_distinct(col("tg"))).cast("long")) / ntg)
+        .cast("long")).otherwise(lit(0L))
+    val nn = length(col("norm")).cast("double")
+    val ent = when(length(col("norm")) > 0,
+      round(log(nn) - graft.functions.CharStats.charRlnR(col("norm")) / nn, 6))
+      .otherwise(lit(0.0))
+    sig.select(col("doc_id"), col("n_tokens"),
+      topPpm.as("top_word_ppm"), triPpm.as("dup_trigram_ppm"), ent.as("char_entropy"))
+      .filter(col("top_word_ppm") <= 200000 && col("dup_trigram_ppm") <= 300000 &&
+        col("char_entropy") >= 2.7)
+  }
+
+  /** Streaming driver for qualityGate (append mode, memory sink). */
+  def runQualityGateOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q: StreamingQuery = qualityGate(readDocuments(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

@@ -82,6 +82,20 @@ class TrainPrepSpec extends SparkTestBase {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("corpus_profile: one row, internally consistent") {
+    val r = TrainPrep.corpusProfile(spark, sf).cache()
+    assert(r.count() === 1)
+    val row = r.head
+    val nDocs = row.getAs[Long]("n_docs")
+    val nTokens = row.getAs[Long]("n_tokens")
+    assert(nDocs > 0 && nTokens >= nDocs) // every doc has >= 1 token slot
+    assert(row.getAs[Long]("vocab_size") > 0)
+    assert(row.getAs[Long]("en_ppm") >= 0 && row.getAs[Long]("en_ppm") <= 1000000)
+    assert(row.getAs[Long]("avg_doc_len_micro") ===
+      math.floor(1e6 * nTokens / nDocs).toLong)
+    r.unpersist()
+  }
+
   test("quality_classifier: prob in (0,1), keep_flag consistent with 0.5") {
     val r = TrainPrep.qualityClassifier(spark, sf).cache()
     val bad = r.filter(col("quality_prob") <= 0 || col("quality_prob") >= 1)

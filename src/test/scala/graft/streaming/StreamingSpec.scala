@@ -123,4 +123,14 @@ class StreamingSpec extends SparkTestBase {
     graft.ScaleUp.run(spark, sf, scaled, 3)
     assertGapSessionTwin(scaled, "stream_sessions_sf3")
   }
+
+  test("streaming quality gate == the same gate over a batch scan") {
+    // the native-kernel curation signals are stateless, so the stream
+    // over landing files must produce exactly the batch rows
+    val streamed = StreamingOps.runQualityGateOnce(spark, sf, "stream_qgate")
+    val batch = StreamingOps.qualityGate(graft.Tables.documents(spark, sf))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
 }

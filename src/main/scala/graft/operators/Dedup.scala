@@ -352,6 +352,10 @@ object Dedup {
     // token hash60): the per-pair merge walk compares longs instead of
     // UTF8 strings and the per-row distinct+sort runs on primitive
     // longs; counts identical (md5 injective on the distinct sets)
+    // materialized ONCE: the slim pair join and the two trigram
+    // re-attach joins all consume it (eager localCheckpoint — 50 k
+    // rows of set arrays, the per-stage artifact a 100 TB run writes
+    // to parquet)
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
@@ -359,12 +363,7 @@ object Dedup {
         array_sort(array_distinct(gramHashes(col("toks"), 3))).as("tri"))
       .select(col("doc_id"), col("source"), col("uni"), col("tri"),
         size(col("uni")).as("nu"), size(col("tri")).as("nt"))
-    val a = base.select(col("source"), col("doc_id").as("doc_a"),
-      col("uni").as("uni_a"), col("tri").as("tri_a"),
-      col("nu").as("nu_a"), col("nt").as("nt_a"))
-    val b = base.select(col("source"), col("doc_id").as("doc_b"),
-      col("uni").as("uni_b"), col("tri").as("tri_b"),
-      col("nu").as("nu_b"), col("nt").as("nt_b"))
+      .localCheckpoint(true)
     // |A ∪ B| = |A| + |B| - |A ∩ B| for sets: ONE set-op per jaccard
     // instead of two, value-identical to intersect/union sizes.
     def jac(x: Column, y: Column, nx: Column, ny: Column) = {
@@ -374,12 +373,30 @@ object Dedup {
     // (A size-ratio prefilter — jac <= min|A|,|B| / max|A|,|B| — is the
     // standard skip for heterogeneous corpora; measured a net LOSS here
     // because synthetic doc sizes are homogeneous and it prunes ~0.)
-    a.join(b, Seq("source"))
+    //
+    // Pair-join payload discipline: the ALL-candidate-pairs join (sf1:
+    // 41 M pairs from 4.4 M survivors) carries ONLY the unigram sets
+    // the jac1 gate needs (~0.8 KB/pair); the 3x-larger trigram sets
+    // re-attach by doc key AFTER the gate, so the tri merge walk and
+    // the tri payload bytes are paid for ~10% of pairs. Carrying both
+    // sets through every candidate pair measured 2.5x slower (the row
+    // churn, not the walks, dominates).
+    val a = base.select(col("source"), col("doc_id").as("doc_a"),
+      col("uni").as("uni_a"), col("nu").as("nu_a"))
+    val b = base.select(col("source"), col("doc_id").as("doc_b"),
+      col("uni").as("uni_b"), col("nu").as("nu_b"))
+    val survivors = a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("source"), col("doc_a"), col("doc_b"),
-        jac(col("uni_a"), col("uni_b"), col("nu_a"), col("nu_b")).as("jac1"),
-        jac(col("tri_a"), col("tri_b"), col("nt_a"), col("nt_b")).as("jac3"))
+        jac(col("uni_a"), col("uni_b"), col("nu_a"), col("nu_b")).as("jac1"))
       .filter(col("jac1") >= 0.5)
+    survivors
+      .join(base.select(col("doc_id").as("doc_a"), col("tri").as("tri_a"),
+        col("nt").as("nt_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("tri").as("tri_b"),
+        col("nt").as("nt_b")), Seq("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"), col("jac1"),
+        jac(col("tri_a"), col("tri_b"), col("nt_a"), col("nt_b")).as("jac3"))
   }
 
   /** Embedding near-dup: top-3 cosine neighbors within the same label

@@ -32,6 +32,44 @@ class RandomizedPropsSpec extends SparkTestBase {
     }
   }
 
+  test("norm_text / norm_tokens / shingle_hash60 kernels == composed forms on 500 random unicode strings") {
+    import graft.functions.TextFunctions._
+    val rnd = new Random(7)
+    // alphabet mixes alnum, ASCII punct/space runs, and multi-byte
+    // codepoints (both separators under the \s-excluded char class)
+    val alpha = "aZ09 ,.!\t\néπ中 "
+    val rows = (1 to 500).map(_ =>
+      (1 to rnd.nextInt(40)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val df = rows.toDF("t").select($"t", tokens($"t").as("toks"))
+    val bad = df.select(
+      graft.functions.NormText.normText($"t").as("a"),
+      normTextComposed($"t").as("b"),
+      gramHashes($"toks", 2).as("g"),
+      transform(wordShingles($"toks", 2), x => hash60(x)).as("gr"))
+      .filter($"a" =!= $"b" || $"g" =!= $"gr")
+      .count()
+    assert(bad === 0)
+  }
+
+  test("pii kernels == regex forms on 1000 random strings over a hostile alphabet") {
+    val rnd = new Random(11)
+    val alpha = "a1@. -x0"
+    val rows = (1 to 1000).map(_ =>
+      (1 to (2 + rnd.nextInt(25))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val ipRe = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+    val bad = rows.toDF("s").select(
+      graft.functions.PiiScan.redact($"s").as("a"),
+      regexp_replace(regexp_replace($"s", emailRe, "<EMAIL>"), ipRe, "<IP>").as("b"),
+      graft.functions.PiiScan.countEmails($"s").as("ce"),
+      size(regexp_extract_all($"s", lit(emailRe), lit(0))).cast("long").as("cer"),
+      graft.functions.PiiScan.countIps($"s").as("ci"),
+      size(regexp_extract_all($"s", lit(ipRe), lit(0))).cast("long").as("cir"))
+      .filter($"a" =!= $"b" || $"ce" =!= $"cer" || $"ci" =!= $"cir")
+      .count()
+    assert(bad === 0)
+  }
+
   test("slugify is idempotent on 300 random strings") {
     val rnd = new Random(7)
     val chars = "abZ019 _-()ü\t."

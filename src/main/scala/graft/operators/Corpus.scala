@@ -168,6 +168,51 @@ object Corpus {
         least(col("n") - col("chunk_id") * Stride, lit(ChunkSize.toLong)).as("n_tokens"))
   }
 
+  private val IndexLists = 8
+  private val EmbDims = 4
+
+  /** hash-derived value on the exact [-1, 1) 1e-3 lattice — both
+    * engines compute the identical double from the identical md5.
+    */
+  private def latticeVal(seed: Column): Column =
+    (pmod(hash60(seed), lit(2000L)) - 1000L).cast("double") / 1000.0
+
+  /** Chunk → featurize → route: the RAG/index ingest composite. Every
+    * 32-token chunk gets a deterministic pseudo-embedding (stand-in
+    * for the model call — the container has no model; the hash-lattice
+    * values exercise the exact arithmetic the real path would) and is
+    * routed to its nearest of 8 fixed centroids (IVF list assignment).
+    *
+    * The scale shape is the point: chunking, featurizing, and routing
+    * compose into ONE narrow scan pass — zero shuffles, no
+    * materialized intermediate — because the centroids are plan-time
+    * constants (rule 1: anything crossed with the corpus must be a
+    * fixed hyperparameter). The downstream index build is then a
+    * write partitioned by `list_id`. Distance ties break on list id
+    * via the (dist, cid) struct min — engine-independent because every
+    * double derives from the same exact lattice.
+    */
+  def chunkIndexPipeline(s: SparkSession, d: String): DataFrame = {
+    val chunks = docChunk(s, d)
+    val emb = (0 until EmbDims).map(i =>
+      latticeVal(concat(lit(s"e${i}_"), col("chunk_text"))).as(s"v$i"))
+    val withEmb = chunks.select(
+      Seq(col("doc_id"), col("chunk_id"), col("n_tokens")) ++ emb: _*)
+    // centroid constants: hash-lattice of literal seeds — identical
+    // literals in the oracle SQL
+    val dists = (0 until IndexLists).map { c =>
+      val d2 = (0 until EmbDims).map { j =>
+        val cv = latticeVal(lit(s"c${c}_$j"))
+        (col(s"v$j") - cv) * (col(s"v$j") - cv)
+      }.reduce(_ + _)
+      struct(d2.as("d2"), lit(c.toLong).as("cid"))
+    }
+    val best = array_min(array(dists: _*))
+    withEmb.select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+      best.getField("cid").as("list_id"),
+      round(best.getField("d2"), 6).as("dist2"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * word 3-gram with the held-out set (doc_id % 97 == 0 stands in
     * for the benchmark corpus). The shape that scales: explode to
@@ -269,7 +314,8 @@ object Corpus {
     "doc_chunk" -> (docChunk _),
     "decontamination" -> (decontamination _),
     "inverted_index" -> (invertedIndex _),
-    "pmi_cooccur" -> (pmiCooccur _)
+    "pmi_cooccur" -> (pmiCooccur _),
+    "chunk_index_pipeline" -> (chunkIndexPipeline _)
   )
 
   private val normSql =
@@ -393,6 +439,39 @@ object Corpus {
          |JOIN uni uy ON uy.t = cxy.y
          |CROSS JOIN tot
          |WHERE cxy.c_xy >= 5""".stripMargin,
+
+    "chunk_index_pipeline" -> {
+      def lat(seed: String) =
+        s"(('0x' || substr(md5($seed), 1, 15))::BIGINT % 2000 - 1000)::DOUBLE / 1000.0"
+      val embCols = (0 until EmbDims)
+        .map(j => s"${lat(s"'e${j}_' || chunk_text")} AS v$j").mkString(", ")
+      val structs = (0 until IndexLists).map { c =>
+        val d2 = (0 until EmbDims)
+          .map(j => s"(v$j - ${lat(s"'c${c}_$j'")}) * (v$j - ${lat(s"'c${c}_$j'")})")
+          .mkString(" + ")
+        s"{'d2': $d2, 'cid': CAST($c AS BIGINT)}"
+      }.mkString(", ")
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |b AS (
+         | SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM toks),
+         |c AS (
+         | SELECT doc_id, n, w,
+         |  unnest(range(0, greatest((n - 9) // 24, 0) + 1)) AS chunk_id
+         | FROM b),
+         |ch AS (
+         | SELECT doc_id, chunk_id,
+         |  array_to_string(w[CAST(chunk_id * 24 + 1 AS INT):CAST(chunk_id * 24 + 32 AS INT)], ' ') AS chunk_text,
+         |  least(n - chunk_id * 24, 32) AS n_tokens
+         | FROM c),
+         |e AS (
+         | SELECT doc_id, chunk_id, n_tokens, $embCols FROM ch),
+         |m AS (
+         | SELECT doc_id, chunk_id, n_tokens, list_min([$structs]) AS best FROM e)
+         |SELECT doc_id, chunk_id, n_tokens,
+         | best.cid AS list_id, round(best.d2, 6) AS dist2
+         |FROM m""".stripMargin
+    },
 
     "decontamination" ->
       s"""WITH toks AS (

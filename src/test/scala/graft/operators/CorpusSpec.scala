@@ -101,6 +101,23 @@ class CorpusSpec extends SparkTestBase {
     p.unpersist()
   }
 
+  test("chunk_index_pipeline: one row per chunk, bounded lists, zero shuffles") {
+    val r = Corpus.chunkIndexPipeline(spark, sf).cache()
+    assert(r.count() === Corpus.docChunk(spark, sf).count())
+    assert(r.filter(col("list_id") < 0 || col("list_id") > 7).count() === 0)
+    assert(r.filter(col("dist2") < 0).count() === 0)
+    // chunks spread over multiple lists (routing actually discriminates)
+    assert(r.select(col("list_id")).distinct().count() > 1)
+    // the composed ingest pass is shuffle-free: chunk, featurize, and
+    // route are all narrow (centroids are plan-time constants)
+    val shuffles = Corpus.chunkIndexPipeline(spark, sf)
+      .queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+    assert(shuffles.isEmpty)
+    r.unpersist()
+  }
+
   test("bm25_score: only matching docs, positive scores, tf consistency") {
     val b = Corpus.bm25Score(spark, sf)
     assert(b.count() > 0)

@@ -22,11 +22,18 @@ object MultiDim {
     */
   def rollupRevenue(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      // cast BEFORE the rollup: Expand replicates each row once per
+      // grouping set, so a cast inside agg() runs 3x per input row —
+      // pre-projected, the double->decimal conversions run once and
+      // Expand copies the compact decimal values
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,6)").as("qty_dec"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)").as("rev_dec"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double").as("revenue"),
+        sum(col("qty_dec")).cast("double").as("sum_qty"),
+        sum(col("rev_dec")).cast("double").as("revenue"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),

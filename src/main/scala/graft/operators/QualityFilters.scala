@@ -297,7 +297,44 @@ object QualityFilters {
         pmod(col("start_tok"), lit(CtxLen)).as("pack_offset"))
   }
 
+  /** Boilerplate detection (the C4/CCNet line-dedup step adapted to
+    * this corpus's word 3-grams): a gram is boilerplate within a
+    * `source` when at least half of that source's documents contain
+    * it — navigation chrome, headers, template text. Output: per doc,
+    * how many of its distinct grams are boilerplate, as count + exact
+    * ppm (the downstream rewrite drops those spans).
+    *
+    * Scale shape: distinct (source, doc, gram-hash) explode → ONE
+    * keyed agg on (source, hash) for within-source document frequency
+    * (map-side combine), a broadcast of per-source doc counts (a
+    * source-cardinality table), and a join back on (source, hash).
+    * Everything is keyed on bounded keys; never doc × doc, and the
+    * gram table is materialized once for its two consumers.
+    */
+  def boilerplateDetect(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(gramHashes(col("toks"), 3))).as("h"))
+      .localCheckpoint(true)
+    val srcDocs = Tables.documents(s, d)
+      .groupBy(col("source")).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val gramDf = grams.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df")) // grams are per-doc distinct already
+    val boiler = gramDf.join(broadcast(srcDocs), Seq("source"))
+      .filter(col("df") * 2 >= col("n_docs"))
+      .select(col("source"), col("h"))
+    grams.join(boiler.withColumn("hit", lit(1L)), Seq("source", "h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boiler_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler_grams"),
+        floor(lit(1000000.0) * col("n_boiler_grams") / col("n_grams"))
+          .cast("long").as("boiler_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "boilerplate_detect" -> (boilerplateDetect _),
     "repetition_filter" -> (repetitionFilter _),
     "pii_redact" -> (piiRedact _),
     "char_entropy" -> (charEntropy _),
@@ -332,6 +369,33 @@ object QualityFilters {
       |   '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "boilerplate_detect" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, source, string_split($normSql, ' ') AS w FROM documents),
+         |g AS (
+         | SELECT DISTINCT doc_id, source,
+         |  ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+         | FROM (
+         |  SELECT doc_id, source, unnest(CASE WHEN len(w) >= 3
+         |   THEN list_transform(range(0, len(w) - 2),
+         |         i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+         |   ELSE [] END) AS gram
+         |  FROM toks)),
+         |sd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY 1),
+         |gd AS (SELECT source, h, count(*) AS df FROM g GROUP BY 1, 2),
+         |boiler AS (
+         | SELECT gd.source, gd.h FROM gd JOIN sd USING (source)
+         | WHERE gd.df * 2 >= sd.n_docs),
+         |per AS (
+         | SELECT g.doc_id,
+         |  count(*) AS n_grams,
+         |  count(*) FILTER (WHERE boiler.h IS NOT NULL) AS n_boiler_grams
+         | FROM g LEFT JOIN boiler ON g.source = boiler.source AND g.h = boiler.h
+         | GROUP BY 1)
+         |SELECT doc_id, n_grams, n_boiler_grams,
+         | CAST(floor(1000000.0 * n_boiler_grams / n_grams) AS BIGINT) AS boiler_ppm
+         |FROM per""".stripMargin,
+
     "repetition_filter" ->
       s"""WITH t AS (
          | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

@@ -88,6 +88,26 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(c > 0.5, s"weight/rate correlation $c")
   }
 
+  test("boilerplate_detect: counts bounded, synthetic boilerplate fully flagged") {
+    import spark.implicits._
+    val r = QualityFilters.boilerplateDetect(spark, sf).cache()
+    assert(r.filter(col("n_boiler_grams") > col("n_grams")).count() === 0)
+    assert(r.filter(col("boiler_ppm") < 0 || col("boiler_ppm") > 1000000).count() === 0)
+    r.unpersist()
+    // a source where every doc shares a template prefix: those grams
+    // must be flagged in every doc, the unique tails must not
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    val docs = (1L to 10L).map(i =>
+      (i, s"copyright acme corp all rights reserved unique$i tail$i body$i", "s1"))
+    docs.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val t = QualityFilters.boilerplateDetect(spark, dir).cache()
+    // template = 6 shared tokens -> exactly 4 fully-shared 3-grams per
+    // doc (grams crossing into the unique tail differ per doc)
+    assert(t.filter(col("n_boiler_grams") =!= 4).count() === 0)
+    assert(t.filter(col("n_boiler_grams") === col("n_grams")).count() === 0)
+    t.unpersist()
+  }
+
   test("curation_pipeline: survivors are a strict quality-gated subset, packed per source") {
     val r = QualityFilters.curationPipeline(spark, sf).cache()
     val total = graft.Tables.documents(spark, sf).count()

@@ -126,11 +126,11 @@ object Dedup {
     * non-negative signed BIGINT on both engines).
     */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    // gramHashes(toks, 1) = hash60 per token, hashed before the
+    // explode so the generator emits primitive longs, not strings
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), hash60(col("tok")).as("hv"))
-    // (tokens(..) here is the generator argument, evaluated once per
-    // row — not a lambda capture, so no materialization needed)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(gramHashes(col("toks"), 1)).as("hv"))
     val bitSums = (0 until 60).map { bit =>
       sum(shiftright(col("hv"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit")
     }

@@ -92,13 +92,18 @@ object TrainPrep {
   private val Shards = 32
 
   /** Deterministic global shuffle into training shards: every document
-    * gets a content-hash shard (32-way) and a within-shard position by
-    * a second independent hash — the reproducible "shuffle the corpus
-    * before packing" step. One keyed window per shard; no global sort,
-    * no RNG state, identical output on any cluster size or input
-    * partitioning (unlike `orderBy(rand())`, whose result depends on
-    * partition layout and seed plumbing). At 100 TB each shard window
-    * is 1/32 of the corpus and shards write out in parallel.
+    * gets a content-hash shard (32-way here) and a within-shard
+    * position by a second independent hash — the reproducible "shuffle
+    * the corpus before packing" step. One keyed window per shard; no
+    * global sort, no RNG state, identical output on any cluster size
+    * or input partitioning (unlike `orderBy(rand())`, whose result
+    * depends on partition layout and seed plumbing).
+    *
+    * `Shards` is a CLUSTER-SIZED parameter, not a constant: each
+    * shard's window sorts one shard in one task, so size shards to a
+    * few executor-comfortable GB (a 100 TB corpus wants ~10-50 k
+    * shards, not 32). The output is hash-determined, so changing the
+    * shard count only re-buckets — per-shard order stays reproducible.
     */
   def globalShuffle(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -74,7 +74,9 @@ object Bench {
           val t1 = timeAt(fn)
           val t =
             if (t1 < 1.0) t1
-            else { val t2 = timeAt(fn); if (t2 < 0) -1.0 else math.min(t1, t2) }
+            // keep the valid first measurement if only the re-run
+            // fails (transient load) — a real failure shows as t1 < 0
+            else { val t2 = timeAt(fn); if (t2 < 0) t1 else math.min(t1, t2) }
           n -> t
         }
         s""","sf1_queries":${toJson(r1)},"sf1_total":${r1.values.filter(_ > 0).sum},"sf1_factor":10"""

@@ -90,10 +90,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           arity(name, 2, exprs)
           val k = exprs(1) match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+                if v >= 1 && v <= Int.MaxValue => v.toInt
             case other => throw new AnalysisException(
-              errorClass = "SEED_EXPRESSION_IS_UNFOLDABLE",
+              errorClass = "DATATYPE_MISMATCH.NON_FOLDABLE_INPUT",
               messageParameters = Map(
-                "seedExpr" -> other.sql, "exprWithSeed" -> s"`$name`"))
+                "sqlExpr" -> s"\"$name\"",
+                "inputName" -> "`k`",
+                "inputType" -> "\"INT\"",
+                "inputExpr" -> s"\"${other.sql}\""))
           }
           build(exprs.head, k)
         }))

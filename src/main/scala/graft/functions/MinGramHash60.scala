@@ -14,14 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * — hash60 of every k-char substring, minimum over the row, null when
   * the string is shorter than k (array_min of the empty-array guard).
   *
-  * PRECONDITION: ASCII input (one byte = one char), which normText
-  * output always is — every non-ASCII byte was mapped to a space. The
-  * composed form materializes one UTF8String per window (~n substrings
-  * per row) and evaluates a two-level lambda per element; this kernel
-  * slides a byte window over the backing array and feeds it straight
-  * to the digest. doc_fingerprint over the sf1 corpus measured 31.9 s
-  * composed vs ~2 s native — the md5s themselves are the remaining
-  * cost (see docs/PLANS.md round-5 notes).
+  * The composed form materializes one UTF8String per window (~n
+  * substrings per row) and evaluates a two-level lambda per element;
+  * this kernel slides a window over the backing byte array and feeds
+  * it straight to the digest — byte-indexed on pure-ASCII input (the
+  * normText case), codepoint-indexed otherwise (matching substr's
+  * character semantics on arbitrary SQL input). doc_fingerprint over
+  * the sf1 corpus measured 31.9 s composed vs ~2 s native — the md5s
+  * themselves are the remaining cost (see docs/PLANS.md round-5
+  * notes).
   */
 case class MinGramHash60(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1, s"gram size must be >= 1, got $k")
@@ -58,27 +59,60 @@ object MinGramHash60 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Static kernel: min over hash60 of every k-byte window; null (no
-    * windows) when the input is shorter than k.
+  /** Static kernel: min over hash60 of every k-CHAR window; null (no
+    * windows) when the input is shorter than k characters. Pure-ASCII
+    * input (the normText case) takes the byte-window fast path; any
+    * non-ASCII byte switches to codepoint-offset windows so the SQL
+    * surface stays correct on arbitrary strings (a byte window would
+    * split UTF-8 sequences and hash values the composed
+    * charShingles→hash60 form never produces).
     */
   def minHash(s: UTF8String, k: Int): java.lang.Long = {
     val b = s.getBytes
     val n = b.length
-    if (n < k) return null
-    val md = mdPool.get()
-    var best = Long.MaxValue
+    var ascii = true
     var i = 0
-    while (i <= n - k) {
-      md.update(b, i, k)
-      val d = md.digest()
-      var v = 0L
-      var j = 0
-      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-      v = v >>> 4
-      if (v < best) best = v
-      i += 1
+    while (ascii && i < n) { if (b(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      if (n < k) return null
+      val md = mdPool.get()
+      var best = Long.MaxValue
+      i = 0
+      while (i <= n - k) {
+        best = math.min(best, digest60(md, b, i, k + i))
+        i += 1
+      }
+      best
+    } else {
+      // byte offsets of each codepoint start (UTF-8 lead bytes)
+      val starts = new Array[Int](n + 1)
+      var nc = 0
+      i = 0
+      while (i < n) {
+        if ((b(i) & 0xc0) != 0x80) { starts(nc) = i; nc += 1 }
+        i += 1
+      }
+      starts(nc) = n
+      if (nc < k) return null
+      val md = mdPool.get()
+      var best = Long.MaxValue
+      i = 0
+      while (i <= nc - k) {
+        best = math.min(best, digest60(md, b, starts(i), starts(i + k)))
+        i += 1
+      }
+      best
     }
-    best
+  }
+
+  @inline private def digest60(md: java.security.MessageDigest,
+      b: Array[Byte], from: Int, until: Int): Long = {
+    md.update(b, from, until - from)
+    val d = md.digest()
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v >>> 4
   }
 
   /** Column-API entry: `norm` must be ASCII (normText output). */

@@ -71,20 +71,27 @@ object ShingleHash60 {
     val n = arr.numElements()
     if (n < k) return Empty
     val md = mdPool.get()
-    // token bytes fetched once per row, not once per window
+    // token bytes fetched once per row, not once per window; null
+    // elements (possible via the SQL surface — the tokenizer never
+    // produces them) are SKIPPED like array_join skips them: no bytes,
+    // no separator, matching the composed wordShingles->hash60 form
     val toks = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      toks(i) = arr.getUTF8String(i).getBytes
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
       i += 1
     }
     val out = new Array[Long](n - k + 1)
     i = 0
     while (i <= n - k) {
       var j = i
+      var emitted = 0
       while (j < i + k) {
-        md.update(toks(j))
-        if (j < i + k - 1) md.update(' '.toByte)
+        if (toks(j) != null) {
+          if (emitted > 0) md.update(' '.toByte)
+          md.update(toks(j))
+          emitted += 1
+        }
         j += 1
       }
       val d = md.digest() // digest() resets the instance

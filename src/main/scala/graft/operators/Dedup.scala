@@ -224,6 +224,16 @@ object Dedup {
           val path = s"$dir/$name-$gen"
           gen += 1
           df.write.mode("overwrite").parquet(path)
+          // once generation N is on disk, generation N-1 is dead
+          // (lineage is cut at each write) — delete it so a long run
+          // holds at most 2 corpus-sized label tables, not one per
+          // iteration
+          if (name == "labels" && gen >= 2) {
+            val stale = new org.apache.hadoop.fs.Path(s"$dir/$name-${gen - 2}")
+            val fs = stale.getFileSystem(
+              df.sparkSession.sessionState.newHadoopConf())
+            if (fs.exists(stale)) fs.delete(stale, true)
+          }
           df.sparkSession.read.parquet(path)
       }
     // one up-front job materializes the (typically expensive) pair set

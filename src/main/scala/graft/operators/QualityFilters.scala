@@ -78,6 +78,19 @@ object QualityFilters {
   // pinned == these regexes); the oracle SQL below carries the same
   // dialect-neutral regex text (no lookarounds/backrefs — RE2-safe).
 
+  /** Deterministic PII injection (the synthetic corpus has none): one
+    * expression shared by piiRedact and curationPipeline — it must
+    * stay byte-identical to the oracle-side `augSql` fragment.
+    */
+  private[graft] def augPii: Column =
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com now")))
+      .when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 port")))
+      .otherwise(col("text"))
+
   /** PII detection + redaction (emails, IPv4). The synthetic corpus
     * carries no PII, so a deterministic injection (doc_id % 7 -> an
     * email, else doc_id % 11 -> an IP) makes the redaction observable
@@ -87,13 +100,7 @@ object QualityFilters {
     * C4/Gopher-style scrub that runs at scan speed over 100 TB.
     */
   def piiRedact(s: SparkSession, d: String): DataFrame = {
-    val aug = when(pmod(col("doc_id"), lit(7)) === 0,
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com now")))
-      .when(pmod(col("doc_id"), lit(11)) === 0,
-        concat(col("text"), lit(" from 10.0."),
-          pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 port")))
-      .otherwise(col("text"))
+    val aug = augPii
     // native scans (pinned == the regex forms in PiiScanSpec): the 4
     // regex passes were the last regex hot spot in the honest profile
     Tables.documents(s, d)
@@ -104,12 +111,6 @@ object QualityFilters {
         graft.functions.PiiScan.redact(col("aug")).as("redacted"))
   }
 
-  /** Unigram character entropy of the normalized text (nats, 6 dp) —
-    * the cheap gibberish/boilerplate signal: low entropy = repeated
-    * filler, high = random noise. Per-row O(distinct × n) with the
-    * distinct set sorted so the fold order (and thus the float sum) is
-    * identical on both engines. Zero shuffle.
-    */
   /** round(ln(n) - Σr·ln(r)/n, 6) over the codepoints of a normalized
     * string, n = codepoint count. The Σ r·ln r term is the native
     * [[graft.functions.CharStats]] kernel — one O(n) counting pass per
@@ -246,13 +247,7 @@ object QualityFilters {
     * dup-trigram, entropy >= 2.7 nats, >= 2 shared grams).
     */
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
-    val aug = when(pmod(col("doc_id"), lit(7)) === 0,
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com now")))
-      .when(pmod(col("doc_id"), lit(11)) === 0,
-        concat(col("text"), lit(" from 10.0."),
-          pmod(col("doc_id"), lit(256)).cast("string"), lit(".1 port")))
-      .otherwise(col("text"))
+    val aug = augPii
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("text"), aug.as("aug"))
       .select(col("doc_id"), col("source"), col("aug"),

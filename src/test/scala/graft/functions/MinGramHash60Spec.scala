@@ -33,6 +33,19 @@ class MinGramHash60Spec extends SparkTestBase {
     assert(r("12345678") === Hash60Check.ref("12345678"))
   }
 
+  test("non-ASCII input windows by codepoint, matching the composed form") {
+    import spark.implicits._
+    val rows = Seq("中文的测试字符串长度", "mixédàccénts here", "ab中cd文ef的gh",
+      "short中", "exactly中文八个字符呀")
+    val bad = rows.toDF("norm")
+      .select(
+        MinGramHash60.minGramHash60(col("norm"), 8).as("a"),
+        composed(col("norm"), 8).as("b"))
+      .filter(not(col("a") <=> col("b")))
+      .count()
+    assert(bad === 0)
+  }
+
   test("minimum is over all windows") {
     import spark.implicits._
     val s = "abcdefghij" // windows: abcdefgh, bcdefghi, cdefghij

@@ -48,6 +48,20 @@ class ShingleHash60Spec extends SparkTestBase {
     assert(got === Seq(Hash60Check.ref("hello world"), Hash60Check.ref("world again")))
   }
 
+  test("null elements are skipped like array_join skips them") {
+    import spark.implicits._
+    // composed form: array_join drops null elements without a
+    // separator, so [a, null, b] windows hash like the joined survivors
+    val df = Seq((1L, Seq("a", null, "b"))).toDF("id", "toks")
+    val got = df.select(ShingleHash60.shingleHash60(col("toks"), 3).as("h"))
+      .head.getSeq[Long](0)
+    assert(got === Seq(Hash60Check.ref("a b")))
+    val composed = df.select(
+      transform(wordShingles(col("toks"), 3), g => hash60(g)).as("h"))
+      .head.getSeq[Long](0)
+    assert(got === composed)
+  }
+
   test("non-array input is a type-check failure") {
     import spark.implicits._
     val df = Seq(1L).toDF("x")

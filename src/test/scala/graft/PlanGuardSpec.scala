@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Plan lint over EVERY registered query: each must analyze + plan
+  * cleanly against the test corpus, and no plan may contain an
+  * unkeyed CartesianProductExec — the shape that cannot run at scale.
+  * (Broadcast nested-loop joins against 1-row aggregates or pinned
+  * tiny query sets are legitimate and are not flagged.) This catches a
+  * future operator that accidentally drops its join key long before
+  * the bench or the driver gate would.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.initialPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(flatten) ++ p.subqueries.flatMap(flatten)
+  }
+
+  test("every registered query plans without a cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val cart = flatten(plan).exists(_.isInstanceOf[CartesianProductExec])
+        if (cart) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}

@@ -13,8 +13,9 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
-  // Shared normalized-text SQL fragment for the DuckDB oracles.
-  private val normSql =
+  // Shared normalized-text SQL fragment for the DuckDB oracles
+  // (package-visible: Sketch reuses it for token-level oracles).
+  private[operators] val normSql =
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   /** Whitespace + regex ("BPE-ish" word/number/symbol classes) token counts. */

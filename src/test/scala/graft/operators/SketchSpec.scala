@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.functions.TextFunctions._
+
+/** Frequent-items sketch tier: the Misra–Gries guarantee itself, the
+  * certified heavy-hitters plan against an exact in-Spark twin (the
+  * DuckDB oracle re-checks it cross-engine), eviction-path exactness on
+  * a skewed synthetic corpus, the certificate's failure mode, and the
+  * HLL++ approx-distinct error bound vs the exact vocab_stats path.
+  */
+class SketchSpec extends SparkTestBase {
+
+  test("misraGries: survivors cover every item above n/(cap+1); totals exact") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val n = 2000
+      // skewed stream: a few hot items + a uniform long tail
+      val stream = Seq.fill(n) {
+        val r = rnd.nextInt(100)
+        if (r < 30) "hot1" else if (r < 45) "hot2" else s"t${rnd.nextInt(500)}"
+      }
+      val cap = 8
+      val out = Sketch.misraGries(stream.iterator, cap).toSeq
+      val book = out.filter(_.token == null)
+      assert(book.size == 1 && book.head.part_total == n.toLong)
+      val survivors = out.filter(_.token != null).map(_.token).toSet
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size }
+      exact.filter(_._2 > n / (cap + 1)).keys.foreach { hot =>
+        assert(survivors.contains(hot), s"dropped $hot (count ${exact(hot)})")
+      }
+    }
+  }
+
+  test("heavy_hitters equals the exact top-20 on the test corpus") {
+    val got = Sketch.heavyHitters(spark, sf)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val exact = graft.Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == exact.toSeq)
+  }
+
+  test("heavy_hitters stays exact through the eviction path (skewed corpus, tiny cap)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 200 docs: hot tokens dominate, plus a wide one-off noise tail that
+    // forces decrement rounds at cap=16
+    val docs = (0 until 200).map { i =>
+      val hot = Seq.fill(12)(s"hot${i % 4}").mkString(" ")
+      val noise = Seq.fill(6)(s"z${rnd.nextInt(5000)}").mkString(" ")
+      (i.toLong, s"$hot $noise", "en", s"src${i % 3}", (hot.length + noise.length + 1).toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    docs.repartition(4).write.parquet(s"$dir/documents.parquet")
+
+    val got = Sketch.heavyHitters(spark, dir, k = 4, cap = 16)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(4).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == exact.toSeq)
+    assert(got.forall(_._1.startsWith("hot")))
+  }
+
+  test("certificate refuses an uncertifiable top-k instead of approximating") {
+    // near-uniform vocabulary at a cap far below it: candidates cannot
+    // cover the top-20 provably, so the call must raise, not return
+    val ex = intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(spark, sf, k = 20, cap = 4)
+    }
+    assert(ex.getMessage.contains("not certifiably exact"))
+  }
+
+  test("token_freq_spectrum masses add up; HLL++ distinct within its error bound") {
+    val spec = Sketch.tokenFreqSpectrum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Σ cnt * n_types == total tokens; Σ n_types == vocabulary size
+    val nTok = spec.map { case (c, t) => c * t }.sum
+    val nDis = spec.map(_._2).sum
+    val nTokDirect = graft.Tables.documents(spark, sf)
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(nTok == nTokDirect)
+    assert(spec.map(_._1).distinct.length == spec.length)
+    // the 100 TB shortcut: HLL++ (rsd 5%) against the exact distinct
+    val approx = graft.Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(approx_count_distinct(col("token"), 0.05)).head().getLong(0)
+    assert(math.abs(approx - nDis).toDouble / nDis <= 0.15,
+      s"approx=$approx exact=$nDis")
+  }
+}

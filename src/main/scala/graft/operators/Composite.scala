@@ -28,8 +28,9 @@ object Composite {
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name").as("nation"), weekofyear(col("o_orderdate")).cast("long").as("week"))
-      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-        .cast("decimal(18,6)")).cast("double").as("revenue")) // exact decimal sum: see q1_agg note
+      .agg(graft.functions.ExactSum.sumExact(
+        col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue")) // exact long-micros sum: see ExactSum scaladoc
 
     val wLag = Window.partitionBy("nation").orderBy("week")
     val wRank = Window.partitionBy("week").orderBy(col("revenue").desc, col("nation"))

@@ -22,18 +22,20 @@ object MultiDim {
     */
   def rollupRevenue(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      // cast BEFORE the rollup: Expand replicates each row once per
-      // grouping set, so a cast inside agg() runs 3x per input row —
-      // pre-projected, the double->decimal conversions run once and
-      // Expand copies the compact decimal values
+      // scale to integer micros BEFORE the rollup: Expand replicates
+      // each row once per grouping set, so a conversion inside agg()
+      // runs 3x per input row — pre-projected, the double->micros
+      // rounding runs once and Expand copies primitive longs. The
+      // long-micros sum is byte-equal to the decimal(18,6) sum it
+      // replaces (ExactSum scaladoc + ExactSumSpec).
       .select(col("l_returnflag"), col("l_linestatus"),
-        col("l_quantity").cast("decimal(18,6)").as("qty_dec"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,6)").as("rev_dec"))
+        graft.functions.ExactSum.micros(col("l_quantity")).as("qty_u"),
+        graft.functions.ExactSum.micros(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_u"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("qty_dec")).cast("double").as("sum_qty"),
-        sum(col("rev_dec")).cast("double").as("revenue"),
+        graft.functions.ExactSum.microsToDouble(sum(col("qty_u"))).as("sum_qty"),
+        graft.functions.ExactSum.microsToDouble(sum(col("rev_u"))).as("revenue"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
@@ -50,7 +52,7 @@ object MultiDim {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority").as("priority"))
       .pivot("o_orderstatus", Seq("O", "F", "P"))
-      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"))
+      .agg(graft.functions.ExactSum.sumExact(col("o_totalprice")))
       .select(col("priority"), col("O").as("total_o"),
         col("F").as("total_f"), col("P").as("total_p"))
 

@@ -35,13 +35,15 @@ object Relational {
       .agg(
         // money/quantity values live on a 1e-4 decimal lattice; summing
         // them as doubles is order-dependent and lands exactly on
-        // round() half-way boundaries where engines disagree. Summing
-        // in DECIMAL is exact and order-independent; the final cast
-        // back to double is deterministic on both engines.
-        sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double").as("revenue"),
+        // round() half-way boundaries where engines disagree. ExactSum
+        // sums integer micros (a primitive long buffer) — exact and
+        // order-independent like the decimal(18,6) sum it replaces
+        // (pinned byte-equal in ExactSumSpec) without the >18-digit
+        // BigDecimal aggregation buffer on every row update.
+        graft.functions.ExactSum.sumExact(col("l_quantity")).as("sum_qty"),
+        graft.functions.ExactSum.sumExact(col("l_extendedprice")).as("sum_price"),
+        graft.functions.ExactSum.sumExact(
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("n"))
 

@@ -83,8 +83,22 @@ object Sketch {
   /** Exact global top-k most frequent tokens (count desc, token asc
     * tiebreak), computed with the certified sketch-then-recount plan
     * described on the object. Output: (token, cnt, rank), k rows.
+    *
+    * Contract: the plan presumes a heavy-tailed (Zipfian) frequency
+    * distribution — each top-k token must carry > 1/(cap+1) of total
+    * token mass for the certificate to prove exactness. Real-crawl
+    * heads satisfy that with small caps; a near-FLAT distribution
+    * (e.g. the ScaleUp bench corpus, whose replicas deliberately share
+    * no vocabulary, so 10x data means 10x types at constant per-type
+    * mass) needs cap >= vocabulary size to certify — the round-5 sf1
+    * sweep caught exactly that with cap=128 (kth=9117 < n/129: refused,
+    * loudly). Default cap 1024 keeps the summary bounded (32 partitions
+    * x 1024 = 32k candidate rows) while covering the 10x corpus's ~310
+    * types eviction-free; for distributions flatter than 1/(cap+1) the
+    * honest answer is the full vocabulary agg (token_freq_spectrum's
+    * plan), not a sketch.
     */
-  def heavyHitters(s: SparkSession, d: String, k: Int = 20, cap: Int = 128): DataFrame = {
+  def heavyHitters(s: SparkSession, d: String, k: Int = 20, cap: Int = 1024): DataFrame = {
     import s.implicits._
     def toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))

@@ -452,7 +452,7 @@ object Dedup {
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   /** Shared CTE prefix: word tokens + 3-gram shingle hashes mod P. */
-  private val shingleHashCte =
+  private[operators] val shingleHashCte =
     s"""WITH toks AS (
        | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
        |sh AS (
@@ -464,7 +464,7 @@ object Dedup {
        | SELECT doc_id, list_transform(shingles,
        |   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $P) AS hv FROM sh)""".stripMargin
 
-  private val sigSelect = (0 until 8).map { j =>
+  private[operators] val sigSelect = (0 until 8).map { j =>
     val a = 2 * j + 3
     val b = 101 * j + 7
     s"list_min(list_transform(hv, h -> (h * $a + $b) % $P)) AS sig$j"

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over the document-similarity graph — the iterative-
+  * propagation class beyond connected components (Dedup.scala). Crawl
+  * pipelines use link/similarity centrality as a quality prior (pages
+  * reachable from many well-connected pages are likelier keepers), and
+  * the canonical-pick step of a dedup pass can prefer the most central
+  * member of a cluster instead of min-id.
+  *
+  * `similarity_pagerank` runs a FIXED-ITERATION (3) damped PageRank
+  * over the undirected MinHash-LSH candidate graph (same pair table as
+  * dedup_clusters — reused via [[Dedup.lshCandidates]]):
+  *
+  *   pr_0(v)   = 1.0
+  *   pr_t+1(v) = 0.15 + 0.85 * sum over neighbors u of pr_t(u)/deg(u)
+  *
+  * Scale shape: the (src, dst, deg) edge table is materialized ONCE
+  * (eager localCheckpoint — it feeds every iteration) and each
+  * iteration is one keyed join edges-to-ranks plus one groupBy(dst)
+  * aggregation — the same "one shuffle per superstep" discipline as
+  * connectedComponents, with corpus-sized sides always on keyed
+  * shuffles (never broadcast). Fixed iteration count keeps the plan
+  * depth static; a convergence-driven variant would materialize ranks
+  * per iteration exactly like connectedComponents does. Per-iteration
+  * 6-dp rounding keeps the float sums engine- and order-independent
+  * (the repo-wide round-both-sides rule), which is what makes a
+  * DuckDB oracle possible for an iterative float computation.
+  */
+object Graph {
+
+  /** The iteration core over an explicit node set (`docs`: doc_id) and
+    * undirected pair set (`pairs`: doc_a, doc_b) — unit-testable against
+    * hand-computed ranks (GraphSpec).
+    */
+  private[operators] def pagerank(docs: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+    val und = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = und.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(und.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // one materialization feeds all iterations
+    val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
+
+    var r = docs.select(col("doc_id")).withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(sum(col("pr") / col("deg")).as("inflow"))
+      // left join: isolated docs (no candidate pairs) hold the teleport
+      // mass 0.15 — they stay in the result, not silently dropped
+      r = docs.select(col("doc_id")).join(contrib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0)), 6).as("pr"))
+    }
+    r
+  }
+
+  def similarityPagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame =
+    pagerank(Tables.documents(s, d), Dedup.lshCandidates(s, d)._1, iters)
+
+  val queries: Map[String, Relational.Q] = Map(
+    "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d))
+  )
+
+  // one oracle iteration: ranks `prev` -> ranks at 6 dp
+  private def iterCte(prev: String, out: String): String =
+    s"""$out AS (
+       | SELECT d.doc_id,
+       |  round(0.15 + 0.85 * coalesce(sum($prev.pr / dg.deg), 0), 6) AS pr
+       | FROM documents d
+       |  LEFT JOIN edges e ON e.dst = d.doc_id
+       |  LEFT JOIN $prev ON $prev.doc_id = e.src
+       |  LEFT JOIN deg dg ON dg.src = e.src
+       | GROUP BY d.doc_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "similarity_pagerank" ->
+      s"""${Dedup.shingleHashCte},
+         |sig AS (SELECT doc_id, ${Dedup.sigSelect} FROM hs),
+         |bands AS (
+         | SELECT doc_id,
+         |  unnest([0, 1, 2, 3]) AS bid,
+         |  unnest([
+         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+         | FROM sig WHERE sig0 IS NOT NULL),
+         |pairs AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+         |  AND a.doc_id < b.doc_id),
+         |edges AS (
+         | SELECT doc_a AS src, doc_b AS dst FROM pairs
+         | UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT doc_id, 1.0::DOUBLE AS pr FROM documents),
+         |${iterCte("r0", "r1")},
+         |${iterCte("r1", "r2")},
+         |${iterCte("r2", "r3")}
+         |SELECT doc_id, pr FROM r3""".stripMargin
+  )
+}

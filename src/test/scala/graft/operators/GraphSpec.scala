@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** PageRank over the similarity graph: hand-computed ranks on a known
+  * path graph, isolated-node teleport mass, and full-corpus sanity
+  * (one row per doc, ranks bounded below by the teleport term). The
+  * DuckDB oracle re-checks the full composition cross-engine.
+  */
+class GraphSpec extends SparkTestBase {
+
+  test("pagerank matches hand-computed ranks on the path graph 1-2-3 (+isolated 4)") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Graph.pagerank(docs, pairs, 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // deg: 1->1, 2->2, 3->1. r0 = 1.
+    // r1 = (0.575, 1.85, 0.575); r2 = (0.93625, 1.1275, 0.93625)
+    // r3 = (0.6291875, 1.741625, 0.6291875), each rounded to 6 dp
+    assert(math.abs(got(1L) - 0.6291875) < 2e-6)
+    assert(math.abs(got(2L) - 1.741625) < 2e-6)
+    assert(math.abs(got(3L) - 0.6291875) < 2e-6)
+    assert(got(4L) == 0.15)
+  }
+
+  test("similarity_pagerank: one row per doc, teleport lower bound, centrality varies") {
+    val docs = graft.Tables.documents(spark, sf)
+    val n = docs.count()
+    val rows = Graph.similarityPagerank(spark, sf).collect()
+    assert(rows.length == n)
+    assert(rows.forall(_.getDouble(1) >= 0.15 - 1e-9))
+    // the similarity graph is non-trivial on this corpus: some docs
+    // must be strictly more central than the teleport floor
+    assert(rows.exists(_.getDouble(1) > 0.15 + 1e-6))
+  }
+}

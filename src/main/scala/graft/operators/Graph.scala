@@ -25,10 +25,17 @@ import graft.Tables
   * connectedComponents, with corpus-sized sides always on keyed
   * shuffles (never broadcast). Fixed iteration count keeps the plan
   * depth static; a convergence-driven variant would materialize ranks
-  * per iteration exactly like connectedComponents does. Per-iteration
-  * 6-dp rounding keeps the float sums engine- and order-independent
-  * (the repo-wide round-both-sides rule), which is what makes a
-  * DuckDB oracle possible for an iterative float computation.
+  * per iteration exactly like connectedComponents does.
+  *
+  * Exactness: the fixpoint runs entirely in integer MICRO-units
+  * (rank 1.0 = 1,000,000; per-edge share = prm div deg; damping =
+  * (85 * inflow) div 100). Long sums are order-independent, so both
+  * engines produce bit-identical ranks — per-iteration float rounding
+  * was tried first and a 50k-doc sweep found one row landing on a
+  * 6-dp half-boundary where the engines' summation orders disagree.
+  * The div quantization costs < 1e-6 per edge per iteration vs real
+  * PageRank — noise against the damping factor — and buys a
+  * deterministic oracle for an iterative computation.
   */
 object Graph {
 
@@ -44,19 +51,20 @@ object Graph {
     // one materialization feeds all iterations
     val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
 
-    var r = docs.select(col("doc_id")).withColumn("pr", lit(1.0))
+    var r = docs.select(col("doc_id")).withColumn("prm", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = ed
         .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
-        .agg(sum(col("pr") / col("deg")).as("inflow"))
+        .agg(sum(expr("prm div deg")).as("inflow"))
       // left join: isolated docs (no candidate pairs) hold the teleport
       // mass 0.15 — they stay in the result, not silently dropped
       r = docs.select(col("doc_id")).join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          round(lit(0.15) + lit(0.85) * coalesce(col("inflow"), lit(0.0)), 6).as("pr"))
+          (lit(150000L) + expr("(85 * coalesce(inflow, 0)) div 100")).as("prm"))
     }
-    r
+    // exact: prm <= n * 1e6 stays far below 2^53
+    r.select(col("doc_id"), (col("prm") / lit(1000000.0)).as("pr"))
   }
 
   def similarityPagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame =
@@ -66,11 +74,12 @@ object Graph {
     "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d))
   )
 
-  // one oracle iteration: ranks `prev` -> ranks at 6 dp
+  // one oracle iteration in integer micro-units (// = floor division,
+  // == truncation here: every quantity is non-negative)
   private def iterCte(prev: String, out: String): String =
     s"""$out AS (
        | SELECT d.doc_id,
-       |  round(0.15 + 0.85 * coalesce(sum($prev.pr / dg.deg), 0), 6) AS pr
+       |  150000 + (85 * coalesce(sum($prev.prm // dg.deg), 0)) // 100 AS prm
        | FROM documents d
        |  LEFT JOIN edges e ON e.dst = d.doc_id
        |  LEFT JOIN $prev ON $prev.doc_id = e.src
@@ -98,10 +107,10 @@ object Graph {
          | SELECT doc_a AS src, doc_b AS dst FROM pairs
          | UNION ALL SELECT doc_b, doc_a FROM pairs),
          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         |r0 AS (SELECT doc_id, 1.0::DOUBLE AS pr FROM documents),
+         |r0 AS (SELECT doc_id, 1000000::BIGINT AS prm FROM documents),
          |${iterCte("r0", "r1")},
          |${iterCte("r1", "r2")},
          |${iterCte("r2", "r3")}
-         |SELECT doc_id, pr FROM r3""".stripMargin
+         |SELECT doc_id, prm / 1000000.0 AS pr FROM r3""".stripMargin
   )
 }

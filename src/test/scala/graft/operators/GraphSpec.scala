@@ -16,13 +16,14 @@ class GraphSpec extends SparkTestBase {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     val got = Graph.pagerank(docs, pairs, 3).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // deg: 1->1, 2->2, 3->1. r0 = 1.
-    // r1 = (0.575, 1.85, 0.575); r2 = (0.93625, 1.1275, 0.93625)
-    // r3 = (0.6291875, 1.741625, 0.6291875), each rounded to 6 dp
-    assert(math.abs(got(1L) - 0.6291875) < 2e-6)
-    assert(math.abs(got(2L) - 1.741625) < 2e-6)
-    assert(math.abs(got(3L) - 0.6291875) < 2e-6)
-    assert(got(4L) == 0.15)
+    // integer micro-unit fixpoint. deg: 1->1, 2->2, 3->1; r0 = 1000000.
+    // r1 = (575000, 1850000, 575000); r2 = (936250, 1127500, 936250)
+    // r3: v1 inflow = 1127500 div 2 = 563750; (85*563750) div 100
+    //     truncates 479187.5 -> 479187; prm = 629187. v2 = 1741625.
+    assert(got(1L) == 629187 / 1e6)
+    assert(got(2L) == 1741625 / 1e6)
+    assert(got(3L) == 629187 / 1e6)
+    assert(got(4L) == 150000 / 1e6)
   }
 
   test("similarity_pagerank: one row per doc, teleport lower bound, centrality varies") {

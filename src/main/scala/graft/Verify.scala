@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional extra args: re-dump only the named queries (dev tool —
-    // the driver's 2-arg invocation still dumps everything)
+    // the driver's 2-arg invocation still dumps everything). A name
+    // that matches nothing must fail loudly: a silent skip would leave
+    // a stale dump that then reads as a fresh green result.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -41,17 +41,25 @@ object Graph {
 
   /** The iteration core over an explicit node set (`docs`: doc_id) and
     * undirected pair set (`pairs`: doc_a, doc_b) — unit-testable against
-    * hand-computed ranks (GraphSpec).
+    * hand-computed ranks (GraphSpec). Both multiply-consumed inputs
+    * materialize once when `materialize` (the (src, dst, deg) edge
+    * table feeds every superstep; the doc_id node set feeds every
+    * left join — without the checkpoint each iteration would re-scan
+    * documents and re-derive all earlier ranks through lineage);
+    * `materialize = false` keeps the whole composition lazy for the
+    * PlanGuardSpec join-shape lint.
     */
-  private[operators] def pagerank(docs: DataFrame, pairs: DataFrame, iters: Int): DataFrame = {
+  private[operators] def pagerank(docs: DataFrame, pairs: DataFrame, iters: Int,
+      materialize: Boolean = true): DataFrame = {
     val und = pairs.select(col("doc_a"), col("doc_b"))
     val edges = und.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(und.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // one materialization feeds all iterations
-    val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
+    def mat(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
+    val ed = mat(edges.join(deg, Seq("src")))
+    val ids = mat(docs.select(col("doc_id")))
 
-    var r = docs.select(col("doc_id")).withColumn("prm", lit(1000000L))
+    var r = ids.withColumn("prm", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = ed
         .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
@@ -59,7 +67,7 @@ object Graph {
         .agg(sum(expr("prm div deg")).as("inflow"))
       // left join: isolated docs (no candidate pairs) hold the teleport
       // mass 0.15 — they stay in the result, not silently dropped
-      r = docs.select(col("doc_id")).join(contrib, Seq("doc_id"), "left")
+      r = ids.join(contrib, Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(150000L) + expr("(85 * coalesce(inflow, 0)) div 100")).as("prm"))
     }
@@ -67,8 +75,9 @@ object Graph {
     r.select(col("doc_id"), (col("prm") / lit(1000000.0)).as("pr"))
   }
 
-  def similarityPagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame =
-    pagerank(Tables.documents(s, d), Dedup.lshCandidates(s, d)._1, iters)
+  def similarityPagerank(s: SparkSession, d: String, iters: Int = 3,
+      materialize: Boolean = true): DataFrame =
+    pagerank(Tables.documents(s, d), Dedup.lshCandidates(s, d)._1, iters, materialize)
 
   val queries: Map[String, Relational.Q] = Map(
     "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d))

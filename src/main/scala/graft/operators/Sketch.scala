@@ -97,8 +97,14 @@ object Sketch {
     * types eviction-free; for distributions flatter than 1/(cap+1) the
     * honest answer is the full vocabulary agg (token_freq_spectrum's
     * plan), not a sketch.
+    *
+    * `materialize = false` returns the same composition fully LAZY (no
+    * checkpoints, no certificate) — PlanGuardSpec lints that twin, so
+    * the pass-2 join shape stays visible to the cartesian check that
+    * the eager form's checkpoint would otherwise hide.
     */
-  def heavyHitters(s: SparkSession, d: String, k: Int = 20, cap: Int = 1024): DataFrame = {
+  def heavyHitters(s: SparkSession, d: String, k: Int = 20, cap: Int = 1024,
+      materialize: Boolean = true): DataFrame = {
     import s.implicits._
     def toks = Tables.documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))
@@ -106,21 +112,22 @@ object Sketch {
     // pass 1: bounded summary table (≤ partitions x (cap+1) rows) —
     // eager localCheckpoint because it feeds both the candidate join
     // and the two certificate scalars
-    val summary = toks.as[String]
+    val summaryLazy = toks.as[String]
       .mapPartitions(it => misraGries(it, cap))
       .toDF("token", "part_total", "evictions")
-      .localCheckpoint(true)
+    val summary = if (materialize) summaryLazy.localCheckpoint(true) else summaryLazy
     val cands = summary.filter(col("token").isNotNull).select("token").distinct()
 
     // pass 2: exact recount of candidates only; the agg shuffle carries
     // candidate tokens, never the full vocabulary
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token"))
-    val top = toks.join(broadcast(cands), Seq("token"))
+    val topLazy = toks.join(broadcast(cands), Seq("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .localCheckpoint(true) // materialize once: certificate + result
+    if (!materialize) return topLazy
+    val top = topLazy.localCheckpoint(true) // materialize once: certificate + result
 
     // driver-side exactness certificate (bounded scalar aggregates on
     // the checkpointed tables — no extra corpus scan)

@@ -22,10 +22,20 @@ class PlanGuardSpec extends SparkTestBase {
     self ++ p.children.flatMap(flatten) ++ p.subqueries.flatMap(flatten)
   }
 
+  // Queries whose registered form EAGERLY materializes internal stages
+  // (localCheckpoint + driver certificate): linting that form would
+  // execute the job and see only a checkpoint-RDD scan. These lazy
+  // twins are the same composition with materialization off, so the
+  // join shapes stay visible to the cartesian check.
+  private val lazyTwins: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "heavy_hitters" -> ((s, d) => graft.operators.Sketch.heavyHitters(s, d, materialize = false)),
+    "similarity_pagerank" -> ((s, d) => graft.operators.Graph.similarityPagerank(s, d, materialize = false)))
+
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.executedPlan
+        val lintFn = lazyTwins.getOrElse(name, fn)
+        val plan = lintFn(spark, sf).queryExecution.executedPlan
         val cart = flatten(plan).exists(_.isInstanceOf[CartesianProductExec])
         if (cart) Some(name) else None
     }

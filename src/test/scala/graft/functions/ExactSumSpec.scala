@@ -46,8 +46,7 @@ class ExactSumSpec extends SparkTestBase {
     val rows = data.groupBy(col("g"))
       .agg(
         ExactSum.sumExact(col("price") * (lit(1) - col("rate"))).as("v_new"),
-        sum((col("price") * (lit(1) - col("rate"))).cast("decimal(18,6)"))
-          .cast("double").as("v_old"))
+        decimalSum(col("price") * (lit(1) - col("rate"))).as("v_old"))
       .collect()
     assert(rows.length == 8)
     rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.toString))

@@ -14,8 +14,17 @@ def norm(df):
     df = df[sorted(df.columns)]
     return df.sort_values(by=list(df.columns), na_position="last").reset_index(drop=True)
 
+def is_null_like(x):
+    # None, float NaN, pandas NaT — anything self-unequal or None
+    if x is None:
+        return True
+    try:
+        return x != x
+    except Exception:
+        return False
+
 def cells_equal(a, b):
-    if a is None and b is None:
+    if is_null_like(a) and is_null_like(b):
         return True
     try:
         if isinstance(a, float) or isinstance(b, float):

@@ -111,10 +111,34 @@ object Temporal {
       .select(col("p_partkey"), col("band_name"), col("p_retailprice"))
   }
 
+  /** Weekly cohort retention matrix: users grouped by their first-
+    * activity ISO week; each cell counts the cohort's users active
+    * `week_offset` weeks later. The canonical funnel query. Shape:
+    * distinct (user, week) activity -> per-user min (both keyed on
+    * user_id, so the first-event agg and the join REUSE one exchange)
+    * -> one final (cohort, offset) agg. Since activity is distinct per
+    * (user, week) and the cohort is functionally dependent on the
+    * user, the final count(*) IS the distinct-user count — no second
+    * distinct pass over the fact stream.
+    */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val firstWk = act.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    act.join(firstWk, Seq("user_id"))
+      .select(col("cohort_wk"),
+        expr("datediff(wk, cohort_wk) div 7").as("week_offset"))
+      .groupBy(col("cohort_wk"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
-    "interval_band_join" -> (intervalBandJoin _)
+    "interval_band_join" -> (intervalBandJoin _),
+    "retention_cohorts" -> (retentionCohorts _)
   )
 
   private val bandsValues = bands
@@ -151,6 +175,17 @@ object Temporal {
       s"""WITH bands(band_name, lo, hi) AS (VALUES $bandsValues)
          |SELECT p_partkey, band_name, p_retailprice
          |FROM part JOIN bands
-         |  ON p_retailprice >= lo AND p_retailprice < hi""".stripMargin
+         |  ON p_retailprice >= lo AND p_retailprice < hi""".stripMargin,
+
+    "retention_cohorts" ->
+      """WITH act AS (
+        | SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events),
+        |first AS (
+        | SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+        |SELECT cohort_wk,
+        | date_diff('day', cohort_wk, wk) // 7 AS week_offset,
+        | count(*) AS n_users
+        |FROM act JOIN first USING (user_id)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

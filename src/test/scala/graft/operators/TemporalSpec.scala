@@ -64,4 +64,19 @@ class TemporalSpec extends SparkTestBase {
     val multi = got.groupBy(col("p_partkey")).count().filter(col("count") >= 2)
     assert(multi.count() > 0)
   }
+
+  test("retention_cohorts: offset-0 mass == user base; retention never exceeds cohort size") {
+    val m = Temporal.retentionCohorts(spark, sf).collect()
+      .map(r => ((r.getDate(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(m.keys.forall(_._2 >= 0))
+    // every user is active in their own first week
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    val offset0 = m.collect { case ((_, 0L), n) => n }.sum
+    assert(offset0 == totalUsers)
+    // a cohort's later cells never exceed its size
+    m.foreach { case ((cohort, off), n) =>
+      if (off > 0) assert(n <= m((cohort, 0L)), s"$cohort offset $off")
+    }
+  }
 }

@@ -79,8 +79,51 @@ object Graph {
       materialize: Boolean = true): DataFrame =
     pagerank(Tables.documents(s, d), Dedup.lshCandidates(s, d)._1, iters, materialize)
 
+  /** Triangle enumeration core over an undirected pair set (`pairs`:
+    * doc_a, doc_b, one row per edge). Degree orientation: every edge
+    * points from its lower-(degree, id) endpoint to the higher one,
+    * turning the graph into a DAG where each triangle appears exactly
+    * once as u->v, v->w, u->w. The wedge join (e1.dst = e2.src) then
+    * expands each node's OUT-edges only, and out-degree under degree
+    * orientation is O(sqrt(m)) — the classic bound that keeps the
+    * wedge blow-up survivable on power-law similarity graphs, where
+    * id-ordered enumeration explodes on hub nodes. All three joins are
+    * keyed equi-joins (no broadcast of anything corpus-sized); the
+    * oriented edge table materializes once (it feeds both sides of the
+    * wedge join and the closing probe).
+    */
+  private[operators] def triangles(pairs: DataFrame, materialize: Boolean = true): DataFrame = {
+    val und = pairs.select(col("doc_a"), col("doc_b"))
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = und.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("dg"))
+    val oriented0 = und
+      .join(deg.select(col("v").as("doc_a"), col("dg").as("deg_a")), Seq("doc_a"))
+      .join(deg.select(col("v").as("doc_b"), col("dg").as("deg_b")), Seq("doc_b"))
+      .filter(col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b")))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val oriented = if (materialize) oriented0.localCheckpoint(true) else oriented0
+    val tri = oriented.as("e1")
+      .join(oriented.select(col("src").as("mid"), col("dst").as("w")),
+        col("e1.dst") === col("mid"))
+      .join(oriented.select(col("src").as("u2"), col("dst").as("w2")),
+        col("e1.src") === col("u2") && col("w") === col("w2"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("w").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Per-node triangle counts over the MinHash-LSH candidate graph —
+    * local clustering density as a dedup/quality prior (a document in
+    * many triangles sits in a tight near-duplicate clique, not a
+    * chance collision). Nodes in no triangle are absent (count 0).
+    */
+  def triangleCount(s: SparkSession, d: String, materialize: Boolean = true): DataFrame =
+    triangles(Dedup.lshCandidates(s, d)._1, materialize)
+
   val queries: Map[String, Relational.Q] = Map(
-    "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d))
+    "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d)),
+    "triangle_count" -> ((s, d) => triangleCount(s, d))
   )
 
   // one oracle iteration in integer micro-units (// = floor division,
@@ -95,31 +138,51 @@ object Graph {
        |  LEFT JOIN deg dg ON dg.src = e.src
        | GROUP BY d.doc_id)""".stripMargin
 
+  // shared oracle prefix: the MinHash-LSH candidate pair graph (doc_a <
+  // doc_b), same construction as the dedup/pagerank oracles
+  private val pairsCtes: String =
+    s"""${Dedup.shingleHashCte},
+       |sig AS (SELECT doc_id, ${Dedup.sigSelect} FROM hs),
+       |bands AS (
+       | SELECT doc_id,
+       |  unnest([0, 1, 2, 3]) AS bid,
+       |  unnest([
+       |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+       |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+       |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+       |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+       | FROM sig WHERE sig0 IS NOT NULL),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+       |  AND a.doc_id < b.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "similarity_pagerank" ->
-      s"""${Dedup.shingleHashCte},
-         |sig AS (SELECT doc_id, ${Dedup.sigSelect} FROM hs),
-         |bands AS (
-         | SELECT doc_id,
-         |  unnest([0, 1, 2, 3]) AS bid,
-         |  unnest([
-         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
-         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
-         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
-         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
-         | FROM sig WHERE sig0 IS NOT NULL),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
-         |  AND a.doc_id < b.doc_id),
-         |edges AS (
-         | SELECT doc_a AS src, doc_b AS dst FROM pairs
-         | UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-         |r0 AS (SELECT doc_id, 1000000::BIGINT AS prm FROM documents),
-         |${iterCte("r0", "r1")},
-         |${iterCte("r1", "r2")},
-         |${iterCte("r2", "r3")}
-         |SELECT doc_id, prm / 1000000.0 AS pr FROM r3""".stripMargin
+      (pairsCtes + ",\n" +
+        s"""edges AS (
+           | SELECT doc_a AS src, doc_b AS dst FROM pairs
+           | UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+           |r0 AS (SELECT doc_id, 1000000::BIGINT AS prm FROM documents),
+           |${iterCte("r0", "r1")},
+           |${iterCte("r1", "r2")},
+           |${iterCte("r2", "r3")}
+           |SELECT doc_id, prm / 1000000.0 AS pr FROM r3""".stripMargin),
+
+    // id-ordered enumeration: with doc_a < doc_b on every pair row, the
+    // three-way join emits each triangle once as a<b<c — the same
+    // triangle SET the degree-oriented Spark plan enumerates (the
+    // orientation changes the join cost, never the result).
+    "triangle_count" ->
+      (pairsCtes + ",\n" +
+        """tri AS (
+          | SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+          | FROM pairs e1
+          | JOIN pairs e2 ON e2.doc_a = e1.doc_b
+          | JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+          |SELECT doc_id, count(*) AS n_tri
+          |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+          |GROUP BY doc_id""".stripMargin)
   )
 }

@@ -134,11 +134,40 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Ordered funnel: view -> click -> purchase per user, each step's
+    * time the MIN event STRICTLY after the previous step (a click
+    * before the first view doesn't count). The iterative "min after
+    * previous min" is three keyed aggregations, each joined back on
+    * user_id — every shuffle in the query hashes the same key, so the
+    * exchanges line up and the per-user state is three longs. Emits one
+    * row per user who entered the funnel, with reached depth; step
+    * conversion counts are a trivial rollup of this table. This is the
+    * shape that survives scale: no window over the full event stream,
+    * no per-user event collection — just filtered min-aggs.
+    */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1).as("depth"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
     "interval_band_join" -> (intervalBandJoin _),
-    "retention_cohorts" -> (retentionCohorts _)
+    "retention_cohorts" -> (retentionCohorts _),
+    "funnel_steps" -> (funnelSteps _)
   )
 
   private val bandsValues = bands
@@ -176,6 +205,23 @@ object Temporal {
          |SELECT p_partkey, band_name, p_retailprice
          |FROM part JOIN bands
          |  ON p_retailprice >= lo AND p_retailprice < hi""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH ev AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (
+        | SELECT user_id, min(us) AS t1 FROM ev
+        | WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        | SELECT user_id, min(us) AS t2 FROM ev JOIN s1 USING (user_id)
+        | WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (
+        | SELECT user_id, min(us) AS t3 FROM ev JOIN s2 USING (user_id)
+        | WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT user_id, t1, t2, t3,
+        | CASE WHEN t3 IS NOT NULL THEN 3
+        |      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
 
     "retention_cohorts" ->
       """WITH act AS (

@@ -29,7 +29,8 @@ class PlanGuardSpec extends SparkTestBase {
   // join shapes stay visible to the cartesian check.
   private val lazyTwins: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "heavy_hitters" -> ((s, d) => graft.operators.Sketch.heavyHitters(s, d, materialize = false)),
-    "similarity_pagerank" -> ((s, d) => graft.operators.Graph.similarityPagerank(s, d, materialize = false)))
+    "similarity_pagerank" -> ((s, d) => graft.operators.Graph.similarityPagerank(s, d, materialize = false)),
+    "triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d, materialize = false)))
 
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

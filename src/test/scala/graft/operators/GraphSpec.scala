@@ -26,6 +26,31 @@ class GraphSpec extends SparkTestBase {
     assert(got(4L) == 150000 / 1e6)
   }
 
+  test("triangles: hand graph — one triangle + pendant, clique of 4") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4: each triangle member counts 1,
+    // the pendant is absent (0 triangles)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.triangles(tri, materialize = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // K4: C(3,2) = 3 triangles through every node
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val got4 = Graph.triangles(k4, materialize = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle_count: every count positive; membership closed under the pair graph") {
+    val rows = Graph.triangleCount(spark, sf).collect()
+    assert(rows.forall(_.getLong(1) > 0))
+    // triangle members must be nodes of the candidate graph
+    val nodes = Dedup.lshCandidates(spark, sf)._1.collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r => nodes.contains(r.getLong(0))))
+  }
+
   test("similarity_pagerank: one row per doc, teleport lower bound, centrality varies") {
     val docs = graft.Tables.documents(spark, sf)
     val n = docs.count()

@@ -65,6 +65,43 @@ class TemporalSpec extends SparkTestBase {
     assert(multi.count() > 0)
   }
 
+  test("funnel_steps: strict ordering, depth consistency, naive per-user replay") {
+    val rows = Temporal.funnelSteps(spark, sf).collect()
+    // depth agrees with which step times are present; times strictly increase
+    rows.foreach { r =>
+      val t1 = r.getLong(1)
+      val t2 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val t3 = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val depth = r.getInt(4)
+      assert(depth == (1 + t2.size + t3.size))
+      if (t3.isDefined) assert(t2.isDefined)
+      t2.foreach(v => assert(v > t1))
+      (t2, t3) match { case (Some(a), Some(b)) => assert(b > a); case _ => () }
+    }
+    // one row per user with >= 1 view
+    val viewers = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(rows.length == viewers)
+    // naive replay on a sample of users: earliest view, earliest later
+    // click, earliest later purchase
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().groupBy(_.getLong(0))
+    rows.take(50).foreach { r =>
+      val uid = r.getLong(0)
+      val mine = ev(uid).map(e => (e.getString(1), e.getLong(2)))
+      val t1 = mine.collect { case ("view", us) => us }.min
+      val t2 = mine.collect { case ("click", us) if us > t1 => us }
+        .sorted.headOption
+      val t3 = t2.flatMap(t => mine.collect { case ("purchase", us) if us > t => us }
+        .sorted.headOption)
+      assert(r.getLong(1) == t1)
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == t2)
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == t3)
+    }
+  }
+
   test("retention_cohorts: offset-0 mass == user base; retention never exceeds cohort size") {
     val m = Temporal.retentionCohorts(spark, sf).collect()
       .map(r => ((r.getDate(0), r.getLong(1)), r.getLong(2))).toMap

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.ExactSum
+
+/** Multi-way star-schema join analytics — the TPC-H Q3/Q5 shapes that
+  * exercise the join-planning decisions a 100 TB warehouse lives on:
+  * which joins broadcast (fixed dims: region, nation), which stay
+  * keyed shuffles (fact-to-fact: orders⋈lineitem, customer⋈orders —
+  * both sides scale with the data, so a broadcast would OOM at SF100+),
+  * and where selective dimension filters must reach the probe side
+  * BEFORE the big shuffle (filter-then-join, never join-then-filter).
+  *
+  * Both queries keep the plan declarative — no join hints — so
+  * Catalyst + AQE pick broadcast vs shuffle per actual build-side
+  * size at whatever scale the query runs. The shapes are chosen so
+  * the right plan exists at every scale: dimension filters are narrow
+  * scan predicates (pushed to parquet), every join is an equi-join on
+  * a single key, and revenue sums run in integer micros (ExactSum) so
+  * totals are order-independent and byte-reproducible cross-engine.
+  */
+object StarJoin {
+
+  private val Cutoff = "1998-06-01"
+
+  /** TPC-H Q3 shape — shipping priority: revenue of not-yet-shipped
+    * lineitems for BUILDING-segment customers' pre-cutoff orders,
+    * top 10 orders by revenue. Join tree: customer(σ segment) is
+    * 1/5-selective and only c_custkey survives the projection;
+    * orders(σ date) ⋈ customer on custkey, then ⋈ lineitem(σ shipdate)
+    * on orderkey — the fact-fact join runs AFTER both filters, so the
+    * shuffle carries the filtered minority of each table. Top-10
+    * ordering is (revenue desc, orderkey): revenue is an exact
+    * micros sum, so the order is engine-independent.
+    */
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = lit(Cutoff).cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_u"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("orderdate"), col("o_orderpriority"))
+      .agg(ExactSum.microsToDouble(sum(col("rev_u"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape — local supplier volume: revenue from ASIA
+    * customers served by a supplier in the customer's own nation,
+    * one row per nation. Join tree: region(σ ASIA) ⋈ nation are
+    * fixed-size dims — Catalyst broadcasts them into the customer
+    * scan; customer ⋈ orders(σ date window) and orders ⋈ lineitem are
+    * the two keyed fact shuffles; supplier joins on
+    * (l_suppkey, c_nationkey = s_nationkey) — the second predicate is
+    * part of the join key, NOT a post-filter, so the "local" check
+    * never materializes the non-local majority of the join.
+    */
+  def localSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val cut = lit(Cutoff).cast("timestamp")
+    val asiaNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_u"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(ExactSum.microsToDouble(sum(col("rev_u"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "star_shipping_priority" -> (shippingPriority _),
+    "star_local_volume" -> (localSupplierVolume _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "star_shipping_priority" ->
+      s"""SELECT o_orderkey, o_orderdate::DATE AS orderdate, o_orderpriority,
+         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+         |FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND o_orderdate < TIMESTAMP '$Cutoff'
+         | AND l_shipdate > TIMESTAMP '$Cutoff'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, o_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "star_local_volume" ->
+      s"""SELECT n_name,
+         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+         | count(*) AS n_items
+         |FROM region
+         | JOIN nation ON n_regionkey = r_regionkey
+         | JOIN customer ON c_nationkey = n_nationkey
+         | JOIN orders ON o_custkey = c_custkey
+         | JOIN lineitem ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         | AND o_orderdate >= TIMESTAMP '1996-01-01'
+         | AND o_orderdate < TIMESTAMP '$Cutoff'
+         |GROUP BY 1""".stripMargin
+  )
+}

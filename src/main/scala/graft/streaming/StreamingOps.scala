@@ -327,6 +327,69 @@ object StreamingOps {
         col("char_entropy") >= 2.7)
   }
 
+  /** Streaming ordered-funnel state machine — the incremental twin of
+    * operators.Temporal.funnelSteps (view -> click -> purchase, each
+    * step strictly after the previous). State per user is three longs;
+    * within a trigger the group's events are sorted by event time (the
+    * iterator is unordered), and because each step only ever fills a
+    * later slot from an earlier one, the forward pass over sorted
+    * events reproduces the batch "min strictly after previous min"
+    * exactly. Monotone-state caveat: data later than the processed
+    * prefix can only DEEPEN the funnel — a late-arriving earlier view
+    * cannot retract an already-assigned t1 (the standard trade of
+    * incremental funnels; the batch operator is the re-statement).
+    */
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  /** state row (public: the state encoder's generated code needs the
+    * accessors); -1 = slot unset */
+  case class FunnelSlots(t1: Long, t2: Long, t3: Long)
+  case class FunnelRow(user_id: Long, t1: Long, t2: Option[Long],
+                       t3: Option[Long], depth: Int)
+
+  def funnelStream(events: DataFrame): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSlots, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelSlots]) =>
+          var st = state.getOption.getOrElse(FunnelSlots(-1L, -1L, -1L))
+          rows.toSeq.sortBy(_.us).foreach { e =>
+            e.event_type match {
+              case "view" if st.t1 < 0 => st = st.copy(t1 = e.us)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && e.us > st.t1 =>
+                st = st.copy(t2 = e.us)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.us > st.t2 =>
+                st = st.copy(t3 = e.us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          FunnelRow(uid, st.t1,
+            if (st.t2 >= 0) Some(st.t2) else None,
+            if (st.t3 >= 0) Some(st.t3) else None,
+            1 + (if (st.t2 >= 0) 1 else 0) + (if (st.t3 >= 0) 1 else 0))
+      }
+  }
+
+  /** Streaming driver for funnelStream (update mode, memory sink);
+    * rows for users who never viewed carry t1 = -1 and are dropped —
+    * they haven't entered the funnel.
+    */
+  def runFunnelOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q = funnelStream(readEvents(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).filter(col("t1") >= 0)
+  }
+
   /** Streaming driver for qualityGate (append mode, memory sink). */
   def runQualityGateOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val q: StreamingQuery = qualityGate(readDocuments(spark, dir))

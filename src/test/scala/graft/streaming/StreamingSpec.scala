@@ -69,6 +69,15 @@ class StreamingSpec extends SparkTestBase {
     assertGapSessionTwin(sf, "stream_sessions")
   }
 
+  test("streaming funnel state machine == batch funnel_steps") {
+    val streamed = StreamingOps.runFunnelOnce(spark, sf, "stream_funnel")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("depth"))
+    val batch = graft.operators.Temporal.funnelSteps(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("foreachBatch parquet sink: durable output == batch, restart-idempotent") {
     val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString

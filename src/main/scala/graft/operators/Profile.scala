@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One-pass table profiling — the data-quality census every ingest
+  * pipeline runs before trusting a new drop: per column, null count,
+  * exact distinct count, and min/max (numeric columns as doubles,
+  * string columns lexicographic).
+  *
+  * Shape: ONE aggregate over the table computes every metric for every
+  * column (a single scan — never one query per column, which re-reads
+  * the table N times), then the one-row result unpivots to a row per
+  * column with a narrow explode. The multi-column exact distinct makes
+  * Spark plan an Expand (one replica of the input per distinct
+  * column) — the honest cost of exactness, paid so the DuckDB oracle
+  * can reproduce the number bit-for-bit. The 100 TB version swaps
+  * `countDistinct` for `approx_count_distinct` (HLL++, no Expand, one
+  * scan) — that twin's error bound is pinned in SketchSpec — and keeps
+  * everything else identical.
+  */
+object Profile {
+
+  private val NumericCols = Seq("event_id", "user_id", "value", "ts_us")
+  private val StringCols = Seq("event_type", "props")
+
+  /** Profile core over any frame — numeric columns get double min/max,
+    * string columns lexicographic; both get null + exact distinct
+    * counts. Unit-tested on hand-built frames with real nulls
+    * (ProfileSpec) — the synthetic corpus itself is fully non-null.
+    */
+  private[operators] def profile(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      (numericCols ++ stringCols).flatMap { c =>
+        Seq((count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__dist"))
+      } ++
+      numericCols.flatMap { c =>
+        Seq(min(col(c)).cast("double").as(s"${c}__min"),
+          max(col(c)).cast("double").as(s"${c}__max"))
+      } ++
+      stringCols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}__smin"), max(col(c)).as(s"${c}__smax"))
+      }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows =
+      numericCols.map { c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__dist").as("n_distinct"),
+          col(s"${c}__min").as("min_num"), col(s"${c}__max").as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+      } ++
+      stringCols.map { c =>
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").as("n_nulls"), col(s"${c}__dist").as("n_distinct"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          col(s"${c}__smin").as("min_str"), col(s"${c}__smax").as("max_str"))
+      }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  def tableProfile(s: SparkSession, d: String): DataFrame =
+    profile(
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
+        col("props"), expr("unix_micros(ts)").as("ts_us")),
+      NumericCols, StringCols)
+
+  val queries: Map[String, Relational.Q] = Map(
+    "table_profile" -> (tableProfile _)
+  )
+
+  private def numSelect(c: String) =
+    s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+       | count(DISTINCT $c) AS n_distinct,
+       | CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+       | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+       |FROM ev""".stripMargin
+
+  private def strSelect(c: String) =
+    s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
+       | count(DISTINCT $c) AS n_distinct,
+       | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       | min($c) AS min_str, max($c) AS max_str
+       |FROM ev""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "table_profile" ->
+      (s"""WITH ev AS (
+          | SELECT event_id, user_id, event_type, value, props,
+          |  epoch_us(ts) AS ts_us FROM events)
+          |""".stripMargin +
+        (NumericCols.map(numSelect) ++ StringCols.map(strSelect))
+          .mkString("\nUNION ALL\n"))
+  )
+}

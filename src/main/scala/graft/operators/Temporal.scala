@@ -162,12 +162,36 @@ object Temporal {
           .when(col("t2").isNotNull, 2).otherwise(1).as("depth"))
   }
 
+  /** Hourly resampling with zero-filled gaps: the regular time grid a
+    * forecasting/monitoring consumer needs, built as calendar-spine ×
+    * dimension LEFT JOIN keyed aggregate. The spine is calendar-sized
+    * (hours in range × 5 event types — thousands of rows at ANY corpus
+    * scale, so Spark broadcasts it), the fact aggregation is one keyed
+    * shuffle, and missing cells materialize as explicit zeros — the
+    * gap-filling that a plain GROUP BY can never produce.
+    */
+  def timeseriesFill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(expr("CAST(unix_timestamp(ts) AS LONG) div 3600").as("bucket_h"),
+        col("event_type"), expr("coalesce(value, 0.0)").as("v"))
+    val cnt = ev.groupBy(col("bucket_h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val spine = ev.agg(min(col("bucket_h")).as("lo"), max(col("bucket_h")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket_h"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    spine.join(cnt, Seq("bucket_h", "event_type"), "left")
+      .select(col("bucket_h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        round(coalesce(col("sv"), lit(0.0)), 4).as("sum_value"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
     "interval_band_join" -> (intervalBandJoin _),
     "retention_cohorts" -> (retentionCohorts _),
-    "funnel_steps" -> (funnelSteps _)
+    "funnel_steps" -> (funnelSteps _),
+    "timeseries_fill" -> (timeseriesFill _)
   )
 
   private val bandsValues = bands
@@ -222,6 +246,24 @@ object Temporal {
         | CASE WHEN t3 IS NOT NULL THEN 3
         |      WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+
+    "timeseries_fill" ->
+      """WITH ev AS (
+        | SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket_h,
+        |  event_type, coalesce(value, 0.0) AS v
+        | FROM events),
+        |b AS (SELECT min(bucket_h) AS lo, max(bucket_h) AS hi FROM ev),
+        |spine AS (SELECT unnest(range(lo, hi + 1)) AS bucket_h FROM b),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |cnt AS (
+        | SELECT bucket_h, event_type, count(*) AS n, sum(v) AS sv
+        | FROM ev GROUP BY 1, 2)
+        |SELECT s.bucket_h, t.event_type,
+        | coalesce(n, 0) AS n_events,
+        | round(coalesce(sv, 0.0), 4) AS sum_value
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN cnt ON cnt.bucket_h = s.bucket_h
+        |  AND cnt.event_type = t.event_type""".stripMargin,
 
     "retention_cohorts" ->
       """WITH act AS (

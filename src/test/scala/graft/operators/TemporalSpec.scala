@@ -102,6 +102,25 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("timeseries_fill: complete grid, explicit zeros, mass conservation") {
+    val rows = Temporal.timeseriesFill(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(expr("CAST(unix_timestamp(ts) AS LONG) div 3600").as("h"),
+        col("event_type"))
+    val (lo, hi) = {
+      val r = ev.agg(min(col("h")), max(col("h"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nTypes = ev.select(col("event_type")).distinct().count()
+    // the grid is complete: every (hour, type) cell exists exactly once
+    assert(rows.length == (hi - lo + 1) * nTypes)
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).distinct.length == rows.length)
+    // zero-filled gaps genuinely occur on this corpus
+    assert(rows.exists(_.getLong(2) == 0L))
+    // total event mass is conserved
+    assert(rows.map(_.getLong(2)).sum == ev.count())
+  }
+
   test("retention_cohorts: offset-0 mass == user base; retention never exceeds cohort size") {
     val m = Temporal.retentionCohorts(spark, sf).collect()
       .map(r => ((r.getDate(0), r.getLong(1)), r.getLong(2))).toMap

@@ -42,6 +42,27 @@ object MultiDim {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("revenue"), col("n"))
 
+  /** CUBE over (priority, status): all four granularities — both
+    * margins, the full cross, and the grand total — in ONE pass
+    * (Expand ×4 before a single keyed aggregation), completing the
+    * grouping-sets family next to ROLLUP (hierarchical subtotals) and
+    * PIVOT (wide reshape). Same pre-projected integer-micros
+    * discipline as rollupRevenue: Expand copies primitive longs, and
+    * the totals are order-independent, so the oracle compare is exact.
+    */
+  def cubeRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        graft.functions.ExactSum.micros(col("o_totalprice")).as("tp_u"))
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        graft.functions.ExactSum.microsToDouble(sum(col("tp_u"))).as("total_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("total_price"), col("n"))
+
   /** Order counts and decimal-exact totals pivoted by order status —
     * the wide reshape (one column set per status value). Pivot values
     * are pinned explicitly: at 100 TB an unpinned pivot first runs a
@@ -137,6 +158,7 @@ object MultiDim {
     "length_distribution" -> (lengthDistribution _),
     "group_quantiles" -> (groupQuantiles _),
     "rollup_revenue" -> (rollupRevenue _),
+    "cube_revenue" -> (cubeRevenue _),
     "pivot_status" -> (pivotStatus _),
     "salted_event_agg" -> (saltedEventAgg _),
     "ntile_bands" -> (ntileBands _),
@@ -152,6 +174,14 @@ object MultiDim {
         | count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        | coalesce(o_orderstatus, 'ALL') AS status,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total_price,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "pivot_status" ->
       """SELECT o_orderpriority AS priority,

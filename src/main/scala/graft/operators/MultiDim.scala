@@ -122,6 +122,22 @@ object MultiDim {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
+  /** The EXISTS dual of customersWithoutOrders: customers holding at
+    * least one URGENT pre-1997 order, as a LEFT SEMI join — one keyed
+    * probe that emits each left row at most once and carries ZERO
+    * right-side columns through the shuffle (an inner join +
+    * distinct would haul the order rows across and need a second
+    * dedup shuffle). Filter sits below the join on the probe side.
+    */
+  def customersWithUrgentOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderdate") < "1997-01-01")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
   /** Exact interpolated quartiles of quantity per returnflag: one
     * percentile aggregate evaluating all three cut points in a single
     * buffer pass, exploded to (flag, q, value) rows so the oracle
@@ -162,7 +178,8 @@ object MultiDim {
     "pivot_status" -> (pivotStatus _),
     "salted_event_agg" -> (saltedEventAgg _),
     "ntile_bands" -> (ntileBands _),
-    "anti_join_customers" -> (customersWithoutOrders _)
+    "anti_join_customers" -> (customersWithoutOrders _),
+    "semi_join_customers" -> (customersWithUrgentOrders _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -230,6 +247,13 @@ object MultiDim {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderdate >= '1998-01-01')""".stripMargin
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= '1998-01-01')""".stripMargin,
+
+    "semi_join_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        |   AND o_orderdate < '1997-01-01')""".stripMargin
   )
 }

@@ -178,12 +178,38 @@ object TrainPrep {
         floor(lit(1000000.0) * col("n_tokens") / col("n_docs")).cast("long"))
   }
 
+  /** One iteration of BPE vocabulary induction: the top-20 adjacent
+    * character pairs by corpus frequency — the merge candidates a
+    * tokenizer trainer would fuse next. The BPE-shaped insight for
+    * scale: pair counting NEVER touches the corpus per iteration —
+    * the word-frequency table (vocabulary-sized, one keyed agg of the
+    * token explode) carries all multiplicity, and pairs explode off
+    * DISTINCT words weighted by f. A full BPE trainer loops this
+    * exact query, re-segmenting only the (bounded) vocabulary between
+    * iterations; the corpus is read once, ever. Ordering
+    * (n desc, pair asc) is total, so the top-20 cut is
+    * engine-independent; counts are exact integers.
+    */
+  def bpeMergeStep(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .filter(length(col("t")) >= 2)
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    wf.select(col("f"),
+        explode(expr("transform(sequence(1, length(t) - 1)," +
+          " i -> substring(t, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "unigram_lm_score" -> (unigramLmScore _),
     "dup_span_detect" -> (dupSpanDetect _),
     "global_shuffle" -> (globalShuffle _),
     "quality_classifier" -> (qualityClassifier _),
-    "corpus_profile" -> (corpusProfile _)
+    "corpus_profile" -> (corpusProfile _),
+    "bpe_merge_step" -> (bpeMergeStep _)
   )
 
   private val normSql =
@@ -246,6 +272,16 @@ object TrainPrep {
          |SELECT a.*, v.vocab_size,
          | CAST(floor(1000000.0 * n_tokens / n_docs) AS BIGINT) AS avg_doc_len_micro
          |FROM a CROSS JOIN v""".stripMargin,
+
+    "bpe_merge_step" ->
+      s"""WITH toks AS (
+         | SELECT string_split($normSql, ' ') AS w FROM documents),
+         |words AS (SELECT unnest(w) AS t FROM toks),
+         |wf AS (SELECT t, count(*) AS f FROM words WHERE len(t) >= 2 GROUP BY 1),
+         |idx AS (SELECT t, f, unnest(range(1, len(t))) AS i FROM wf),
+         |pairs AS (SELECT substr(t, CAST(i AS INT), 2) AS pair, f FROM idx),
+         |agg AS (SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM pairs GROUP BY 1)
+         |SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "global_shuffle" ->
       """WITH t AS (

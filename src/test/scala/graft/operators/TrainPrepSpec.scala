@@ -82,6 +82,32 @@ class TrainPrepSpec extends SparkTestBase {
     assert(b.exceptAll(a).count() === 0)
   }
 
+  test("bpe_merge_step: equals driver-side pair counting; ordering total") {
+    val got = TrainPrep.bpeMergeStep(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length == 20)
+    // n non-increasing, pair-asc tiebreak
+    got.sliding(2).foreach {
+      case Array((pa, na), (pb, nb)) => assert(na > nb || (na == nb && pa < pb))
+      case _ => ()
+    }
+    // naive recount on the collected token stream
+    val toks = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("t"))
+      .collect().map(_.getString(0)).filter(_.length >= 2)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    toks.foreach { t =>
+      (0 until t.length - 1).foreach { i =>
+        val p = t.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + 1L
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got.toSeq == expect)
+  }
+
   test("corpus_profile: one row, internally consistent") {
     val r = TrainPrep.corpusProfile(spark, sf).cache()
     assert(r.count() === 1)

@@ -185,13 +185,40 @@ object Temporal {
         round(coalesce(col("sv"), lit(0.0)), 4).as("sum_value"))
   }
 
+  /** Daily user-growth curve: new users (first touch), active users,
+    * and cumulative users per day. The scale rewrite this operator
+    * exists to demonstrate: cumulative distinct users is NOT a
+    * windowed COUNT(DISTINCT) over an ever-growing frame (per-day
+    * state = the whole user set — unusable at scale); it is per-user
+    * MIN(day) (one keyed agg), a day-level count of those firsts, and
+    * a running sum over the CALENDAR-sized day table — the global
+    * window touches ~30 rows regardless of corpus size. Active-user
+    * distinct stays per-day (bounded) via the distinct (user, day)
+    * projection shared with the first-touch agg.
+    */
+  def userGrowthCurve(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val active = act.groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val news = act.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(news, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("day"), col("new_users"), col("active_users"), col("cum_users"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
     "interval_band_join" -> (intervalBandJoin _),
     "retention_cohorts" -> (retentionCohorts _),
     "funnel_steps" -> (funnelSteps _),
-    "timeseries_fill" -> (timeseriesFill _)
+    "timeseries_fill" -> (timeseriesFill _),
+    "user_growth_curve" -> (userGrowthCurve _)
   )
 
   private val bandsValues = bands
@@ -264,6 +291,19 @@ object Temporal {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN cnt ON cnt.bucket_h = s.bucket_h
         |  AND cnt.event_type = t.event_type""".stripMargin,
+
+    "user_growth_curve" ->
+      """WITH act AS (
+        | SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |active AS (SELECT day, count(*) AS active_users FROM act GROUP BY 1),
+        |news AS (
+        | SELECT day, count(*) AS new_users FROM (
+        |  SELECT user_id, min(day) AS day FROM act GROUP BY 1)
+        | GROUP BY 1)
+        |SELECT a.day, coalesce(n.new_users, 0) AS new_users, a.active_users,
+        | sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM active a LEFT JOIN news n ON n.day = a.day""".stripMargin,
 
     "retention_cohorts" ->
       """WITH act AS (

@@ -121,6 +121,22 @@ class TemporalSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum == ev.count())
   }
 
+  test("user_growth_curve: firsts sum to user base, cum monotone, active >= new") {
+    val rows = Temporal.userGrowthCurve(spark, sf).collect()
+      .sortBy(_.getDate(0).toString)
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == totalUsers)
+    assert(rows.last.getLong(3) == totalUsers)
+    // cumulative = running sum of new; active bounded by cumulative
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(1)
+      assert(r.getLong(3) == cum)
+      assert(r.getLong(2) <= cum && r.getLong(2) >= r.getLong(1))
+    }
+  }
+
   test("retention_cohorts: offset-0 mass == user base; retention never exceeds cohort size") {
     val m = Temporal.retentionCohorts(spark, sf).collect()
       .map(r => ((r.getDate(0), r.getLong(1)), r.getLong(2))).toMap

@@ -95,9 +95,31 @@ object StarJoin {
         count(lit(1)).as("n_items"))
   }
 
+  /** Market-basket co-occurrence: part pairs appearing together in at
+    * least 2 orders. The pair explosion is a SELF equi-join on
+    * l_orderkey — quadratic only within one order's basket (TPC-H
+    * baskets are <= 7 lines), so pair volume is sum-of-squares of
+    * basket sizes: linear in orders, NEVER corpus x corpus. Same
+    * blocking discipline as the dedup family (the "block key" here is
+    * the natural basket). Distinct (order, part) first: a part on two
+    * lines of one order must not self-pair or double-count.
+    */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "star_shipping_priority" -> (shippingPriority _),
-    "star_local_volume" -> (localSupplierVolume _)
+    "star_local_volume" -> (localSupplierVolume _),
+    "basket_pairs" -> (basketPairs _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -127,6 +149,17 @@ object StarJoin {
          |WHERE r_name = 'ASIA'
          | AND o_orderdate >= TIMESTAMP '1996-01-01'
          | AND o_orderdate < TIMESTAMP '$Cutoff'
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+
+    "basket_pairs" ->
+      """WITH items AS (
+        | SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        | count(*) AS n_orders
+        |FROM items a
+        | JOIN items b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 2""".stripMargin
   )
 }

@@ -211,6 +211,29 @@ object Temporal {
       .select(col("day"), col("new_users"), col("active_users"), col("cum_users"))
   }
 
+  /** Per-user event-type transition matrix (first-order Markov
+    * counts + probabilities): one lead() window per user ordered by
+    * (time, event_id) — the unique tiebreak keeps successor choice
+    * engine-independent at equal timestamps — then one keyed agg over
+    * the 5x5 transition space. Probabilities are integer ppm of the
+    * source row-mass (exact division of exact counts — no float agg).
+    * One shuffle on user_id, one on the 25-cell key space.
+    */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts)"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = Window.partitionBy(col("from_type"))
+    trans.withColumn("from_total", sum(col("n")).over(fromTotals))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000000 * n) div from_total").as("p_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
@@ -218,7 +241,8 @@ object Temporal {
     "retention_cohorts" -> (retentionCohorts _),
     "funnel_steps" -> (funnelSteps _),
     "timeseries_fill" -> (timeseriesFill _),
-    "user_growth_curve" -> (userGrowthCurve _)
+    "user_growth_curve" -> (userGrowthCurve _),
+    "event_transitions" -> (eventTransitions _)
   )
 
   private val bandsValues = bands
@@ -291,6 +315,20 @@ object Temporal {
         |FROM spine s CROSS JOIN types t
         |LEFT JOIN cnt ON cnt.bucket_h = s.bucket_h
         |  AND cnt.event_type = t.event_type""".stripMargin,
+
+    "event_transitions" ->
+      """WITH seq AS (
+        | SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS next_type
+        | FROM events),
+        |trans AS (
+        | SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        | FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | (1000000 * n) // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+        |FROM trans""".stripMargin,
 
     "user_growth_curve" ->
       """WITH act AS (

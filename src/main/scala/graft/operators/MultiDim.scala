@@ -156,6 +156,33 @@ object MultiDim {
         round(col("v"), 6).as("quantile_val"))
   }
 
+  /** Winsorized outlier capping: clamp every price into its return-
+    * flag group's [p05, p95] band — the robust-statistics cleaning
+    * step before averaging noisy numerics. Two passes: a bounded
+    * per-group percentile aggregate (3 groups — broadcast back), then
+    * a scan-speed clamp. Both engines round the interpolated bounds
+    * to 6 dp BEFORE clamping: prices live on a 2-dp lattice, so a
+    * price can only equal a rounded bound when the bound is itself
+    * lattice-valued, where clamp-at-equality is the identity in
+    * either engine — no ulp-boundary flips.
+    */
+  def winsorizePrices(s: SparkSession, d: String): DataFrame = {
+    val caps = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .join(broadcast(caps), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        greatest(least(col("l_extendedprice"), col("hi")), col("lo"))
+          .as("capped_price"),
+        (col("l_extendedprice") < col("lo") ||
+          col("l_extendedprice") > col("hi")).as("is_capped"))
+  }
+
   /** Distribution position of every document in its source's length
     * distribution: percent_rank + cume_dist over a unique
     * (n_chars, doc_id) order — the per-stratum CDF features a
@@ -173,6 +200,7 @@ object MultiDim {
   val queries: Map[String, Relational.Q] = Map(
     "length_distribution" -> (lengthDistribution _),
     "group_quantiles" -> (groupQuantiles _),
+    "winsorize_prices" -> (winsorizePrices _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
     "pivot_status" -> (pivotStatus _),
@@ -233,6 +261,17 @@ object MultiDim {
         |SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS q,
         | round(quantile_cont(l_quantity, 0.75), 6) AS quantile_val
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "winsorize_prices" ->
+      """WITH caps AS (
+        | SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        | greatest(least(l_extendedprice, hi), lo) AS capped_price,
+        | (l_extendedprice < lo OR l_extendedprice > hi) AS is_capped
+        |FROM lineitem JOIN caps USING (l_returnflag)""".stripMargin,
 
     "ntile_bands" ->
       """WITH t AS (

@@ -101,4 +101,22 @@ class SketchSpec extends SparkTestBase {
     assert(math.abs(approx - nDis).toDouble / nDis <= 0.15,
       s"approx=$approx exact=$nDis")
   }
+
+  test("approx_percentile tracks exact percentile within its accuracy budget") {
+    // the 100 TB swap for every exact-percentile op (group_quantiles,
+    // winsorize_prices, ntile cuts): approx_percentile with a fixed
+    // accuracy, mergeable across partitions. accuracy=1000 bounds the
+    // rank error at n/1000; translate to a value tolerance via the
+    // observed spread.
+    val li = graft.Tables.lineitem(spark, sf).select(col("l_extendedprice"))
+    val exact = li.agg(expr("percentile(l_extendedprice, array(0.05, 0.5, 0.95))"))
+      .head().getSeq[Double](0)
+    val approx = li.agg(expr(
+      "approx_percentile(l_extendedprice, array(0.05, 0.5, 0.95), 1000)"))
+      .head().getSeq[Double](0)
+    val spread = exact.last - exact.head
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= spread * 0.02, s"exact=$e approx=$a")
+    }
+  }
 }

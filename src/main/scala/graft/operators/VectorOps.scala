@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.functions.Cleaning.safeDiv
+
+/** Embedding-column feature engineering beyond search: per-dimension
+  * standardization (the preprocessing step before PQ/IVF training or
+  * whitening) and mutual-kNN graph construction (the input to
+  * graph-based corpus clustering / label propagation).
+  *
+  * Cross-engine determinism: raw floats go to integer micros before
+  * any aggregation (ExactSum discipline — sums are exact and
+  * order-independent), so mean/std derive from exact integers and the
+  * final doubles are bit-identical on both engines.
+  */
+object VectorOps {
+
+  /** Per-dimension z-score standardization of the embedding column,
+    * emitted flat as (vec_id, dim, z). Stats per dim come from exact
+    * integer-micro sums (population std); the standardized value is
+    * computed in double from those exact ints and rounded to 6 dp.
+    *
+    * Scale shape: ONE corpus pass builds the 64-row stats table
+    * (map-side partial agg), which broadcasts back over the exploded
+    * corpus — no window over the full table, no second shuffle. At
+    * 100 TB the micros-squared sum needs int128/decimal headroom;
+    * Spark's long holds to ~10^18 (fine through sf100 here, noted).
+    */
+  def embeddingStandardize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1e6).cast("long").as("xm"))
+    val mean = col("sm").cast("double") / col("n")
+    val stats = e.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"), sum(col("xm")).as("sm"), sum(col("xm") * col("xm")).as("sq"))
+      .select(col("dim"), mean.as("mean_m"),
+        sqrt(col("sq").cast("double") / col("n") - mean * mean).as("std_m"))
+    e.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        round((col("xm").cast("double") - col("mean_m")) / col("std_m"), 6).as("z"))
+  }
+
+  /** Mutual-kNN graph over a deterministic 1-in-5 sample of the
+    * embeddings, blocked by label: an edge (src, dst) exists iff each
+    * endpoint is in the other's label-local top-k by cosine. Emitted
+    * once per unordered pair with both directed ranks.
+    *
+    * Scale shape: label blocking bounds the pair join (keyed equi-join,
+    * never corpus x corpus); the sample keeps the quadratic block work
+    * proportional to corpus size. The production path at 100 TB swaps
+    * the label block for IVF cells (Ann.scala) — same composition.
+    */
+  def knnGraph(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("label"), col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val cos = round(safeDiv(dot(col("va"), col("vb")), col("na") * col("nb")), 6)
+    val pairs = e.select(col("label"), col("vec_id").as("aid"), col("v").as("va"), col("nrm").as("na"))
+      .join(e.select(col("label"), col("vec_id").as("bid"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("label"))
+      .filter(col("aid") =!= col("bid"))
+      .select(col("aid"), col("bid"), cos.as("cos"))
+    val w = Window.partitionBy(col("aid")).orderBy(col("cos").desc, col("bid"))
+    val knn = pairs.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+    knn.select(col("aid"), col("bid"), col("cos"), col("rn").as("rank_ab"))
+      .join(knn.select(col("aid").as("r_aid"), col("bid").as("r_bid"), col("rn").as("rank_ba")),
+        col("aid") === col("r_bid") && col("bid") === col("r_aid"))
+      .filter(col("aid") < col("bid"))
+      .select(col("aid").as("src_id"), col("bid").as("dst_id"),
+        col("cos").as("cos_sim"), col("rank_ab"), col("rank_ba"))
+  }
+
+  val queries: Map[String, Relational.Q] = Map(
+    "embedding_standardize" -> (embeddingStandardize _),
+    "knn_graph" -> ((s, d) => knnGraph(s, d))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "embedding_standardize" ->
+      """WITH e AS (
+        | SELECT vec_id, dim,
+        |  CAST(round(x * 1e6) AS BIGINT) AS xm
+        | FROM (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |   unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings)),
+        |st AS (
+        | SELECT dim, count(*) AS n, sum(xm) AS sm, sum(xm * xm) AS sq
+        | FROM e GROUP BY dim),
+        |st2 AS (
+        | SELECT dim, CAST(sm AS DOUBLE) / n AS mean_m,
+        |  sqrt(CAST(sq AS DOUBLE) / n - (CAST(sm AS DOUBLE) / n) * (CAST(sm AS DOUBLE) / n)) AS std_m
+        | FROM st)
+        |SELECT e.vec_id, e.dim,
+        | round((CAST(e.xm AS DOUBLE) - st2.mean_m) / st2.std_m, 6) AS z
+        |FROM e JOIN st2 USING (dim)""".stripMargin,
+
+    "knn_graph" ->
+      """WITH e AS (
+        | SELECT label, vec_id, embedding::DOUBLE[] AS v
+        | FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS (
+        | SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |  round(list_dot_product(a.v, b.v)
+        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        | FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |k AS (
+        | SELECT aid, bid, cos,
+        |  row_number() OVER (PARTITION BY aid ORDER BY cos DESC, bid) AS rn
+        | FROM p QUALIFY rn <= 3)
+        |SELECT k1.aid AS src_id, k1.bid AS dst_id, k1.cos AS cos_sim,
+        | k1.rn AS rank_ab, k2.rn AS rank_ba
+        |FROM k k1 JOIN k k2 ON k1.aid = k2.bid AND k1.bid = k2.aid
+        |WHERE k1.aid < k1.bid""".stripMargin
+  )
+}

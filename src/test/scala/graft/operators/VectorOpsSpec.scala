@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Semantics + plan pins for the embedding feature-engineering tier:
+  * z-score moments land on (0, 1) per dimension, the kNN graph is
+  * genuinely mutual, and the stats/pair joins take the shapes the
+  * 100 TB story needs (broadcast stats, label-keyed pair join).
+  */
+class VectorOpsSpec extends SparkTestBase {
+
+  test("embedding_standardize: per-dim z mean ~ 0 and std ~ 1") {
+    val stats = VectorOps.embeddingStandardize(spark, sf)
+      .groupBy(col("dim"))
+      .agg(avg(col("z")).as("m"), stddev_pop(col("z")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    assert(stats.length == 64)
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-6, s"dim ${r.getLong(0)} mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-5, s"dim ${r.getLong(0)} std ${r.getDouble(2)}")
+    }
+  }
+
+  test("embedding_standardize plan: stats join broadcasts (no shuffle on the big side)") {
+    val plan = flattenPlan(
+      VectorOps.embeddingStandardize(spark, sf).queryExecution.executedPlan)
+    assert(plan.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+  }
+
+  test("knn_graph: edges are mutual top-k, canonical, cos in [-1, 1]") {
+    val rows = VectorOps.knnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 3)
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 3)
+    }
+    // unordered pairs unique
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.toSet.size)
+  }
+
+  test("knn_graph matches a brute-force mutual-kNN on the sampled block") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("label"), col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val knn = e.toSeq.groupBy(_._1).values.flatMap { block =>
+      block.flatMap { case (_, aid, va) =>
+        block.filter(_._2 != aid)
+          .map { case (_, bid, vb) => (aid, bid, cos(va, vb)) }
+          .sortBy { case (_, bid, c) => (-c, bid) }
+          .take(3).zipWithIndex.map { case ((s2, d2, c), i) => ((s2, d2), (c, i + 1L)) }
+      }
+    }.toMap
+    val expect = knn.collect {
+      case ((a, b), (c, ra)) if a < b && knn.contains((b, a)) =>
+        (a, b, c, ra, knn((b, a))._2)
+    }.toSet
+    val got = VectorOps.knnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+  }
+}

@@ -121,6 +121,56 @@ object Dedup {
         col("shared_bands"))
   }
 
+  /** Incremental dedup — the daily-crawl shape: screen a NEW batch
+    * (doc_id % 10 == 9 stands in for today's arrivals) against the
+    * EXISTING corpus (the rest) and emit one row per new doc with its
+    * best existing match and a keep/drop flag (sig-estimate >= 0.5
+    * drops). The candidate join is ASYMMETRIC — new-bands x
+    * existing-bands only — so the incremental cost scales with the
+    * batch, never corpus x corpus; at 100 TB the existing side's band
+    * table is a precomputed artifact the batch probes (here both
+    * derive from one signature pass, materialized once).
+    * Zero-shingle new docs carry no band evidence and surface as
+    * keep_flag = 1 with null match columns.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSigDf(s, d)
+      .withColumn("sig_arr", array((0 until 8).map(j => col(s"sig$j")): _*))
+      .localCheckpoint(true) // two band sides + two attach joins
+    val bandHashes = array((0 until 4).map { b =>
+      md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+    }: _*)
+    val bands = sig.filter(col("sig0").isNotNull)
+      .select(col("doc_id"), posexplode(bandHashes).as(Seq("bid", "bh")))
+    val cand = bands.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("doc_id").as("new_id"), col("bid"), col("bh"))
+      .join(bands.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+        .select(col("doc_id").as("old_id"), col("bid"), col("bh")), Seq("bid", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val est = aggregate(
+      zip_with(col("sig_n"), col("sig_o"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, x) => acc + x).cast("double") / 8
+    val scored = cand
+      .join(sig.select(col("doc_id").as("new_id"), col("sig_arr").as("sig_n")), Seq("new_id"))
+      .join(sig.select(col("doc_id").as("old_id"), col("sig_arr").as("sig_o")), Seq("old_id"))
+      .select(col("new_id"), col("old_id"), round(est, 6).as("est"))
+      .filter(col("est") >= 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+    val best = scored
+      .withColumn("n_matches", count(lit(1)).over(w.partitionBy(col("new_id"))))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("new_id")).orderBy(col("est").desc, col("old_id"))))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("n_matches"),
+        col("est").as("best_est"), col("old_id").as("best_match"))
+    Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_est"), col("best_match"),
+        when(col("best_est").isNull, lit(1L)).otherwise(lit(0L)).as("keep_flag"))
+  }
+
   /** 60-bit SimHash: per-token 60-bit hash, per-bit majority vote over
     * token occurrences (60 bits, not 64, so the fingerprint stays a
     * non-negative signed BIGINT on both engines).
@@ -438,6 +488,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "minhash_signature" -> (minhashSignature _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters" -> (dedupClusters _),
@@ -505,6 +556,44 @@ object Dedup {
          |FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
          | AND a.doc_id < b.doc_id
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""$shingleHashCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM hs),
+         |sa AS (
+         | SELECT doc_id, [sig0,sig1,sig2,sig3,sig4,sig5,sig6,sig7] AS sig_arr
+         | FROM sig),
+         |bands AS (
+         | SELECT doc_id,
+         |  unnest([0, 1, 2, 3]) AS bid,
+         |  unnest([
+         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+         | FROM sig WHERE sig0 IS NOT NULL),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+         | WHERE a.doc_id % 10 = 9 AND b.doc_id % 10 <> 9),
+         |scored AS (
+         | SELECT c.new_id, c.old_id,
+         |  round(CAST(len(list_filter(range(0, 8),
+         |    i -> sn.sig_arr[CAST(i + 1 AS INT)] = so.sig_arr[CAST(i + 1 AS INT)])) AS DOUBLE) / 8, 6) AS est
+         | FROM cand c
+         | JOIN sa sn ON sn.doc_id = c.new_id
+         | JOIN sa so ON so.doc_id = c.old_id),
+         |kept AS (SELECT * FROM scored WHERE est >= 0.5),
+         |best AS (
+         | SELECT new_id, old_id AS best_match, est AS best_est,
+         |  count(*) OVER (PARTITION BY new_id) AS n_matches,
+         |  row_number() OVER (PARTITION BY new_id ORDER BY est DESC, old_id) AS rn
+         | FROM kept)
+         |SELECT d.doc_id AS new_id,
+         | coalesce(b.n_matches, 0) AS n_matches, b.best_est, b.best_match,
+         | CAST(CASE WHEN b.best_est IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (

@@ -59,4 +59,44 @@ class DedupPipelineSpec extends SparkTestBase {
     assert(out.filter(col("cluster_size") > 1).count() > 0)
     out.unpersist()
   }
+
+  test("dedup_incremental: one row per new doc, asymmetric matches, flag consistency") {
+    val newIds = graft.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Dedup.dedupIncremental(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == newIds && rows.length == newIds.size)
+    rows.foreach { r =>
+      val (n, keep) = (r.getLong(1), r.getLong(4))
+      if (n == 0L) {
+        assert(r.isNullAt(2) && r.isNullAt(3) && keep == 1L)
+      } else {
+        val (est, m) = (r.getDouble(2), r.getLong(3))
+        assert(est >= 0.5 && est <= 1.0 && keep == 0L)
+        assert(m % 10 != 9, s"matched another new doc: $m") // never batch x batch
+        assert(!newIds.contains(m))
+      }
+    }
+    // the synthetic corpus has near-dups crossing the batch boundary
+    assert(rows.exists(_.getLong(4) == 0L))
+  }
+
+  test("dedup_incremental: best match agrees with the full LSH pair table") {
+    // project the symmetric pair table onto new-vs-existing and take the
+    // same (est desc, id) argmax — the incremental path must agree
+    val full = Dedup.dedupMinhashLsh(spark, sf).collect().flatMap { r =>
+      val (a, b, est) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      Seq((a, b, est), (b, a, est))
+    }
+    val expect = full
+      .filter { case (n, o, est) => n % 10 == 9 && o % 10 != 9 && est >= 0.5 }
+      .groupBy(_._1).map { case (n, g) =>
+        val best = g.minBy { case (_, o, est) => (-est, o) }
+        n -> (g.length.toLong, best._3, best._2)
+      }
+    val got = Dedup.dedupIncremental(spark, sf).collect()
+      .filter(_.getLong(1) > 0L)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
 }

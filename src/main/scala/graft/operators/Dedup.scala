@@ -21,7 +21,7 @@ import graft.functions.VectorFunctions._
   */
 object Dedup {
 
-  private val P = 2147483647L // 2^31 - 1; keeps (a*h + b) well under 2^63
+  private[graft] val P = 2147483647L // 2^31 - 1; keeps (a*h + b) well under 2^63
 
   /** Exact dedup: content-hash groupBy, survivor = min doc_id.
     * Pure partial-aggregatable hash aggregate — one shuffle on the
@@ -45,7 +45,7 @@ object Dedup {
     * form is also the scalable one: partial min-aggregation map-side,
     * one keyed shuffle on doc_id.
     */
-  private def minhashSigDf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashSigDf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val hv = docs
       .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see wordShingles contract

@@ -280,6 +280,94 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stream-static incremental dedup — the streaming twin of
+    * `Dedup.dedupIncremental`: NEW docs land as a stream and probe a
+    * STATIC band table built once from the existing corpus (the
+    * stream-static equi-join shape Structured Streaming uses for
+    * reference-data enrichment; the static side is the precomputed
+    * artifact the 100 TB batch job would publish).
+    *
+    * Stream-side signatures are per-row ARRAY expressions
+    * (array_min over transforms of the gram-hash array) — narrow, no
+    * stream aggregation before the join, identical values to the
+    * batch explode+min-agg formulation (that one is faster for batch
+    * re-scans; per-row arrays are the right shape for microbatches).
+    * The per-doc best-match reduction then runs in update mode.
+    * Emits only docs with >= 1 screen match (est >= 0.5) — the
+    * no-match complement just passes through ingest; StreamingSpec
+    * pins equality with the batch operator's matched subset.
+    */
+  def incrementalDedupStream(spark: SparkSession, newDocs: DataFrame,
+                             staticDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.Dedup
+    val P = Dedup.P
+    // static side: signatures + band hashes of the EXISTING corpus
+    val oldSig = Dedup.minhashSigDf(spark, staticDir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 9 && col("sig0").isNotNull)
+      .withColumn("sig_o", array((0 until 8).map(j => col(s"sig$j")): _*))
+    val oldBands = oldSig.select(col("doc_id").as("old_id"), col("sig_o"),
+      posexplode(array((0 until 4).map { b =>
+        md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+      }: _*)).as(Seq("bid", "bh")))
+    // stream side: same signature math, per-row (narrow)
+    val sigArr = (0 until 8).map { j =>
+      val a = 2 * j + 3
+      val b = 101 * j + 7
+      array_min(transform(col("ghs"), h => ((h % P) * a + b) % P)).as(s"sig$j")
+    }
+    val newSig = newDocs
+      .filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("doc_id").as("new_id"), tokens(col("text")).as("toks"))
+      .select(col("new_id"), gramHashes(col("toks"), 3).as("ghs"))
+      .filter(size(col("ghs")) > 0)
+      .select(col("new_id") +: sigArr: _*)
+      .withColumn("sig_n", array((0 until 8).map(j => col(s"sig$j")): _*))
+    val newBands = newSig.select(col("new_id"), col("sig_n"),
+      posexplode(array((0 until 4).map { b =>
+        md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+      }: _*)).as(Seq("bid", "bh")))
+    val est = aggregate(
+      zip_with(col("sig_n"), col("sig_o"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, x) => acc + x).cast("double") / 8
+    // ONE stream aggregation (chained stateful aggs are unsupported):
+    // a pair sharing several bands appears once per band, so distinct
+    // matches come from collect_set and the (est desc, old_id asc)
+    // argmax from a struct max — duplicates change neither.
+    newBands.join(oldBands, Seq("bid", "bh"))
+      .select(col("new_id"), col("old_id"), round(est, 6).as("est"))
+      .filter(col("est") >= 0.5)
+      .groupBy(col("new_id"))
+      .agg(size(collect_set(col("old_id"))).cast("long").as("n_matches"),
+        max(struct(col("est"), (-col("old_id")).as("neg"))).as("m"))
+      .select(col("new_id"), col("n_matches"),
+        col("m.est").as("best_est"), (-col("m.neg")).as("best_match"))
+  }
+
+  /** Streaming driver for incrementalDedupStream (update mode, memory
+    * sink): keeps each new doc's FINAL match row (monotone n_matches /
+    * best pair under accumulation) like the other update-mode runners.
+    */
+  def runIncrementalDedupOnce(spark: SparkSession, dir: String,
+                              queryName: String): DataFrame = {
+    val q = incrementalDedupStream(spark, readDocuments(spark, dir), dir)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // update-mode memory sinks append every trigger's rows: keep the
+    // final state per new_id (max n_matches, then best (est, -match))
+    spark.table(queryName)
+      .groupBy(col("new_id"))
+      .agg(max(struct(col("n_matches"), col("best_est"),
+        (-col("best_match")).as("neg"))).as("m"))
+      .select(col("new_id"), col("m.n_matches").as("n_matches"),
+        col("m.best_est").as("best_est"), (-col("m.neg")).as("best_match"))
+  }
+
   /** documents.parquet schema as landed (see Tables.documents). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -142,4 +142,15 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(streamed).count() == 0)
   }
+
+  test("stream-static incremental dedup == batch dedup_incremental (matched subset)") {
+    val streamed = StreamingOps
+      .runIncrementalDedupOnce(spark, sf, "stream_incr_dedup")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = graft.operators.Dedup.dedupIncremental(spark, sf)
+      .filter(col("n_matches") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }

@@ -96,10 +96,32 @@ object CorpusAnalytics {
         sum(col("vmic") * col("weight_ppm")).as("decayed_micros"))
   }
 
+  /** Per-source Gini coefficient of the doc-length distribution — the
+    * "is one shard dominated by a few huge documents" concentration
+    * diagnostic. Rank-based identity G = (2 Σ i·x_i)/(n Σx) − (n+1)/n
+    * over docs sorted by (tokens, doc_id): every accumulator is an
+    * exact integer (ExactSum discipline), only the final ratio is
+    * floating. One keyed window + one keyed agg per source shard.
+    */
+  def tokenGini(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("x"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("total_tokens"),
+        sum(col("x") * col("i")).as("weighted"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        round((lit(2.0) * col("weighted")) / (col("n_docs") * col("total_tokens"))
+          - (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "source_overlap" -> (sourceOverlap _),
     "percentile_filter" -> (percentileFilter _),
-    "decay_score" -> (decayScore _)
+    "decay_score" -> (decayScore _),
+    "token_gini" -> (tokenGini _)
   )
 
   private val normSql =
@@ -135,6 +157,24 @@ object CorpusAnalytics {
          | CAST(CASE WHEN row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id) * 4
          |   <= count(*) OVER (PARTITION BY source) THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
          |FROM t""".stripMargin,
+
+    "token_gini" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS x
+         | FROM documents),
+         |r AS (
+         | SELECT source, x,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS i
+         | FROM t),
+         |g AS (
+         | SELECT source, count(*) AS n_docs, sum(x) AS total_tokens,
+         |  sum(x * i) AS weighted
+         | FROM r GROUP BY 1)
+         |SELECT source, n_docs, total_tokens,
+         | round((2.0 * weighted) / (n_docs * total_tokens)
+         |  - (n_docs + 1.0) / n_docs, 6) AS gini
+         |FROM g""".stripMargin,
 
     "decay_score" ->
       """WITH ev AS (

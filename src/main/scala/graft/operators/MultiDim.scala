@@ -183,6 +183,35 @@ object MultiDim {
           col("l_extendedprice") > col("hi")).as("is_capped"))
   }
 
+  /** MAD-based robust outlier flags — the heavy-tail-safe twin of
+    * winsorizePrices, over the heavy-tailed events.value (per-type
+    * max |x−med|/MAD runs 12–18x here; lineitem prices are uniform
+    * and never trip a MAD gate): per-type exact median, then the
+    * median absolute deviation, then the standard
+    * |x - med| > 3 * 1.4826 * MAD flag (1.4826 ~ 1/Phi^-1(0.75)
+    * rescales MAD to sigma under normality; the product is written as
+    * the single literal 4.4478 so both engines compare against the
+    * identical double). Two group-scoped exact-percentile aggs (the
+    * honest cross-engine-checkable form; the 100 TB swap is
+    * approx_percentile, bound-pinned in SketchSpec) and two broadcast
+    * joins of 5-row stats tables — the event stream never shuffles.
+    */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val med = base.groupBy(col("event_type"))
+      .agg(round(median(col("value")), 6).as("med"))
+    val dev = base.join(broadcast(med), Seq("event_type"))
+    val mad = dev
+      .groupBy(col("event_type"))
+      .agg(round(median(abs(col("value") - col("med"))), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        (abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+          .cast("long").as("is_outlier"))
+  }
+
   /** Distribution position of every document in its source's length
     * distribution: percent_rank + cume_dist over a unique
     * (n_chars, doc_id) order — the per-stratum CDF features a
@@ -201,6 +230,7 @@ object MultiDim {
     "length_distribution" -> (lengthDistribution _),
     "group_quantiles" -> (groupQuantiles _),
     "winsorize_prices" -> (winsorizePrices _),
+    "mad_outliers" -> (madOutliers _),
     "rollup_revenue" -> (rollupRevenue _),
     "cube_revenue" -> (cubeRevenue _),
     "pivot_status" -> (pivotStatus _),
@@ -261,6 +291,21 @@ object MultiDim {
         |SELECT l_returnflag, CAST(0.75 AS DOUBLE) AS q,
         | round(quantile_cont(l_quantity, 0.75), 6) AS quantile_val
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "mad_outliers" ->
+      """WITH med AS (
+        | SELECT event_type, round(median(value), 6) AS med
+        | FROM events GROUP BY 1),
+        |dev AS (
+        | SELECT e.event_id, e.event_type, e.value, med.med
+        | FROM events e JOIN med USING (event_type)),
+        |mad AS (
+        | SELECT event_type, round(median(abs(value - med)), 6) AS mad
+        | FROM dev GROUP BY 1)
+        |SELECT dev.event_id, dev.event_type, dev.value, dev.med, mad.mad,
+        | CAST(CASE WHEN abs(dev.value - dev.med) > 4.4478 * mad.mad
+        |  THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
 
     "winsorize_prices" ->
       """WITH caps AS (

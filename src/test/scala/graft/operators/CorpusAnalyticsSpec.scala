@@ -62,6 +62,25 @@ class CorpusAnalyticsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("token_gini: bounded in [0, 1), exact against a driver-side replay") {
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = lens.groupBy(_._1).map { case (src, g) =>
+      val xs = g.sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val weighted = xs.zipWithIndex.map { case (x, i) => x * (i + 1L) }.sum
+      val gini = (2.0 * weighted) / (n * tot) - (n + 1.0) / n
+      src -> (n, tot, BigDecimal(gini).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = CorpusAnalytics.tokenGini(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expect)
+    got.values.foreach { case (_, _, gini) => assert(gini >= 0.0 && gini < 1.0) }
+  }
+
   test("decay_score plan: max timestamp is a broadcast scalar, one keyed agg") {
     val plan = flattenPlan(
       CorpusAnalytics.decayScore(spark, sf).queryExecution.executedPlan)

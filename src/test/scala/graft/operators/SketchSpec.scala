@@ -119,4 +119,27 @@ class SketchSpec extends SparkTestBase {
       assert(math.abs(e - a) <= spread * 0.02, s"exact=$e approx=$a")
     }
   }
+
+  test("mad_outliers matches a driver-side median/MAD replay") {
+    def interpMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      val m = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = MultiDim.madOutliers(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val med = interpMedian(g.map(_._2).toSeq)
+      val mad = interpMedian(g.map(t => math.abs(t._2 - med)).toSeq)
+      g.foreach { case (_, price, gotMed, gotMad, flagged) =>
+        assert(gotMed == med && gotMad == mad, s"$flag stats: $gotMed/$gotMad vs $med/$mad")
+        assert(flagged == (if (math.abs(price - med) > 4.4478 * mad) 1L else 0L))
+      }
+    }
+    // the clamp must actually fire somewhere and not everywhere
+    val n1 = rows.count(_._5 == 1L)
+    assert(n1 > 0 && n1 < rows.length)
+  }
 }

@@ -54,6 +54,28 @@ object Corpus {
       .filter(col("sample_rank") <= 5)
   }
 
+  /** The same k-per-stratum sample as sampleTopkPerGroup, computed as
+    * a bounded-heap AGGREGATE instead of a window: CollectTopK keeps
+    * at most k (hash, doc_id) structs per group, partial-aggregates
+    * map-side (each input partition ships <= k rows per stratum), and
+    * the final array_sort orders only the k survivors. The window form
+    * shuffles and sorts the whole corpus; this one's shuffle is
+    * k x strata rows — the 100 TB shape. Output is identical
+    * (same oracle SQL; equality also pinned in CorpusSpec).
+    */
+  def sampleTopkPerGroupHeap(s: SparkSession, d: String): DataFrame = {
+    val kv = struct(
+      hash60(concat(lit("tk"), col("doc_id").cast("string"))).as("hk"),
+      col("doc_id").as("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), kv.as("kv"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.collectTopK(col("kv"), 5, reverse = true).as("top"))
+      .select(col("source"), posexplode(array_sort(col("top"))).as(Seq("idx", "kv")))
+      .select(col("kv.doc_id").as("doc_id"), col("source"),
+        (col("idx") + 1).cast("long").as("sample_rank"))
+  }
+
   /** Top-5 salient terms per document by smoothed TF-IDF:
     * tfidf(t, d) = (tf / dl) * (ln((N + 1) / (df + 1)) + 1).
     *
@@ -309,6 +331,7 @@ object Corpus {
   val queries: Map[String, Relational.Q] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_topk_per_group" -> (sampleTopkPerGroup _),
+    "topk_per_group_heap" -> (sampleTopkPerGroupHeap _),
     "tfidf_topterms" -> (tfidfTopterms _),
     "bm25_score" -> (bm25Score _),
     "doc_chunk" -> (docChunk _),
@@ -331,6 +354,16 @@ object Corpus {
         |WHERE bucket < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)""".stripMargin,
 
     "sample_topk_per_group" ->
+      """WITH r AS (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY
+        |   ('0x' || substr(md5('tk' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id) AS sample_rank
+        | FROM documents)
+        |SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 5""".stripMargin,
+
+    // identical semantics to sample_topk_per_group — the heap-aggregate
+    // form must produce the exact same rows as the window form
+    "topk_per_group_heap" ->
       """WITH r AS (
         | SELECT doc_id, source,
         |  row_number() OVER (PARTITION BY source ORDER BY

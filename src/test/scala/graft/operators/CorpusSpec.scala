@@ -133,4 +133,14 @@ class CorpusSpec extends SparkTestBase {
     val joined = b.join(docs, "doc_id").filter(col("tf_spark") =!= col("naive_tf"))
     assert(joined.count() == 0)
   }
+
+  test("topk_per_group_heap == the window form, via an ObjectHashAggregate not a window sort") {
+    val heap = Corpus.sampleTopkPerGroupHeap(spark, sf)
+    val window = Corpus.sampleTopkPerGroup(spark, sf)
+    assert(heap.collect().toSet == window.collect().toSet)
+    val plan = flattenPlan(heap.queryExecution.executedPlan)
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]))
+    assert(!plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+  }
 }

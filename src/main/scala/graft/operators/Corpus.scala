@@ -106,15 +106,23 @@ object Corpus {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs") + 1).cast("double") / (col("df_t") + 1)) + 1.0
     val tfidf = col("tf").cast("double") / col("dl") * idf
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("raw_tfidf").desc, col("term"))
+    // Final per-doc top-5 as a bounded-heap aggregate, not a window:
+    // the scored (doc, term) table never re-shuffles — partials cap at
+    // 5 structs per doc map-side (see TopKAgg). Ordering (tfidf desc,
+    // term asc) is encoded as ascending (-tfidf, term); `0.0 - neg`
+    // (not unary minus) recovers the score so a 0.0 never resurfaces
+    // as -0.0.
     tf.join(dfT, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("raw_tfidf", tfidf)
-      .withColumn("term_rank", row_number().over(w).cast("long"))
-      .filter(col("term_rank") <= 5)
-      .select(col("doc_id"), col("term"), col("tf"),
-        round(col("raw_tfidf"), 6).as("tfidf"), col("term_rank"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0.0) - col("raw_tfidf")).as("neg"), col("term"), col("tf")),
+        5, reverse = true).as("top"))
+      .select(col("doc_id"), posexplode(array_sort(col("top"))).as(Seq("idx", "t")))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+        round(lit(0.0) - col("t.neg"), 6).as("tfidf"),
+        (col("idx") + 1).cast("long").as("term_rank"))
   }
 
   private val bm25Terms = Seq("spark", "join", "window")

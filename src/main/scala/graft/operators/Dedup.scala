@@ -475,13 +475,26 @@ object Dedup {
       col("nrm").as("nb"))
     val cos = round(graft.functions.Cleaning.safeDiv(
       dot(col("va"), col("vb")), col("na") * col("nb")), 6)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    // Top-3 selection as a bounded-heap aggregate, not a window: the
+    // scored pair stream is already co-located by label (the join
+    // key), and every qid lives in exactly one label block — so the
+    // map-side partial aggregate reduces each partition to <= 3 rows
+    // per qid BEFORE any exchange, instead of re-shuffling and sorting
+    // the full O(block^2) pair table the window form pays for.
+    // (cos desc, nid asc) is encoded ascending as (-cos, nid);
+    // `0.0 - neg` recovers cos without a -0.0 artifact.
     a.join(b, Seq("label"))
       .filter(col("qid") =!= col("nid"))
       .select(col("label"), col("qid"), col("nid"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .groupBy(col("label"), col("qid"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0.0) - col("cos")).as("neg"), col("nid")), 3,
+        reverse = true).as("top"))
+      .select(col("label"), col("qid"),
+        posexplode(array_sort(col("top"))).as(Seq("idx", "t")))
+      .select(col("label"), col("qid"), col("t.nid").as("nid"),
+        (lit(0.0) - col("t.neg")).as("cos"),
+        (col("idx") + 1).cast("long").as("rn"))
   }
 
   val queries: Map[String, Relational.Q] = Map(

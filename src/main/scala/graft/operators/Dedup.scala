@@ -534,6 +534,36 @@ object Dedup {
     s"list_min(list_transform(hv, h -> (h * $a + $b) % $P)) AS sig$j"
   }.mkString(",\n ")
 
+  /** Shared CTE chain: shingle hashes -> minhash sigs -> LSH band
+    * pairs -> recursive connected components, ending in
+    * `comp(doc, cluster_id)`. Reused by dedup_clusters here and by
+    * TrainPrep's leakage-aware train_split oracle.
+    */
+  private[operators] val clusterCompCte =
+    s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sig AS (SELECT doc_id, $sigSelect FROM hs),
+       |bands AS (
+       | SELECT doc_id,
+       |  unnest([0, 1, 2, 3]) AS bid,
+       |  unnest([
+       |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+       |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+       |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+       |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+       | FROM sig WHERE sig0 IS NOT NULL),
+       |pairs AS (
+       | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+       |  AND a.doc_id < b.doc_id),
+       |edges AS (
+       | SELECT doc_a AS src, doc_b AS dst FROM pairs
+       | UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc, lbl) AS (
+       | SELECT DISTINCT src, src FROM edges
+       | UNION
+       | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
+       |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
   private val simhashBitSums = (0 until 60)
     .map(bit => s"sum(((hv >> $bit) & 1) * 2 - 1) AS s$bit").mkString(",\n ")
   private val simhashFp = (0 until 60)
@@ -642,29 +672,7 @@ object Dedup {
          |GROUP BY 1, 2, 3""".stripMargin,
 
     "dedup_clusters" ->
-      s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |sig AS (SELECT doc_id, $sigSelect FROM hs),
-         |bands AS (
-         | SELECT doc_id,
-         |  unnest([0, 1, 2, 3]) AS bid,
-         |  unnest([
-         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
-         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
-         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
-         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
-         | FROM sig WHERE sig0 IS NOT NULL),
-         |pairs AS (
-         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
-         |  AND a.doc_id < b.doc_id),
-         |edges AS (
-         | SELECT doc_a AS src, doc_b AS dst FROM pairs
-         | UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(doc, lbl) AS (
-         | SELECT DISTINCT src, src FROM edges
-         | UNION
-         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc),
-         |comp AS (SELECT doc, min(lbl) AS cluster_id FROM reach GROUP BY doc),
+      s"""$clusterCompCte,
          |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
          |SELECT comp.doc AS doc_id, comp.cluster_id, sizes.cluster_size,
          | comp.doc = comp.cluster_id AS is_canonical

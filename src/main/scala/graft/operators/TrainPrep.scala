@@ -203,13 +203,45 @@ object TrainPrep {
       .limit(20)
   }
 
+  /** Leakage-aware train/val/test split (90/5/5): the split hash is
+    * keyed on the document's near-dup CLUSTER label, not its own id, so
+    * every member of an LSH near-dup family lands in the same split —
+    * a near-copy of a training document can never leak into val/test.
+    * Singleton documents (no near-dup) hash their own id.
+    *
+    * Shape: the cluster labels come from the same LSH-band candidate
+    * graph + connected components the dedup tier runs (bounded keyed
+    * joins throughout); attaching them back is a LEFT join of the
+    * corpus against the (much smaller) clustered subset. The split
+    * decision itself is one narrow md5 projection — at 100 TB the
+    * cluster labels are a persisted artifact of the dedup pass and
+    * this operator is a single broadcast-or-keyed join over it.
+    */
+  def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Dedup.lshCandidates(s, d)._1.select(col("doc_a"), col("doc_b")))
+      .select(col("doc").as("doc_id"), col("lbl"))
+    val bucket = pmod(
+      graft.functions.Hash60.hash60(
+        concat(lit("split"), col("split_key").cast("string"))), lit(20L))
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("bucket", bucket)
+      .select(col("doc_id"), col("source"), col("split_key"),
+        when(col("bucket") < 18, "train")
+          .when(col("bucket") === 18, "val")
+          .otherwise("test").as("split"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "unigram_lm_score" -> (unigramLmScore _),
     "dup_span_detect" -> (dupSpanDetect _),
     "global_shuffle" -> (globalShuffle _),
     "quality_classifier" -> (qualityClassifier _),
     "corpus_profile" -> (corpusProfile _),
-    "bpe_merge_step" -> (bpeMergeStep _)
+    "bpe_merge_step" -> (bpeMergeStep _),
+    "train_split" -> (trainSplit _)
   )
 
   private val normSql =
@@ -313,6 +345,22 @@ object TrainPrep {
          | round(raw_caps, 6) AS caps_ratio,
          | round(1.0 / (1.0 + exp(-logit)), 6) AS quality_prob,
          | CAST(CASE WHEN logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
-         |FROM z""".stripMargin
+         |FROM z""".stripMargin,
+
+    "train_split" ->
+      s"""${Dedup.clusterCompCte},
+         |keyed AS (
+         | SELECT d.doc_id, d.source,
+         |  coalesce(comp.cluster_id, d.doc_id) AS split_key
+         | FROM documents d LEFT JOIN comp ON comp.doc = d.doc_id),
+         |b AS (
+         | SELECT doc_id, source, split_key,
+         |  ('0x' || substr(md5('split' || CAST(split_key AS VARCHAR)), 1, 15))::BIGINT % 20 AS bucket
+         | FROM keyed)
+         |SELECT doc_id, source, split_key,
+         | CASE WHEN bucket < 18 THEN 'train'
+         |      WHEN bucket = 18 THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM b""".stripMargin
   )
 }

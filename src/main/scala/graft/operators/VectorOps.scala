@@ -76,9 +76,40 @@ object VectorOps {
         col("cos").as("cos_sim"), col("rank_ab"), col("rank_ba"))
   }
 
+  /** Symmetric int8 quantization of the embedding column — the vector-
+    * storage compression step (4x over float32) before writing an ANN
+    * index or a training-shard sidecar. Per vector: scale
+    * maxm = max|x| (in exact micros), q_i = round(|x_i|*127/maxm) with
+    * the rounding done in all-integer arithmetic
+    * (floor((|x|*254 + maxm) / (2*maxm)) — exact on both engines, no
+    * float round boundary), sign re-applied. Also emits the
+    * reconstruction error per dim in micro-units.
+    *
+    * Scale shape: fully narrow — the per-vector max comes from a
+    * higher-order array fold BEFORE the explode, so there is no
+    * groupBy, no window, no shuffle at all; the operator maps
+    * partition-local over the corpus.
+    */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xm"))
+      .withColumn("maxm",
+        greatest(array_max(transform(col("xm"), x => abs(x))), lit(1L)))
+    val q = (signum(col("x")) *
+      floor((abs(col("x")) * 254 + col("maxm")).cast("double")
+        / (col("maxm") * 2))).cast("long")
+    e.select(col("vec_id"), col("maxm"), posexplode(col("xm")).as(Seq("dim", "x")))
+      .withColumn("q", q)
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("q"),
+        round(abs(col("x").cast("double")
+          - col("q") * col("maxm").cast("double") / 127.0), 3).as("err_um"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "embedding_standardize" -> (embeddingStandardize _),
-    "knn_graph" -> ((s, d) => knnGraph(s, d))
+    "knn_graph" -> ((s, d) => knnGraph(s, d)),
+    "embedding_quantize" -> (embeddingQuantize _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -117,6 +148,28 @@ object VectorOps {
         |SELECT k1.aid AS src_id, k1.bid AS dst_id, k1.cos AS cos_sim,
         | k1.rn AS rank_ab, k2.rn AS rank_ba
         |FROM k k1 JOIN k k2 ON k1.aid = k2.bid AND k1.bid = k2.aid
-        |WHERE k1.aid < k1.bid""".stripMargin
+        |WHERE k1.aid < k1.bid""".stripMargin,
+
+    "embedding_quantize" ->
+      """WITH e AS (
+        | SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[], v -> CAST(round(v * 1e6) AS BIGINT)) AS xm
+        | FROM embeddings),
+        |m AS (
+        | SELECT vec_id, xm,
+        |  greatest(list_max(list_transform(xm, v -> abs(v))), 1) AS maxm
+        | FROM e),
+        |d AS (
+        | SELECT vec_id, maxm, unnest(xm) AS x,
+        |  unnest(range(0, len(xm))) AS dim
+        | FROM m),
+        |qd AS (
+        | SELECT vec_id, dim, maxm, x,
+        |  CAST(sign(x) AS BIGINT)
+        |   * CAST(floor(CAST(abs(x) * 254 + maxm AS DOUBLE) / (maxm * 2)) AS BIGINT) AS q
+        | FROM d)
+        |SELECT vec_id, dim, q,
+        | round(abs(CAST(x AS DOUBLE) - q * CAST(maxm AS DOUBLE) / 127.0), 3) AS err_um
+        |FROM qd""".stripMargin
   )
 }

@@ -135,4 +135,28 @@ class TrainPrepSpec extends SparkTestBase {
     assert(inconsistent === 0)
     r.unpersist()
   }
+
+  test("train_split: near-dup clusters never straddle a split boundary") {
+    val split = TrainPrep.trainSplit(spark, sf).cache()
+    // leakage invariant: every member of an LSH near-dup cluster keys
+    // its split off the same cluster label -> one split per cluster
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id"))
+    val straddling = split.join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        countDistinct(col("split_key")).as("n_keys"))
+      .filter(col("n_splits") =!= 1 || col("n_keys") =!= 1)
+      .count()
+    assert(straddling === 0)
+    // every document is assigned exactly one split, and the 90/5/5
+    // hash split is non-degenerate on this corpus
+    val total = split.count()
+    assert(total === graft.Tables.documents(spark, sf).count())
+    val bySplit = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train").toDouble / total > 0.7)
+    split.unpersist()
+  }
 }

@@ -70,4 +70,24 @@ class VectorOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
     assert(got == expect)
   }
+
+  test("embedding_quantize: q in [-127,127], max dim hits 127, err within half-step") {
+    val out = VectorOps.embeddingQuantize(spark, sf).cache()
+    assert(out.filter(abs(col("q")) > 127).count() === 0)
+    // the max-|x| dimension of every vector quantizes to exactly +/-127
+    val perVec = out.groupBy(col("vec_id"))
+      .agg(max(abs(col("q"))).as("qmax"), count(lit(1)).as("n"))
+    assert(perVec.filter(col("qmax") =!= 127).count() === 0)
+    assert(perVec.filter(col("n") =!= 64).count() === 0)
+    // reconstruction error bound: |x - q*maxm/127| <= maxm/254 per dim
+    // (half a quantization step); recompute maxm from the source table
+    val maxm = graft.Tables.embeddings(spark, sf).select(col("vec_id"),
+        greatest(array_max(transform(col("embedding"),
+          x => abs(round(x.cast("double") * 1e6).cast("long")))), lit(1L)).as("maxm"))
+    val viol = out.join(maxm, Seq("vec_id"))
+      .filter(col("err_um") > col("maxm").cast("double") / 254.0 + 0.001)
+      .count()
+    assert(viol === 0)
+    out.unpersist()
+  }
 }

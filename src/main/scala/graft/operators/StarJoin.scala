@@ -116,10 +116,45 @@ object StarJoin {
       .filter(col("n_orders") >= 2)
   }
 
+  /** Bloom-pruned fact join — the explicit runtime-filter shape: build
+    * a bloom filter over the SELECTIVE side's keys (urgent finished
+    * orders, ~7% of the table), prune lineitem with `might_contain`
+    * BEFORE its join shuffle, then join exactly. The bloom's false
+    * positives are removed by the exact join, so the result is
+    * identical to the plain join (the oracle IS the plain join) — the
+    * bloom only cuts the probe-side shuffle from all of lineitem to
+    * ~the matching fraction. At 100 TB this is the semi-join reduction
+    * that decides fact-to-fact cost when the optimizer's own
+    * InjectRuntimeFilter heuristics decline (e.g. the build side is
+    * the output of an upstream stage, not a scan).
+    *
+    * The one driver-side action is collecting the 100 KB sketch — the
+    * exact analogue of the subquery execution Spark's own runtime
+    * filter performs; nothing row-shaped ever reaches the driver.
+    * Revenue sums in integer cents so the per-month totals are
+    * order-independent and byte-reproducible cross-engine.
+    */
+  def bloomPruneJoin(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val bloomBin = ord
+      .agg(graft.functions.BloomJoin.bloomAgg(col("o_orderkey"), 1000000L, 8000000L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(graft.functions.BloomJoin.mightContain(lit(bloomBin), col("l_orderkey")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "star_shipping_priority" -> (shippingPriority _),
     "star_local_volume" -> (localSupplierVolume _),
-    "basket_pairs" -> (basketPairs _)
+    "basket_pairs" -> (basketPairs _),
+    "bloom_prune_join" -> (bloomPruneJoin _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -160,6 +195,16 @@ object StarJoin {
         | JOIN items b ON a.l_orderkey = b.l_orderkey
         |  AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
-        |HAVING count(*) >= 2""".stripMargin
+        |HAVING count(*) >= 2""".stripMargin,
+
+    // the bloom is semantics-transparent (false positives die in the
+    // exact join) — the oracle is the PLAIN join
+    "bloom_prune_join" ->
+      """SELECT date_trunc('month', o_orderdate)::DATE AS month,
+        | count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin
   )
 }

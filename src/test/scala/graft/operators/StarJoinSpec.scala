@@ -65,4 +65,31 @@ class StarJoinSpec extends SparkTestBase {
     // orders-lineitem must NOT be a broadcast nested loop
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("bloom_prune_join: bloom is semantics-transparent and actually prunes") {
+    val got = StarJoin.bloomPruneJoin(spark, sf)
+    val ord = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val naive = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    // pruning: the probe-side filter keeps every matching row (no
+    // false negatives) but drops most of the non-matching majority
+    val bloomBin = ord.agg(graft.functions.BloomJoin
+        .bloomAgg(col("o_orderkey"), 1000000L, 8000000L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val li = graft.Tables.lineitem(spark, sf)
+    val total = li.count()
+    val kept = li.filter(graft.functions.BloomJoin
+      .mightContain(lit(bloomBin), col("l_orderkey"))).count()
+    val matched = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(kept >= matched)     // no false negatives
+    assert(kept < total / 2)    // the 7%-selective build side prunes the probe
+  }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
@@ -66,8 +65,20 @@ object VectorOps {
         Seq("label"))
       .filter(col("aid") =!= col("bid"))
       .select(col("aid"), col("bid"), cos.as("cos"))
-    val w = Window.partitionBy(col("aid")).orderBy(col("cos").desc, col("bid"))
-    val knn = pairs.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= k)
+    // top-k per aid as a bounded-heap aggregate, not a window: the
+    // O(block^2) pair stream reduces map-side to <= k rows per aid
+    // before any exchange (same shape as tfidfTopterms). (cos desc,
+    // bid asc) encoded ascending as (-cos, bid); `0.0 - neg` recovers
+    // cos without a -0.0 artifact.
+    val knn = pairs
+      .groupBy(col("aid"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0.0) - col("cos")).as("neg"), col("bid")), k,
+        reverse = true).as("top"))
+      .select(col("aid"), posexplode(array_sort(col("top"))).as(Seq("idx", "t")))
+      .select(col("aid"), col("t.bid").as("bid"),
+        (lit(0.0) - col("t.neg")).as("cos"),
+        (col("idx") + 1).cast("long").as("rn"))
     knn.select(col("aid"), col("bid"), col("cos"), col("rn").as("rank_ab"))
       .join(knn.select(col("aid").as("r_aid"), col("bid").as("r_bid"), col("rn").as("rank_ba")),
         col("aid") === col("r_bid") && col("bid") === col("r_aid"))

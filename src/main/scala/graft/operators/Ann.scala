@@ -55,14 +55,24 @@ object Ann {
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("nv").as("nq"))
     val cos = round(cosinePre(col("vq"), col("nq"), col("v"), col("nv")), 6)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     // Broadcast the tiny query side and STREAM the corpus once — the
     // build relation of this nested-loop join must be the 8-row query
-    // set, never the corpus (which is the 100 TB side at scale).
+    // set, never the corpus (which is the 100 TB side at scale). The
+    // top-5 is a bounded-heap aggregate, not a window: the nq x corpus
+    // scored stream reduces map-side to 5 rows per qid per partition
+    // instead of re-shuffling and sorting in full. (cos desc, nid asc)
+    // encoded ascending as (-cos, nid); `0.0 - neg` recovers cos
+    // without a -0.0 artifact.
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0.0) - col("cos")).as("neg"), col("nid")), 5,
+        reverse = true).as("top"))
+      .select(col("qid"), posexplode(array_sort(col("top"))).as(Seq("idx", "t")))
+      .select(col("qid"), col("t.nid").as("nid"),
+        (lit(0.0) - col("t.neg")).as("cos"),
+        (col("idx") + 1).cast("long").as("rn"))
   }
 
   /** LSH-bucketed ANN: candidates share a 4-bit hyperplane bucket. */
@@ -75,12 +85,20 @@ object Ann {
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("bucket"),
         col("nv").as("nq"))
     val cos = round(cosinePre(col("vq"), col("nq"), col("v"), col("nv")), 6)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    // bounded-heap top-3 (see annBruteforceTopk); each qid lives in
+    // exactly one bucket, so (qid, bucket) grouping preserves the key
     q.join(e, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), col("bucket"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .groupBy(col("qid"), col("bucket"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0.0) - col("cos")).as("neg"), col("nid")), 3,
+        reverse = true).as("top"))
+      .select(col("qid"), col("bucket"),
+        posexplode(array_sort(col("top"))).as(Seq("idx", "t")))
+      .select(col("qid"), col("t.nid").as("nid"), col("bucket"),
+        (lit(0.0) - col("t.neg")).as("cos"),
+        (col("idx") + 1).cast("long").as("rn"))
   }
 
   /** IVF-style ANN: coarse centroids = per-label mean vectors (the
@@ -114,12 +132,20 @@ object Ann {
       .select(col("qid"), col("vq"), col("nq"), col("list_id"))
     // probe only the assigned list (norms precomputed on both sides)
     val cos = round(cosinePre(col("vq"), col("nq"), col("v"), col("nv")), 6)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    // bounded-heap top-3 (see annBruteforceTopk); each qid probes
+    // exactly one list, so (qid, list_id) grouping preserves the key
     qAssign.join(e, col("label") === col("list_id"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), col("list_id"), cos.as("cos"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .groupBy(col("qid"), col("list_id"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0.0) - col("cos")).as("neg"), col("nid")), 3,
+        reverse = true).as("top"))
+      .select(col("qid"), col("list_id"),
+        posexplode(array_sort(col("top"))).as(Seq("idx", "t")))
+      .select(col("qid"), col("t.nid").as("nid"), col("list_id"),
+        (lit(0.0) - col("t.neg")).as("cos"),
+        (col("idx") + 1).cast("long").as("rn"))
   }
 
   /** One k-means training iteration for the IVF coarse quantizer:
@@ -229,18 +255,22 @@ object Ann {
       .select(col("qid"), col("sub"), col("k"), lutScore.as("d"))
 
     // ADC: sum the 8 LUT hits per (query, corpus vector). The corpus-
-    // sized aggregate and top-10 window carry ONLY (qid, nid, dist) —
+    // sized aggregate carries ONLY (qid, nid, dist), and the top-10
+    // shortlist is a bounded-heap aggregate over it ((approx_dist, nid)
+    // ascending is already the wanted order — no negation needed) —
     // the 64-dim query vector rejoins AFTER the shortlist (8x10 rows),
     // never riding a corpus-sized shuffle or sort.
-    val wAdc = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_dist"), col("nid"))
     val candidates = codes
       .join(lut, codes("sub") === lut("sub") && codes("code") === lut("k"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id").as("nid"))
       .agg(round(sum(col("d")), 6).as("approx_dist"))
-      .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= 10)
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct(col("approx_dist"), col("nid")), 10, reverse = true).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.nid").as("nid"),
+        col("t.approx_dist").as("approx_dist"))
 
     // exact re-rank of the shortlist
     val cos = round(cosine(col("vq"), col("v")), 6)

@@ -155,14 +155,17 @@ object Dedup {
       .join(sig.select(col("doc_id").as("old_id"), col("sig_arr").as("sig_o")), Seq("old_id"))
       .select(col("new_id"), col("old_id"), round(est, 6).as("est"))
       .filter(col("est") >= 0.5)
-    val w = org.apache.spark.sql.expressions.Window
+    // best match per new doc as ONE hash aggregate (count + lexicographic
+    // struct-min), not a count window plus a rank window: partials
+    // combine map-side, and the candidate stream is never re-sorted.
+    // (est desc, old_id asc) encoded ascending as (-est, old_id);
+    // `0.0 - neg` recovers est without a -0.0 artifact.
     val best = scored
-      .withColumn("n_matches", count(lit(1)).over(w.partitionBy(col("new_id"))))
-      .withColumn("rn", row_number().over(
-        w.partitionBy(col("new_id")).orderBy(col("est").desc, col("old_id"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct((lit(0.0) - col("est")).as("neg"), col("old_id"))).as("b"))
       .select(col("new_id"), col("n_matches"),
-        col("est").as("best_est"), col("old_id").as("best_match"))
+        (lit(0.0) - col("b.neg")).as("best_est"), col("b.old_id").as("best_match"))
     Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 9)
       .select(col("doc_id").as("new_id"))
       .join(best, Seq("new_id"), "left")

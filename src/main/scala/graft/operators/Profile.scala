@@ -99,8 +99,45 @@ object Profile {
         col("props"), expr("unix_micros(ts)").as("ts_us")),
       NumericCols, StringCols)
 
+  /** Referential/key integrity audit over the star schema — the
+    * constraint census an ingest pipeline runs before publishing a
+    * drop: key uniqueness (rows minus distinct keys) and foreign-key
+    * orphans (child keys with no parent), one row per constraint.
+    *
+    * Shape: each uniqueness check is one aggregate over its table
+    * (map-side partial distinct); each orphan check is one LEFT join
+    * on the key followed by a scalar aggregate — the planner
+    * broadcasts genuinely small parents and shuffle-joins fact-fact
+    * edges, same as any query on those keys. Nothing is collected;
+    * the result is a 6-row constraint table.
+    */
+  def integrityAudit(s: SparkSession, d: String): DataFrame = {
+    def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.agg((count(lit(1)) - countDistinct(keys.head, keys.tail: _*)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit(name).as("constraint_name"), col("n_violations"), col("n_checked"))
+    def fk(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.select(col(ck))
+        .join(parent.select(col(pk), lit(1L).as("__hit")), col(ck) === col(pk), "left")
+        .agg(sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_checked"))
+        .select(lit(name).as("constraint_name"), col("n_violations"), col("n_checked"))
+    uniq("uq_orders_orderkey", Tables.orders(s, d), Seq("o_orderkey"))
+      .unionAll(uniq("uq_customer_custkey", Tables.customer(s, d), Seq("c_custkey")))
+      .unionAll(uniq("uq_lineitem_orderkey_linenumber", Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber")))
+      .unionAll(fk("fk_lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"))
+      .unionAll(fk("fk_orders_customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .unionAll(fk("fk_customer_nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
-    "table_profile" -> (tableProfile _)
+    "table_profile" -> (tableProfile _),
+    "integrity_audit" -> (integrityAudit _)
   )
 
   // numeric: raw-value DISTINCT (double equality semantics match
@@ -127,6 +164,30 @@ object Profile {
           |  epoch_us(ts) AS ts_us FROM events)
           |""".stripMargin +
         (NumericCols.map(numSelect) ++ StringCols.map(strSelect))
-          .mkString("\nUNION ALL\n"))
+          .mkString("\nUNION ALL\n")),
+
+    "integrity_audit" ->
+      """SELECT 'uq_orders_orderkey' AS constraint_name,
+        | count(*) - count(DISTINCT o_orderkey) AS n_violations,
+        | count(*) AS n_checked FROM orders
+        |UNION ALL
+        |SELECT 'uq_customer_custkey',
+        | count(*) - count(DISTINCT c_custkey), count(*) FROM customer
+        |UNION ALL
+        |SELECT 'uq_lineitem_orderkey_linenumber',
+        | count(*) - count(DISTINCT (l_orderkey, l_linenumber)), count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders',
+        | sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*)
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        | sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), count(*)
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'fk_customer_nation',
+        | sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END), count(*)
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
   )
 }

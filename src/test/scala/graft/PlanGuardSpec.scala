@@ -32,4 +32,42 @@ class PlanGuardSpec extends SparkTestBase {
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
+
+  test("every broadcast nested-loop join broadcasts a bounded side") {
+    // The other scale-killer: a BNLJ whose broadcast side is an
+    // unbounded table scan OOMs the moment the data grows. Legitimate
+    // BNLJ uses in this library broadcast either a grouping-free
+    // (1-row) aggregate or a literal-filtered pinned subset (e.g. the
+    // 8-vector ANN query set); both leave a bounding node — a scalar
+    // aggregate or a literal filter — in the broadcast subtree. A raw
+    // scan with neither is flagged.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    def bounded(p: SparkPlan): Boolean = flattenPlan(p).exists {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.collectFirst {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l
+        }.isDefined
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val lintFn = lazyTwins.getOrElse(name, fn)
+        val plan = lintFn(spark, sf).queryExecution.executedPlan
+        flattenPlan(plan).collect {
+          case j: BroadcastNestedLoopJoinExec =>
+            val bc = j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+            if (!bounded(bc)) Some(s"$name: unbounded BNLJ broadcast side")
+            else None
+        }.flatten
+    }
+    assert(offenders.isEmpty, s"unbounded broadcast sides: $offenders")
+  }
 }

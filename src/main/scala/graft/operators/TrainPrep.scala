@@ -116,6 +116,44 @@ object TrainPrep {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** Contiguous global ordinals 0..N-1 under a total order WITHOUT the
+    * single-partition window (`row_number().over(orderBy(...))` with no
+    * partition key moves the entire corpus into ONE task — the shape
+    * Spark's own WindowExec warning is about). Decomposition instead:
+    *
+    *   global rank(k, t)  =  prefix_count(keys before k)  +  local rank
+    *
+    * — exclusive prefix sums over the per-key count table (bounded by
+    * distinct key values; the only global window in the plan runs over
+    * THAT table, never the corpus), broadcast-joined back, plus a
+    * keyed local rank within each key group. Both corpus-sized steps
+    * are an aggregate and a keyed window — fully parallel, and robust
+    * under any downstream repartition/coalesce (no partition-id or
+    * TaskContext dependence; a mapPartitions+getPartitionId variant
+    * silently mis-numbers when a consumer's coalesce(1) fuses the
+    * stage into one task — measured).
+    *
+    * Total order (n_chars desc, doc_id asc) has a unique tiebreak, so
+    * the assignment is engine-independent. A single dominant key value
+    * would concentrate its group in one window partition; the fix at
+    * scale is one more prefix level (salt the hot key, prefix-sum the
+    * salt buckets) — same decomposition, applied recursively.
+    */
+  def globalOrdinals(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    // bounded: one row per distinct length
+    val offsets = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(w.orderBy(col("n_chars").desc)
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_chars"), col("offset"))
+    val wd = w.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+    docs.join(broadcast(offsets), Seq("n_chars"))
+      .withColumn("ordinal", col("offset") + row_number().over(wd) - 1)
+      .select(col("doc_id"), col("n_chars"), col("ordinal"))
+  }
+
   /** Model-based quality classification — the fasttext/logreg serving
     * shape: a fixed weight vector (stand-in for a trained artifact a
     * real run broadcasts) scores per-row features with a logistic
@@ -241,7 +279,8 @@ object TrainPrep {
     "quality_classifier" -> (qualityClassifier _),
     "corpus_profile" -> (corpusProfile _),
     "bpe_merge_step" -> (bpeMergeStep _),
-    "train_split" -> (trainSplit _)
+    "train_split" -> (trainSplit _),
+    "global_ordinals" -> (globalOrdinals _)
   )
 
   private val normSql =
@@ -361,6 +400,11 @@ object TrainPrep {
          | CASE WHEN bucket < 18 THEN 'train'
          |      WHEN bucket = 18 THEN 'val'
          |      ELSE 'test' END AS split
-         |FROM b""".stripMargin
+         |FROM b""".stripMargin,
+
+    "global_ordinals" ->
+      """SELECT doc_id, n_chars,
+        | row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS ordinal
+        |FROM documents""".stripMargin
   )
 }

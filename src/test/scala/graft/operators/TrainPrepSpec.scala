@@ -159,4 +159,19 @@ class TrainPrepSpec extends SparkTestBase {
     assert(bySplit("train").toDouble / total > 0.7)
     split.unpersist()
   }
+
+  test("global_ordinals: contiguous permutation consistent with the total order") {
+    val r = TrainPrep.globalOrdinals(spark, sf).cache()
+    val n = r.count()
+    assert(r.agg(min(col("ordinal"))).head.getLong(0) === 0L)
+    assert(r.agg(max(col("ordinal"))).head.getLong(0) === n - 1)
+    assert(r.select(col("ordinal")).distinct().count() === n)
+    // driver-side replay of the total order (n_chars desc, doc_id asc)
+    val sorted = r.collect()
+      .sortBy(x => (-x.getAs[Long]("n_chars"), x.getAs[Long]("doc_id")))
+    assert(sorted.zipWithIndex.forall {
+      case (row, i) => row.getAs[Long]("ordinal") == i.toLong
+    })
+    r.unpersist()
+  }
 }

@@ -110,6 +110,13 @@ object Profile {
     * broadcasts genuinely small parents and shuffle-joins fact-fact
     * edges, same as any query on those keys. Nothing is collected;
     * the result is a 6-row constraint table.
+    *
+    * Deliberately NOT fused to one pass per child table: folding the
+    * uniqueness countDistinct into the FK join's aggregate plans an
+    * Expand over the joined stream, which costs more than the extra
+    * columnar scan it saves (measured at sf1: fused 7.9 s paired vs
+    * 5.3 s for the separate passes below). Scans are cheap; Expand
+    * replication of a wide joined stream is not.
     */
   def integrityAudit(s: SparkSession, d: String): DataFrame = {
     def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame =

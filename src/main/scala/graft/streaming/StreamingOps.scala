@@ -507,4 +507,86 @@ object StreamingOps {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Streaming Misra–Gries heavy-hitter sketch — the state-store twin
+    * of operators.Sketch.heavyHitters' per-partition pass 1. The token
+    * stream shards by content hash (a fixed, small key space — the
+    * state store holds `shards` bounded maps, not the vocabulary), and
+    * each shard's state is one decrement-all MG summary carried across
+    * micro-batches: counters cap at `cap`, every eviction round
+    * removes cap+1 units of observed mass, so per shard any token with
+    * true count > shard_total/(cap+1) is guaranteed to be in the final
+    * summary regardless of how arrivals split across triggers.
+    * `seq`/`shard_total`/`evictions` ride along so a readout can pick
+    * the latest emission and a spec can check the MG error bound
+    * (true - est <= evictions). Batch pass 2 (exact recount of
+    * survivors) applies unchanged to the emitted candidate set.
+    */
+  case class MgShardRow(shard: Int, seq: Long, token: String, est: Long,
+                        shard_total: Long, evictions: Long)
+  case class MgShardState(seq: Long, total: Long, evictions: Long,
+                          counters: Map[String, Long])
+
+  def heavyHittersStream(docs: DataFrame, shards: Int = 8,
+      cap: Int = 64): Dataset[MgShardRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .select(col("token"),
+        pmod(graft.functions.TextFunctions.hash60(col("token")), lit(shards))
+          .cast("int").as("shard"))
+      .as[(String, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[MgShardState, MgShardRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard, rows, state) =>
+          val prev = state.getOption.getOrElse(MgShardState(0L, 0L, 0L, Map.empty))
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          m ++= prev.counters
+          var total = prev.total
+          var ev = prev.evictions
+          rows.foreach { case (t, _) =>
+            total += 1
+            m.get(t) match {
+              case Some(c) => m.update(t, c + 1)
+              case None if m.size < cap => m.update(t, 1L)
+              case None =>
+                ev += 1
+                // snapshot before mutating (iteration order under
+                // remove is unstable) — same kernel as the batch pass
+                val snap = m.toArray
+                var i = 0
+                while (i < snap.length) {
+                  val (k, v) = snap(i)
+                  if (v == 1L) m.remove(k) else m.update(k, v - 1L)
+                  i += 1
+                }
+            }
+          }
+          val seq = prev.seq + 1
+          state.update(MgShardState(seq, total, ev, m.toMap))
+          m.iterator.map { case (t, c) => MgShardRow(shard, seq, t, c, total, ev) }
+      }
+  }
+
+  /** Streaming driver for heavyHittersStream (update mode, memory
+    * sink): each trigger re-emits a shard's full summary, so the
+    * readout keeps only each shard's latest (max-seq) emission.
+    */
+  def runHeavyHittersOnce(spark: SparkSession, dir: String,
+      queryName: String): DataFrame = {
+    val q = heavyHittersStream(readDocuments(spark, dir))
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    spark.table(queryName)
+      .withColumn("__mx", org.apache.spark.sql.functions.max(col("seq")).over(w))
+      .filter(col("seq") === col("__mx")).drop("__mx")
+  }
 }

@@ -153,4 +153,38 @@ class StreamingSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("streaming Misra-Gries sketch honors the MG guarantees vs exact counts") {
+    val out = StreamingOps.runHeavyHittersOnce(spark, sf, "stream_mg").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // exact per-token counts and shard assignment, computed batch-side
+    val exact = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .select(col("token"),
+        pmod(graft.functions.TextFunctions.hash60(col("token")), lit(8))
+          .cast("int").as("shard"))
+      .groupBy(col("shard"), col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val shardTotals = exact.groupBy(_._1._1).map { case (s2, m) => s2 -> m.values.sum }
+    val cap = 64L
+    // (1) shard totals observed by the stream match the exact mass
+    out.groupBy(_._1).foreach { case (s2, rows) =>
+      assert(rows.map(_._4).toSet == Set(shardTotals(s2)))
+    }
+    // (2) no overestimates, and underestimates bounded by the shard's
+    // eviction rounds (each round subtracts at most 1 per counter)
+    out.foreach { case (s2, t, est, _, ev) =>
+      val ex = exact((s2, t))
+      assert(est <= ex, s"overestimate for ($s2,$t)")
+      assert(ex - est <= ev, s"error beyond eviction bound for ($s2,$t)")
+    }
+    // (3) completeness: any token with count > shard_total/(cap+1) is
+    // guaranteed to survive in its shard's summary
+    val present = out.map(r => (r._1, r._2)).toSet
+    exact.foreach { case ((s2, t), n) =>
+      if (n > shardTotals(s2) / (cap + 1))
+        assert(present((s2, t)), s"guaranteed heavy hitter ($s2,$t,$n) missing")
+    }
+  }
 }

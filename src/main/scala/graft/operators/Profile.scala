@@ -142,9 +142,39 @@ object Profile {
         Tables.nation(s, d), "n_nationkey"))
   }
 
+  /** Join-key skew census — the diagnostic run BEFORE a big keyed
+    * shuffle: per-key row counts over events.user_id, flagging every
+    * key that carries more than 1.1x the mean key mass, with its share
+    * of total mass in integer ppm (the threshold is a parameter of
+    * the census; 1.1x surfaces the multinomial tail on this uniform
+    * corpus — a crawl's power-law keys blow far past it). The flagged
+    * set is what a salting/AQE-skew-join decision feeds on at 100 TB.
+    * The flag compares pure integers (10 * n * n_keys > 11 * total) —
+    * no float median, no rounding boundary cross-engine.
+    *
+    * Shape: one partial-agg groupBy builds the key-count table
+    * (bounded by distinct keys); total and key count derive from that
+    * bounded table as one scalar aggregate broadcast back as a 1-row
+    * join. Nothing corpus-sized is re-shuffled.
+    */
+  def skewDetect(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .filter(col("n") * col("n_keys") * 10 > lit(11) * col("total"))
+      .select(col("user_id"), col("n"),
+        floor((col("n") * 1000000L).cast("double") / col("total"))
+          .cast("long").as("mass_ppm"),
+        round((col("n") * col("n_keys")).cast("double") / col("total"), 6)
+          .as("x_mean"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "table_profile" -> (tableProfile _),
-    "integrity_audit" -> (integrityAudit _)
+    "integrity_audit" -> (integrityAudit _),
+    "skew_detect" -> (skewDetect _)
   )
 
   // numeric: raw-value DISTINCT (double equality semantics match
@@ -195,6 +225,17 @@ object Profile {
         |UNION ALL
         |SELECT 'fk_customer_nation',
         | sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END), count(*)
-        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
+
+    "skew_detect" ->
+      """WITH counts AS (
+        | SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |stats AS (
+        | SELECT sum(n) AS total, count(*) AS n_keys FROM counts)
+        |SELECT user_id, n,
+        | CAST(floor(CAST(n * 1000000 AS DOUBLE) / total) AS BIGINT) AS mass_ppm,
+        | round(CAST(n * n_keys AS DOUBLE) / total, 6) AS x_mean
+        |FROM counts CROSS JOIN stats
+        |WHERE 10 * n * n_keys > 11 * total""".stripMargin
   )
 }

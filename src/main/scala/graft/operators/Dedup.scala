@@ -500,6 +500,56 @@ object Dedup {
         (col("idx") + 1).cast("long").as("rn"))
   }
 
+  /** Sketch-quality evaluation — the sample-based tuning run a
+    * production dedup does before picking MinHash band/row parameters:
+    * on a deterministic 1-in-5 document sample, compare the 8-perm
+    * signature-agreement estimate against exact unigram Jaccard and
+    * emit the confusion matrix + precision/recall (integer ppm) at
+    * every possible agreement threshold t/8.
+    *
+    * Determinism discipline: ground truth "jaccard >= 0.5" is decided
+    * in pure integers (3*|A∩B| >= |A|+|B| is algebraically equivalent)
+    * — no float compare anywhere. Scale shape: the sample keeps the
+    * within-source pair quadratic at 1/25 of the corpus's; everything
+    * downstream of the pair join is one 8-row aggregate.
+    */
+  def dedupEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"))
+      .select(col("doc_id"), col("source"), col("uni"), size(col("uni")).as("nu"))
+    val sig = minhashSigDf(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0 && col("sig0").isNotNull)
+      .select(col("doc_id"),
+        array((0 until 8).map(j => col(s"sig$j")): _*).as("sig_arr"))
+    val base = docs.join(sig, Seq("doc_id")).localCheckpoint(true)
+    val a = base.select(col("source"), col("doc_id").as("doc_a"),
+      col("uni").as("ua"), col("nu").as("na"), col("sig_arr").as("sa"))
+    val b = base.select(col("source"), col("doc_id").as("doc_b"),
+      col("uni").as("ub"), col("nu").as("nb"), col("sig_arr").as("sb"))
+    val m = aggregate(zip_with(col("sa"), col("sb"),
+      (x, y) => (x === y).cast("int")), lit(0), (acc, x) => acc + x)
+    val inter = graft.functions.IntersectCount.intersectCount(col("ua"), col("ub"))
+    val pairs = a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(m.as("m"), (lit(3) * inter >= col("na") + col("nb")).as("pos"))
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * 1e6 / den).cast("long"))
+    pairs.select(explode(sequence(lit(1), lit(8))).as("t"), col("m"), col("pos"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("m") >= col("t") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("m") >= col("t") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("m") < col("t") && col("pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("m") < col("t") && !col("pos"), 1L).otherwise(0L)).as("tn"))
+      .select(col("t").cast("long").as("threshold_eighths"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ppm(col("tp"), col("tp") + col("fp")).as("precision_ppm"),
+        ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "minhash_signature" -> (minhashSignature _),
@@ -510,7 +560,8 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_pipeline" -> (dedupPipeline _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "embedding_cosine_neardup" -> (embeddingCosineNeardup _)
+    "embedding_cosine_neardup" -> (embeddingCosineNeardup _),
+    "dedup_eval" -> (dedupEval _)
   )
 
   // ---- oracle SQL (DuckDB dialect; partially code-generated) ----
@@ -754,6 +805,42 @@ object Dedup {
         | SELECT label, qid, nid, cos,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
         | FROM p)
-        |SELECT label, qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin
+        |SELECT label, qid, nid, cos, rn FROM r WHERE rn <= 3""".stripMargin,
+
+    // ground truth in pure integers (3*|A∩B| >= |A|+|B| <=> J >= 0.5);
+    // sums cast BIGINT (DuckDB int sums widen to HUGEINT)
+    "dedup_eval" ->
+      s"""$shingleHashCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM hs),
+         |sa AS (
+         | SELECT doc_id, [sig0,sig1,sig2,sig3,sig4,sig5,sig6,sig7] AS sig_arr
+         | FROM sig WHERE sig0 IS NOT NULL AND doc_id % 5 = 0),
+         |uni AS (
+         | SELECT doc_id, source,
+         |  list_distinct(string_split($normSql, ' ')) AS uni
+         | FROM documents WHERE doc_id % 5 = 0),
+         |base AS (
+         | SELECT u.doc_id, u.source, u.uni, len(u.uni) AS nu, s.sig_arr
+         | FROM uni u JOIN sa s USING (doc_id)),
+         |p AS (
+         | SELECT
+         |  len(list_filter(range(0, 8),
+         |    i -> a.sig_arr[CAST(i + 1 AS INT)] = b.sig_arr[CAST(i + 1 AS INT)])) AS m,
+         |  3 * len(list_intersect(a.uni, b.uni)) >= a.nu + b.nu AS pos
+         | FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id),
+         |t AS (SELECT unnest(range(1, 9)) AS t),
+         |agg AS (
+         | SELECT t,
+         |  CAST(sum(CASE WHEN m >= t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN m >= t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN m < t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN m < t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         | FROM t CROSS JOIN p GROUP BY t)
+         |SELECT t AS threshold_eighths, tp, fp, fn, tn,
+         | CASE WHEN tp + fp > 0
+         |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fp)) AS BIGINT) END AS precision_ppm,
+         | CASE WHEN tp + fn > 0
+         |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fn)) AS BIGINT) END AS recall_ppm
+         |FROM agg""".stripMargin
   )
 }

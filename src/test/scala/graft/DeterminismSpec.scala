@@ -1,0 +1,47 @@
+package graft
+
+/** Partition-count invariance — the determinism claim behind the
+  * engine-exact arithmetic discipline, pinned directly: a
+  * representative slice of the registry (exact-micros sums, iterative
+  * graph labels, prefix-sum ordinals, hash-keyed sampling, sketch
+  * readouts, window ranks) must produce IDENTICAL row sets when the
+  * shuffle partition count changes. Operators whose results depended
+  * on partition layout (float sum order, partition-id numbering,
+  * RDD sampling) would diverge here long before a cluster resize
+  * surfaced it in production.
+  */
+class DeterminismSpec extends SparkTestBase {
+
+  private val probeQueries = Seq(
+    "q1_agg",            // exact-micros aggregate sums
+    "rollup_revenue",    // Expand + exact micros
+    "group_quantiles",   // exact percentiles
+    "global_ordinals",   // prefix-sum rank assignment
+    "global_shuffle",    // hash-keyed shard positions
+    "sample_stratified", // hash-bucket sampling
+    "embedding_quantize",// integer quantization, narrow
+    "decay_score",       // integer rational decay
+    "heavy_hitters",     // sketch + exact recount
+    "dedup_clusters"     // iterative connected components
+  )
+
+  test("query results are invariant to the shuffle partition count") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    def run(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    try {
+      val offenders = probeQueries.flatMap { name =>
+        spark.conf.set(key, "32")
+        val at32 = run(name)
+        spark.conf.set(key, "7")
+        val at7 = run(name)
+        if (at32 == at7 && at32.nonEmpty) None
+        else Some(s"$name (32p: ${at32.size} rows, 7p: ${at7.size} rows)")
+      }
+      assert(offenders.isEmpty,
+        s"partition-count-dependent results: $offenders")
+    } finally spark.conf.set(key, prev)
+  }
+}

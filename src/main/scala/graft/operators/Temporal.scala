@@ -234,6 +234,36 @@ object Temporal {
         expr("(1000000 * n) div from_total").as("p_ppm"))
   }
 
+  /** Trailing-window anomaly days — the monitoring primitive over an
+    * event stream: per (event_type, day), flag a daily count deviating
+    * more than 3 sigma from the preceding 7 observed days. The z-test
+    * is decided in PURE integers — (7x - S)^2 > 9*(7*Sx2 - S^2) is
+    * algebraically z^2 > 9 with mean S/7 and population variance
+    * (7*Sx2 - S^2)/49 — so no float mean/std crosses engines, and a
+    * day with fewer than 7 predecessors is never flagged.
+    *
+    * Shape: one keyed aggregate to daily counts (bounded: days x
+    * types), then windows over THAT bounded table. Zero corpus-sized
+    * windows; at 100 TB the daily rollup is the only pass over data.
+    */
+  def anomalyDays(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("sx2", sum(col("n") * col("n")).over(w))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("win_n") === 7 &&
+          (lit(7) * col("n") - col("s")) * (lit(7) * col("n") - col("s"))
+            > lit(9) * (lit(7) * col("sx2") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
@@ -242,7 +272,8 @@ object Temporal {
     "funnel_steps" -> (funnelSteps _),
     "timeseries_fill" -> (timeseriesFill _),
     "user_growth_curve" -> (userGrowthCurve _),
-    "event_transitions" -> (eventTransitions _)
+    "event_transitions" -> (eventTransitions _),
+    "anomaly_days" -> (anomalyDays _)
   )
 
   private val bandsValues = bands
@@ -352,6 +383,26 @@ object Temporal {
         | date_diff('day', cohort_wk, wk) // 7 AS week_offset,
         | count(*) AS n_users
         |FROM act JOIN first USING (user_id)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // integer z-test: (7x - S)^2 > 9*(7*Sx2 - S^2) == z^2 > 9; sums
+    // cast BIGINT (DuckDB widens int sums to HUGEINT)
+    "anomaly_days" ->
+      """WITH daily AS (
+        | SELECT event_type, ts::DATE AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |win AS (
+        | SELECT event_type, day, n,
+        |  count(*) OVER w AS win_n,
+        |  CAST(sum(n) OVER w AS BIGINT) AS s,
+        |  CAST(sum(n * n) OVER w AS BIGINT) AS sx2
+        | FROM daily
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n,
+        | (win_n = 7 AND
+        |  (7 * n - s) * (7 * n - s) > 9 * (7 * sx2 - s * s)) AS is_anomaly
+        |FROM win""".stripMargin
   )
 }

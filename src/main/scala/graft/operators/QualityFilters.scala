@@ -336,8 +336,34 @@ object QualityFilters {
     "sequence_pack" -> (sequencePack _),
     "mixture_sample" -> (mixtureSample _),
     "semantic_dedup" -> (semanticDedup _),
-    "curation_pipeline" -> (curationPipeline _)
+    "curation_pipeline" -> (curationPipeline _),
+    "pack_efficiency" -> (packEfficiency _)
   )
+
+  /** Packing-efficiency report over the sequencePack layout — the
+    * sanity numbers a training run reads before shipping shards: per
+    * source, packs used, fill ratio (integer ppm of CtxLen x packs),
+    * and how many documents straddle a pack boundary (each straddle is
+    * a truncation-or-continuation decision downstream). Everything
+    * derives from sequencePack's own output columns in one bounded
+    * aggregate — integer arithmetic end to end.
+    */
+  def packEfficiency(s: SparkSession, d: String): DataFrame = {
+    val p = sequencePack(s, d)
+    p.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("pack_offset") + col("n_tokens") > CtxLen, 1L)
+          .otherwise(0L)).as("boundary_straddlers"))
+      .withColumn("n_packs",
+        floor((col("total_tokens") + CtxLen - 1).cast("double") / CtxLen)
+          .cast("long"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("n_packs"),
+        floor(col("total_tokens").cast("double") * 1e6 / (col("n_packs") * CtxLen))
+          .cast("long").as("fill_ppm"),
+        col("boundary_straddlers"))
+  }
 
   private def normSqlOf(e: String): String =
     s"lower(trim(regexp_replace(regexp_replace($e, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
@@ -467,6 +493,30 @@ object QualityFilters {
          | start_tok // 512 AS pack_id,
          | start_tok % 512 AS pack_offset
          |FROM c""".stripMargin,
+
+    "pack_efficiency" ->
+      s"""WITH t AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |c AS (
+         | SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         | FROM t),
+         |per AS (
+         | SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN start_tok % 512 + n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS boundary_straddlers
+         | FROM c GROUP BY 1)
+         |SELECT source, n_docs, total_tokens,
+         | (total_tokens + 511) // 512 AS n_packs,
+         | CAST(floor(CAST(total_tokens AS DOUBLE) * 1e6
+         |   / (((total_tokens + 511) // 512) * 512)) AS BIGINT) AS fill_ppm,
+         | boundary_straddlers
+         |FROM per""".stripMargin,
 
     "mixture_sample" ->
       """WITH t AS (

@@ -22,7 +22,10 @@ class DeterminismSpec extends SparkTestBase {
     "embedding_quantize",// integer quantization, narrow
     "decay_score",       // integer rational decay
     "heavy_hitters",     // sketch + exact recount
-    "dedup_clusters"     // iterative connected components
+    "dedup_clusters",    // iterative connected components
+    "anomaly_days",      // integer z-test over trailing windows
+    "pack_efficiency",   // integer packing stats over a cumsum window
+    "dedup_eval"         // sketch-vs-truth confusion counts
   )
 
   test("query results are invariant to the shuffle partition count") {

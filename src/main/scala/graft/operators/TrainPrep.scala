@@ -138,6 +138,11 @@ object TrainPrep {
     * would concentrate its group in one window partition; the fix at
     * scale is one more prefix level (salt the hot key, prefix-sum the
     * salt buckets) — same decomposition, applied recursively.
+    *
+    * The plan reads the (doc_id, n_chars) projection twice (offsets
+    * aggregate + final join) — deliberate: two 2-column pruned
+    * columnar scans beat materializing a corpus-sized checkpoint that
+    * exists only to be read once more.
     */
   def globalOrdinals(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -154,6 +154,46 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming MG sketch carries state across micro-batches (multi-file source)") {
+    // single-file sources collapse AvailableNow into one batch, which
+    // never exercises the state carry — split the corpus into 4 files
+    // and feed them one per trigger
+    val dir = "target/stream_mg_multi"
+    graft.Tables.documents(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val docsStream = spark.readStream
+      .schema(graft.Tables.documents(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamingOps.heavyHittersStream(docsStream).writeStream
+      .outputMode("update").format("memory").queryName("mg_multi")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val t = spark.table("mg_multi")
+    // state genuinely carried: some shard was updated in >= 2 triggers
+    assert(t.agg(max(col("seq"))).head.getLong(0) >= 2)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    val out = t.withColumn("__mx", max(col("seq")).over(w))
+      .filter(col("seq") === col("__mx")).drop("__mx").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val exact = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .select(col("token"),
+        pmod(graft.functions.TextFunctions.hash60(col("token")), lit(8))
+          .cast("int").as("shard"))
+      .groupBy(col("shard"), col("token")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val shardTotals = exact.groupBy(_._1._1).map { case (s2, m) => s2 -> m.values.sum }
+    // invariants survive the batch split: full mass observed, no
+    // overestimates, eviction-bounded error
+    out.groupBy(_._1).foreach { case (s2, rows) =>
+      assert(rows.map(_._4).toSet == Set(shardTotals(s2)))
+    }
+    out.foreach { case (s2, tk, est, _, ev) =>
+      val ex = exact((s2, tk))
+      assert(est <= ex && ex - est <= ev, s"bound violated for ($s2,$tk)")
+    }
+  }
+
   test("streaming Misra-Gries sketch honors the MG guarantees vs exact counts") {
     val out = StreamingOps.runHeavyHittersOnce(spark, sf, "stream_mg").collect()
       .map(r => (r.getInt(0), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))

@@ -570,6 +570,73 @@ object StreamingOps {
       }
   }
 
+  /** Streaming anomaly-day monitor — the state-store twin of
+    * operators.Temporal.anomalyDays: per event_type, daily counts
+    * accumulate in state across micro-batches, and every trigger
+    * re-emits each observed day with the SAME integer z-test the
+    * batch operator uses ((7x-S)^2 > 9*(7*Sx2 - S^2) over the
+    * preceding 7 observed days; no flag under short history). State
+    * is one bounded day->count map per type; the readout keeps each
+    * type's latest emission, which converges to the batch result once
+    * all input is consumed (pinned in StreamingSpec, single- and
+    * multi-batch).
+    */
+  case class AnomalyRow(event_type: String, day_s: Long, seq: Long,
+                        n: Long, is_anomaly: Boolean)
+  case class DayCountState(seq: Long, counts: Map[Long, Long])
+
+  def anomalyStream(events: DataFrame): Dataset[AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("event_type",
+        "CAST(unix_timestamp(CAST(to_date(ts) AS TIMESTAMP)) AS LONG) AS day_s")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DayCountState, AnomalyRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (et, rows, state) =>
+          val prev = state.getOption.getOrElse(DayCountState(0L, Map.empty))
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          m ++= prev.counts
+          rows.foreach { case (_, d) => m.update(d, m.getOrElse(d, 0L) + 1L) }
+          val seq = prev.seq + 1
+          state.update(DayCountState(seq, m.toMap))
+          val days = m.keys.toArray.sorted
+          days.indices.iterator.map { i =>
+            val win = days.slice(math.max(0, i - 7), i)
+            val x = m(days(i))
+            val flag = win.length == 7 && {
+              val s = win.map(m).sum
+              val sx2 = win.map(dd => m(dd) * m(dd)).sum
+              (7 * x - s) * (7 * x - s) > 9 * (7 * sx2 - s * s)
+            }
+            AnomalyRow(et, days(i), seq, x, flag)
+          }
+      }
+  }
+
+  /** Streaming driver for anomalyStream (update mode, memory sink);
+    * readout keeps each type's latest (max-seq) emission.
+    */
+  def runAnomalyOnce(spark: SparkSession, dir: String,
+      queryName: String, source: DataFrame = null): DataFrame = {
+    val in = Option(source).getOrElse(readEvents(spark, dir))
+    val q = anomalyStream(in)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    spark.table(queryName)
+      .withColumn("__mx", org.apache.spark.sql.functions.max(col("seq")).over(w))
+      .filter(col("seq") === col("__mx"))
+      .select(col("event_type"), col("day_s"), col("n"), col("is_anomaly"))
+  }
+
   /** Streaming driver for heavyHittersStream (update mode, memory
     * sink): each trigger re-emits a shard's full summary, so the
     * readout keeps only each shard's latest (max-seq) emission.

@@ -154,6 +154,32 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming anomaly monitor == batch anomaly_days (single and multi-batch)") {
+    def batchSet = graft.operators.Temporal.anomalyDays(spark, sf).collect()
+      .map(r => (r.getString(0),
+        r.getDate(1).toLocalDate.toEpochDay * 86400L,
+        r.getLong(2), r.getBoolean(3))).toSet
+    def streamSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val expected = batchSet
+    assert(expected.nonEmpty)
+    // single batch
+    val single = streamSet(StreamingOps.runAnomalyOnce(spark, sf, "anomaly_single"))
+    assert(single == expected)
+    // multi-batch: 4 files, one per trigger — daily counts accumulate
+    // across triggers and the final flags must still match batch
+    val dir = "target/stream_anomaly_multi"
+    graft.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(graft.Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val multiDf = StreamingOps.runAnomalyOnce(spark, sf, "anomaly_multi", src)
+    assert(spark.table("anomaly_multi")
+      .agg(max(col("seq"))).head.getLong(0) >= 2) // state genuinely carried
+    assert(streamSet(multiDf) == expected)
+  }
+
   test("streaming MG sketch carries state across micro-batches (multi-file source)") {
     // single-file sources collapse AvailableNow into one batch, which
     // never exercises the state carry — split the corpus into 4 files

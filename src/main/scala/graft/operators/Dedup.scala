@@ -561,8 +561,55 @@ object Dedup {
     "dedup_pipeline" -> (dedupPipeline _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embedding_cosine_neardup" -> (embeddingCosineNeardup _),
-    "dedup_eval" -> (dedupEval _)
+    "dedup_eval" -> (dedupEval _),
+    "simhash_eval" -> (simhashEval _)
   )
+
+  /** SimHash-quality evaluation — dedupEval's sibling for the bit
+    * sketch: on the same 1-in-5 sample, sweep the hamming-distance
+    * cutoff (8/12/16/20/24 of 60 bits) and report the confusion
+    * matrix + precision/recall (integer ppm) against exact TRIGRAM
+    * Jaccard >= 0.5 decided in pure integers (3*|A∩B| >= |A|+|B|).
+    * Hamming is the codegen'd bit_count(xor); everything downstream
+    * of the blocked pair join is one 5-row aggregate. This is the
+    * tuning table that picks dedup_simhash_pairs' production cutoff.
+    */
+  def simhashEval(s: SparkSession, d: String): DataFrame = {
+    val fps = dedupSimhash(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("simhash"))
+    val docs = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(gramHashes(col("toks"), 3))).as("tri"))
+      .select(col("doc_id"), col("source"), col("tri"), size(col("tri")).as("nt"))
+    val base = docs.join(fps, Seq("doc_id")).localCheckpoint(true)
+    val a = base.select(col("source"), col("doc_id").as("doc_a"),
+      col("tri").as("ta"), col("nt").as("na"), col("simhash").as("fa"))
+    val b = base.select(col("source"), col("doc_id").as("doc_b"),
+      col("tri").as("tb"), col("nt").as("nb"), col("simhash").as("fb"))
+    val ham = bit_count(col("fa").bitwiseXOR(col("fb")))
+    val inter = graft.functions.IntersectCount.intersectCount(col("ta"), col("tb"))
+    val pairs = a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(ham.cast("long").as("h"),
+        (lit(3) * inter >= col("na") + col("nb")).as("pos"))
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * 1e6 / den).cast("long"))
+    pairs.select(explode(sequence(lit(8), lit(24), lit(4))).as("t"),
+        col("h"), col("pos"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("h") <= col("t") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("h") <= col("t") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("h") > col("t") && col("pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("h") > col("t") && !col("pos"), 1L).otherwise(0L)).as("tn"))
+      .select(col("t").cast("long").as("hamming_cutoff"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ppm(col("tp"), col("tp") + col("fp")).as("precision_ppm"),
+        ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"))
+  }
 
   // ---- oracle SQL (DuckDB dialect; partially code-generated) ----
 
@@ -837,6 +884,45 @@ object Dedup {
          |  CAST(sum(CASE WHEN m < t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
          | FROM t CROSS JOIN p GROUP BY t)
          |SELECT t AS threshold_eighths, tp, fp, fn, tn,
+         | CASE WHEN tp + fp > 0
+         |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fp)) AS BIGINT) END AS precision_ppm,
+         | CASE WHEN tp + fn > 0
+         |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fn)) AS BIGINT) END AS recall_ppm
+         |FROM agg""".stripMargin,
+
+    "simhash_eval" ->
+      s"""WITH tk AS (
+         | SELECT doc_id, unnest(string_split($normSql, ' ')) AS tok
+         | FROM documents),
+         |h AS (
+         | SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM tk),
+         |sb AS (
+         | SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id),
+         |fp AS (
+         | SELECT doc_id, $simhashFp AS simhash FROM sb WHERE doc_id % 5 = 0),
+         |tri AS (
+         | SELECT doc_id, source,
+         |  list_distinct(CASE WHEN len(string_split($normSql, ' ')) >= 3
+         |   THEN list_transform(range(0, len(string_split($normSql, ' ')) - 2),
+         |     i -> array_to_string((string_split($normSql, ' '))[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+         |   ELSE [] END) AS tri
+         | FROM documents WHERE doc_id % 5 = 0),
+         |base AS (
+         | SELECT t.doc_id, t.source, t.tri, len(t.tri) AS nt, f.simhash
+         | FROM tri t JOIN fp f USING (doc_id)),
+         |p AS (
+         | SELECT bit_count(xor(a.simhash, b.simhash)) AS h2,
+         |  3 * len(list_intersect(a.tri, b.tri)) >= a.nt + b.nt AS pos
+         | FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id),
+         |t AS (SELECT unnest([8, 12, 16, 20, 24]) AS t),
+         |agg AS (
+         | SELECT t,
+         |  CAST(sum(CASE WHEN h2 <= t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN h2 <= t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN h2 > t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN h2 > t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         | FROM t CROSS JOIN p GROUP BY t)
+         |SELECT t AS hamming_cutoff, tp, fp, fn, tn,
          | CASE WHEN tp + fp > 0
          |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fp)) AS BIGINT) END AS precision_ppm,
          | CASE WHEN tp + fn > 0

@@ -19,18 +19,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** The events table carries an INT64 TIMESTAMP(NANOS) column, which
-    * Spark 4 only reads as LongType under
-    * `spark.sql.legacy.parquet.nanosAsLong` (set in Verify/Bench/test
-    * sessions). Normalize it here to a microsecond TimestampType via
-    * integral division (`div`, not `/` — double division loses
-    * precision at 1e18 nanos), matching DuckDB's ns->us truncation.
+  /** The events table's `ts` column has shipped in three physical
+    * forms across driver corpus generations: INT64 TIMESTAMP(NANOS)
+    * (read as LongType under `spark.sql.legacy.parquet.nanosAsLong`,
+    * set in Verify/Bench/test sessions), naive TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ), and Spark-written TimestampType in
+    * derived corpora. Normalize all three to a microsecond
+    * TimestampType: nanos via integral division (`div`, not `/` —
+    * double division loses precision at 1e18 nanos), NTZ via cast
+    * (identity on the stored micros under the UTC session timezone
+    * every entrypoint sets) — both matching DuckDB's reading of the
+    * same files.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(load(s, d, "events"))
+
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -16,12 +16,17 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events.parquet schema as landed (ts = INT64 nanos; see
-    * Tables.events for the batch-side handling).
+  /** events.parquet schema as landed, with `ts` declared to whatever
+    * physical type this corpus generation carries (INT64 nanos read as
+    * LongType, naive micros read as TIMESTAMP_NTZ, or Spark-written
+    * TimestampType — see Tables.events). The stream source needs an
+    * explicit schema, so probe it once from the batch reader's footer
+    * inference; declaring the wrong type over a timestamp column fails
+    * the whole stream.
     */
-  val eventsSchema: StructType = StructType(Seq(
+  def eventsSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -37,13 +42,14 @@ object StreamingOps {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(s"$dir/events.parquet")
+    val tsType = spark.read.parquet(path.toString).schema("ts").dataType
     val src =
       if (path.isDirectory)
-        spark.readStream.schema(eventsSchema).parquet(path.toString)
+        spark.readStream.schema(eventsSchema(tsType)).parquet(path.toString)
       else
-        spark.readStream.schema(eventsSchema)
+        spark.readStream.schema(eventsSchema(tsType))
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-    src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(src)
   }
 
   /** Tumbling 1h event-time windows with a 2h watermark — the

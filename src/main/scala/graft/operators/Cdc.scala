@@ -59,23 +59,28 @@ object Cdc {
   /** SCD2 validity intervals over the events log, per (user, event
     * type): each event starts a version valid until the key's next
     * event; the latest version closes at the standard far-future
-    * sentinel (9999-12-31) rather than NULL — the warehouse
-    * convention, and a deterministic literal both engines agree on
-    * (a NULL timestamp is NaT in a pandas compare, and NaT != NaT).
-    * One window shuffle; the (valid_from, event_id) tiebreak keeps
-    * interval edges engine-exact.
+    * sentinel (9999-12-31 as epoch micros) rather than NULL — the
+    * warehouse convention, and a deterministic literal both engines
+    * agree on. Interval edges are emitted as epoch-MICROSECOND longs
+    * (`unix_micros`), not raw timestamps: the driver's events parquet
+    * is TIMESTAMP(NANOS), which DuckDB keeps at nano precision while
+    * Spark truncates to micros, so a raw-timestamp output can never
+    * hash-match across engines (the asof_join pattern). One window
+    * shuffle; the (valid_from_us, event_id) tiebreak keeps interval
+    * edges engine-exact.
     */
   def scd2History(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("valid_from"), col("event_id"))
-    val endOfTime = to_timestamp(lit("9999-12-31 00:00:00"))
+      .orderBy(col("valid_from_us"), col("event_id"))
+    // epoch_us('9999-12-31 00:00:00Z') — fixed sentinel, tz-independent
+    val endOfTimeUs = 253402214400000000L
     Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("event_id"),
-        col("ts").as("valid_from"), col("value"))
-      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        expr("unix_micros(ts)").as("valid_from_us"), col("value"))
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
       .withColumn("is_current", col("next_from").isNull)
-      .withColumn("valid_to", coalesce(col("next_from"), endOfTime))
+      .withColumn("valid_to_us", coalesce(col("next_from"), lit(endOfTimeUs)))
       .drop("next_from")
   }
 
@@ -104,10 +109,14 @@ object Cdc {
         |WHERE coalesce(ch.op, '') <> 'D'""".stripMargin,
 
     "scd2_history" ->
-      """SELECT user_id, event_type, event_id, ts AS valid_from, value,
-        | lead(ts) OVER w IS NULL AS is_current,
-        | coalesce(lead(ts) OVER w, TIMESTAMP '9999-12-31 00:00:00') AS valid_to
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)""".stripMargin
+      """WITH ev AS (
+        | SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS valid_from_us, value
+        | FROM events)
+        |SELECT user_id, event_type, event_id, valid_from_us, value,
+        | lead(valid_from_us) OVER w IS NULL AS is_current,
+        | CAST(coalesce(lead(valid_from_us) OVER w, 253402214400000000) AS BIGINT) AS valid_to_us
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY valid_from_us, event_id)""".stripMargin
   )
 }

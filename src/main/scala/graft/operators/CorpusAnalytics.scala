@@ -168,8 +168,9 @@ object CorpusAnalytics {
          |  CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS i
          | FROM t),
          |g AS (
-         | SELECT source, count(*) AS n_docs, sum(x) AS total_tokens,
-         |  sum(x * i) AS weighted
+         | SELECT source, count(*) AS n_docs,
+         |  CAST(sum(x) AS BIGINT) AS total_tokens,
+         |  CAST(sum(x * i) AS BIGINT) AS weighted
          | FROM r GROUP BY 1)
          |SELECT source, n_docs, total_tokens,
          | round((2.0 * weighted) / (n_docs * total_tokens)
@@ -184,11 +185,12 @@ object CorpusAnalytics {
         |mx AS (SELECT max(us) AS max_us FROM ev),
         |wtd AS (
         | SELECT user_id, vmic,
-        |  (max_us - us) // 86400000000 AS age_days,
-        |  1000000 // (1 + (max_us - us) // 86400000000) AS weight_ppm
+        |  CAST((max_us - us) // 86400000000 AS BIGINT) AS age_days,
+        |  CAST(1000000 // (1 + (max_us - us) // 86400000000) AS BIGINT) AS weight_ppm
         | FROM ev, mx)
-        |SELECT user_id, count(*) AS n_events, min(age_days) AS min_age_days,
-        | sum(vmic * weight_ppm) AS decayed_micros
+        |SELECT user_id, count(*) AS n_events,
+        | CAST(min(age_days) AS BIGINT) AS min_age_days,
+        | CAST(sum(vmic * weight_ppm) AS BIGINT) AS decayed_micros
         |FROM wtd GROUP BY user_id""".stripMargin
   )
 }

@@ -209,26 +209,26 @@ object Profile {
 
     "integrity_audit" ->
       """SELECT 'uq_orders_orderkey' AS constraint_name,
-        | count(*) - count(DISTINCT o_orderkey) AS n_violations,
+        | CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
         | count(*) AS n_checked FROM orders
         |UNION ALL
         |SELECT 'uq_customer_custkey',
-        | count(*) - count(DISTINCT c_custkey), count(*) FROM customer
+        | CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT), count(*) FROM customer
         |UNION ALL
         |SELECT 'uq_lineitem_orderkey_linenumber',
-        | count(*) - count(DISTINCT (l_orderkey, l_linenumber)), count(*)
+        | CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT), count(*)
         |FROM lineitem
         |UNION ALL
         |SELECT 'fk_lineitem_orders',
-        | sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END), count(*)
+        | CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
         |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         |UNION ALL
         |SELECT 'fk_orders_customer',
-        | sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), count(*)
+        | CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         |UNION ALL
         |SELECT 'fk_customer_nation',
-        | sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END), count(*)
+        | CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
         |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""".stripMargin,
 
     "skew_detect" ->

@@ -486,12 +486,12 @@ object QualityFilters {
          | FROM documents),
          |c AS (
          | SELECT doc_id, source, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
          | FROM t)
          |SELECT doc_id, source, n_tokens,
-         | start_tok // 512 AS pack_id,
-         | start_tok % 512 AS pack_offset
+         | CAST(start_tok // 512 AS BIGINT) AS pack_id,
+         | CAST(start_tok % 512 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
 
     "pack_efficiency" ->
@@ -602,12 +602,12 @@ object QualityFilters {
          |      < ('0x' || substr(md5(source), 1, 15))::BIGINT % 900 + 100),
          |c AS (
          | SELECT doc_id, source, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+         |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_tok
          | FROM kept)
          |SELECT doc_id, source, n_tokens,
-         | start_tok // 512 AS pack_id,
-         | start_tok % 512 AS pack_offset
+         | CAST(start_tok // 512 AS BIGINT) AS pack_id,
+         | CAST(start_tok % 512 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin
   )
 }

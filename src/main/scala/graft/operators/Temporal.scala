@@ -358,7 +358,7 @@ object Temporal {
         |  count(*) AS n
         | FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
         |SELECT from_type, to_type, n,
-        | (1000000 * n) // sum(n) OVER (PARTITION BY from_type) AS p_ppm
+        | CAST((1000000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
         |FROM trans""".stripMargin,
 
     "user_growth_curve" ->
@@ -370,8 +370,8 @@ object Temporal {
         |  SELECT user_id, min(day) AS day FROM act GROUP BY 1)
         | GROUP BY 1)
         |SELECT a.day, coalesce(n.new_users, 0) AS new_users, a.active_users,
-        | sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        | CAST(sum(coalesce(n.new_users, 0)) OVER (ORDER BY a.day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM active a LEFT JOIN news n ON n.day = a.day""".stripMargin,
 
     "retention_cohorts" ->

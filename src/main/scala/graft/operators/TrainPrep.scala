@@ -325,7 +325,7 @@ object TrainPrep {
          |occ AS (SELECT h, count(DISTINCT doc_id) AS span_docs FROM g GROUP BY 1),
          |per AS (
          | SELECT g.doc_id, count(*) AS n_spans,
-         |  sum(CASE WHEN occ.span_docs > 1 THEN 1 ELSE 0 END) AS n_dup_spans
+         |  CAST(sum(CASE WHEN occ.span_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
          | FROM g JOIN occ USING (h) GROUP BY 1)
          |SELECT doc_id, n_spans, n_dup_spans,
          | CAST(floor(1000000.0 * n_dup_spans / n_spans) AS BIGINT) AS dup_span_ppm

@@ -40,7 +40,7 @@ class CdcSpec extends SparkTestBase {
     assert(bad == 0)
     // closed intervals are strictly ordered: valid_from <= valid_to
     // (equal allowed: same-ts events are tie-broken by event_id)
-    assert(h.filter(col("valid_to").isNotNull && col("valid_from") > col("valid_to"))
+    assert(h.filter(col("valid_to_us").isNotNull && col("valid_from_us") > col("valid_to_us"))
       .count() == 0)
     // row-preserving: every event starts exactly one version
     assert(h.count() == graft.Tables.events(spark, sf).count())

@@ -1,14 +1,38 @@
 #!/usr/bin/env python3
 """Local self-check approximating the driver's DuckDB-oracle compare:
 for each query dir under OUT, run the oracle SQL on the same sf parquet
-tables, sort columns by name and rows by all values, compare cell-wise
-(rel tol 1e-9 for floats). Usage: check_oracle.py SF_DIR OUT_DIR [name]
+tables, sort columns by name and rows by all values, compare cell-wise.
+
+STRICT by default (round-6 hardening; VERDICT r5 "What's wrong" #2):
+the r5 driver gate failed 9 queries the loose local gate passed, because
+pandas conversion hides DuckDB HUGEINT widening (-> float64/object) and
+TIMESTAMP_NS nanos (-> datetime64[ns] on BOTH sides). Strict mode:
+  1. TYPE AUDIT: any HUGEINT / UHUGEINT / TIMESTAMP_NS / TIMESTAMP WITH
+     TIME ZONE column in the ORACLE result is an error by itself —
+     those types cannot round-trip the driver comparator losslessly.
+     Cast to BIGINT / epoch_us in the oracle SQL instead.
+  2. EXACT cell compare — no float tolerance (the driver hashes values;
+     an ulp off is a hash mismatch). Null-likes (None/NaN/NaT) still
+     compare equal to each other.
+Pass --loose for the old rel_tol=1e-9 behavior (debugging only; a loose
+pass is NOT evidence the driver gate will pass).
+
+Usage: check_oracle.py SF_DIR OUT_DIR [name] [--loose]
 """
 import sys, os, json, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# ANY timestamp flavor is driver-unsafe: the events parquet is
+# TIMESTAMP(NANOS), which the driver's DuckDB keeps at nano precision
+# while Spark truncates to micros — a raw timestamp output can never
+# hash-match (r5: scd2_history). No current oracle emits one (checked
+# r6); emit epoch_us longs instead. DATE stays allowed (day precision
+# agrees everywhere).
+BAD_TYPES = ("HUGEINT", "UHUGEINT", "TIMESTAMP", "TIMESTAMP_NS",
+             "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_S", "TIMESTAMP_MS")
 
 def norm(df):
     df = df[sorted(df.columns)]
@@ -23,7 +47,7 @@ def is_null_like(x):
     except Exception:
         return False
 
-def cells_equal(a, b):
+def cells_equal(a, b, strict):
     if is_null_like(a) and is_null_like(b):
         return True
     try:
@@ -31,6 +55,8 @@ def cells_equal(a, b):
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
                 return True
+            if strict:
+                return fa == fb
             return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9)
     except (TypeError, ValueError):
         pass
@@ -45,8 +71,10 @@ def cells_equal(a, b):
     return a == b
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = sys.argv[3] if len(sys.argv) > 3 else None
+    args = [a for a in sys.argv[1:] if a != "--loose"]
+    strict = "--loose" not in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    only = args[2] if len(args) > 2 else None
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -83,7 +111,23 @@ def main():
             n_bad += 1
             continue
         try:
-            exp = norm(con.sql(sql).df())
+            rel = con.sql(sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_bad += 1
+            continue
+        if strict:
+            # Type audit BEFORE any pandas conversion can mask the type.
+            hazards = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                       if str(t).upper() in BAD_TYPES]
+            if hazards:
+                cols = ", ".join(f"{c}:{t}" for c, t in hazards)
+                print(f"FAIL {name}: driver-unsafe oracle type(s) [{cols}] — "
+                      f"CAST(... AS BIGINT) / epoch_us(...) in the oracle SQL")
+                n_bad += 1
+                continue
+        try:
+            exp = norm(rel.df())
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
@@ -102,7 +146,7 @@ def main():
         for i in range(len(exp)):
             for j in range(len(exp.columns)):
                 a, b = ev[i][j], gv[i][j]
-                if not cells_equal(a, b):
+                if not cells_equal(a, b, strict):
                     bad = (i, exp.columns[j], a, b)
                     break
             if bad:
@@ -113,7 +157,8 @@ def main():
         else:
             print(f"OK   {name} ({len(exp)} rows x {len(exp.columns)} cols)")
             n_ok += 1
-    print(f"== {n_ok} ok, {n_bad} bad ==")
+    mode = "strict" if strict else "LOOSE"
+    print(f"== {n_ok} ok, {n_bad} bad ({mode}) ==")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":

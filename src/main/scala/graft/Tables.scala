@@ -38,7 +38,16 @@ object Tables {
     case org.apache.spark.sql.types.LongType =>
       raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case org.apache.spark.sql.types.TimestampNTZType =>
-      raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      // timezone-INDEPENDENT NTZ -> instant conversion: the naive
+      // micros ARE the stored value, so lift them out with pure naive
+      // arithmetic (timestampdiff over NTZ operands never consults a
+      // zone) and re-anchor as an instant. A plain cast to TimestampType
+      // re-interprets the wall time in spark.sql.session.timeZone —
+      // identity only because every current entrypoint pins UTC; a
+      // non-UTC caller would silently shift every event timestamp
+      // (and to_utc_timestamp-based fixes carry DST edge cases).
+      raw.withColumn("ts", expr(
+        "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
     case _ => raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -111,12 +111,20 @@ object Profile {
     * edges, same as any query on those keys. Nothing is collected;
     * the result is a 6-row constraint table.
     *
-    * Deliberately NOT fused to one pass per child table: folding the
-    * uniqueness countDistinct into the FK join's aggregate plans an
-    * Expand over the joined stream, which costs more than the extra
-    * columnar scan it saves (measured at sf1: fused 7.9 s paired vs
-    * 5.3 s for the separate passes below). Scans are cheap; Expand
-    * replication of a wide joined stream is not.
+    * Each check is one pass over its table; the FK passes pre-aggregate
+    * BOTH join sides to per-key counts before joining (r6), so the
+    * orphan join shuffles |distinct keys| weighted rows instead of raw
+    * child rows (6M lineitem rows -> 1.5M orderkey counts at sf1) and
+    * map-side partial aggregation does the compression before the
+    * exchange. The weighted algebra (n_child x n_parent per matched
+    * key) is EXACTLY the grouped form of the oracle's raw LEFT JOIN,
+    * including the duplicate-parent inflation semantics. Two rejected
+    * fusions, both measured paired at sf1: folding countDistinct into
+    * the FK join plans an Expand over the joined stream (7.9 s vs
+    * 5.3 s); a localCheckpoint-pinned per-table key census re-used by
+    * uq + fk pays census materialization plus a second full-size
+    * shuffle (10.8 s vs 7.9 s). Scans are cheap (columnar, pruned to
+    * the key columns); exchanges and materializations are not.
     */
   def integrityAudit(s: SparkSession, d: String): DataFrame = {
     def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
@@ -125,10 +133,11 @@ object Profile {
         .select(lit(name).as("constraint_name"), col("n_violations"), col("n_checked"))
     def fk(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame =
-      child.select(col(ck))
-        .join(parent.select(col(pk), lit(1L).as("__hit")), col(ck) === col(pk), "left")
-        .agg(sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_violations"),
-          count(lit(1)).as("n_checked"))
+      child.groupBy(col(ck)).agg(count(lit(1)).as("n_child"))
+        .join(parent.groupBy(col(pk)).agg(count(lit(1)).as("n_par")),
+          col(ck) === col(pk), "left")
+        .agg(sum(when(col("n_par").isNull, col("n_child")).otherwise(0L)).as("n_violations"),
+          sum(col("n_child") * coalesce(col("n_par"), lit(1L))).as("n_checked"))
         .select(lit(name).as("constraint_name"), col("n_violations"), col("n_checked"))
     uniq("uq_orders_orderkey", Tables.orders(s, d), Seq("o_orderkey"))
       .unionAll(uniq("uq_customer_custkey", Tables.customer(s, d), Seq("c_custkey")))

@@ -96,22 +96,42 @@ object StarJoin {
   }
 
   /** Market-basket co-occurrence: part pairs appearing together in at
-    * least 2 orders. The pair explosion is a SELF equi-join on
-    * l_orderkey — quadratic only within one order's basket (TPC-H
+    * least 2 orders. Quadratic only within one order's basket (TPC-H
     * baskets are <= 7 lines), so pair volume is sum-of-squares of
     * basket sizes: linear in orders, NEVER corpus x corpus. Same
     * blocking discipline as the dedup family (the "block key" here is
-    * the natural basket). Distinct (order, part) first: a part on two
-    * lines of one order must not self-pair or double-count.
+    * the natural basket).
+    *
+    * Shape (r6): ONE shuffle builds per-order sorted distinct baskets
+    * (collect_set dedups a part on two lines of the same order), then
+    * the pair explosion is a narrow in-array HOF (i<j over the sorted
+    * basket = part_a < part_b), then ONE pair aggregation — two
+    * exchanges total. The previous distinct + self-join shape paid a
+    * third exchange re-partitioning the distinct output onto
+    * l_orderkey for the join (same 35,730 rows; sf1 warm times are
+    * exchange-bound and ambient-noisy — the win is the removed 6M-row
+    * exchange, which compounds at cluster scale where every exchange
+    * is network, not page cache).
+    *
+    * The classic a-priori single-item prune (drop parts in < 2 orders
+    * before pairing) was measured a NO-OP on this corpus — every part
+    * appears in >= 2 orders at every sf (uniform synthetic keys; no
+    * frequency-1 tail), so it would add a shuffle and remove nothing.
+    * At 100 TB with a power-law part tail it becomes worthwhile; it
+    * composes here as one extra semi-join on the basket build.
     */
   def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val items = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (a, i) ->
+          |  transform(slice(ps, i + 2, size(ps) - i - 1),
+          |    b -> struct(a AS part_a, b AS part_b))))""".stripMargin)).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
   }

@@ -39,14 +39,25 @@ object StreamingOps {
     * as a parquet DIRECTORY of part files (stream that directory — a
     * parent-dir pathGlobFilter on the file NAME would silently read
     * zero part files).
+    *
+    * COLD-START: a landing dir whose data hasn't arrived yet must
+    * still yield a valid stream that picks files up incrementally —
+    * so the ts-type probe (a batch footer read) falls back to the
+    * historical INT64-nanos LongType when nothing is on disk yet
+    * rather than throwing PATH_NOT_FOUND at stream-build time.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(s"$dir/events.parquet")
-    val tsType = spark.read.parquet(path.toString).schema("ts").dataType
+    val tsType =
+      if (path.exists()) spark.read.parquet(path.toString).schema("ts").dataType
+      else LongType
     val src =
       if (path.isDirectory)
         spark.readStream.schema(eventsSchema(tsType)).parquet(path.toString)
       else
+        // single-file layout AND the cold-start case: stream the
+        // landing dir itself (it exists) with a name filter, so a
+        // file arriving later is picked up by a subsequent trigger
         spark.readStream.schema(eventsSchema(tsType))
           .option("pathGlobFilter", "events.parquet").parquet(dir)
     graft.Tables.normalizeTs(src)

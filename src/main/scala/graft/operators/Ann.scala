@@ -284,11 +284,44 @@ object Ann {
       .select(col("qid"), col("nid"), col("approx_dist"), col("cos"), col("rn"))
   }
 
+  /** Index-quality evaluation — recall@3 of each approximate index
+    * (LSH buckets, IVF single-probe) against the brute-force ground
+    * truth, the eval every ANN deployment runs before trusting a
+    * sketch (sketch-eval symmetry with dedup_eval/simhash_eval). All
+    * metrics are exact integers (hit counts, floor-ppm recall); the
+    * ground truth and both candidate sets are the REGISTERED operators
+    * re-invoked, so this evaluates exactly what ships. Cost: the eval
+    * joins are on the tiny (nq x k) result sets — the corpus-sized
+    * work is the three operator runs themselves.
+    */
+  def annEval(s: SparkSession, d: String): DataFrame = {
+    // each operator result is nq x k rows — pin them so the two
+    // consumers (size agg + hit join) don't re-run the corpus-sized
+    // operator (the skewDetect localCheckpoint pattern)
+    val truth = annBruteforceTopk(s, d).filter(col("rn") <= 3)
+      .select(col("qid"), col("nid")).localCheckpoint(true)
+    val truthAgg = truth.agg(count(lit(1)).as("n_truth"))
+    def scoreOf(name: String, retrieved: DataFrame): DataFrame = {
+      val r = retrieved.select(col("qid"), col("nid")).localCheckpoint(true)
+      r.agg(count(lit(1)).as("n_retrieved"))
+        .crossJoin(broadcast(
+          r.join(truth, Seq("qid", "nid")).agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(broadcast(truthAgg))
+        .select(lit(name).as("method"), lit(3L).as("k"),
+          col("n_truth"), col("n_retrieved"), col("n_hits"),
+          floor(col("n_hits") * lit(1000000L) / col("n_truth")).as("recall_ppm"))
+    }
+    scoreOf("lsh", annLshTopk(s, d))
+      .unionAll(scoreOf("ivf", annIvfTopk(s, d)))
+      .unionAll(scoreOf("pq_adc", annPqAdcTopk(s, d)))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "ann_pq_adc_topk" -> (annPqAdcTopk _),
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_eval" -> (annEval _),
     "embedding_kmeans_step" -> (embeddingKmeansStep _)
   )
 
@@ -396,35 +429,68 @@ object Ann {
       |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM rr)
       |WHERE rn <= 3""".stripMargin
 
+  private val bfSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p AS (
+      | SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |  round(list_dot_product(a.v, b.v)
+      |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      | FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      | WHERE a.vec_id < 8),
+      |r AS (SELECT qid, nid, cos,
+      | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+      |SELECT qid, nid, cos, rn FROM r WHERE rn <= 5""".stripMargin
+
+  private val lshSql =
+    s"""WITH e AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  $bucketSql AS bucket
+       | FROM embeddings),
+       |p AS (
+       | SELECT a.vec_id AS qid, b.vec_id AS nid, a.bucket,
+       |  round(list_dot_product(a.v, b.v)
+       |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       | FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       | WHERE a.vec_id < 8),
+       |r AS (SELECT qid, nid, bucket, cos,
+       | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
+       |SELECT qid, nid, bucket, cos, rn FROM r WHERE rn <= 3""".stripMargin
+
+  // eval oracle: re-embed each method's full oracle SQL as a CTE
+  // (DuckDB allows nested WITH in CTE bodies) evaluated once, join
+  // against the brute-force truth, emit integer metrics
+  private val annEvalSql: String = {
+    def arm(name: String): String =
+      s"""SELECT '$name' AS method, CAST(3 AS BIGINT) AS k,
+         | (SELECT count(*) FROM truth) AS n_truth,
+         | (SELECT count(*) FROM r_$name) AS n_retrieved,
+         | (SELECT h FROM h_$name) AS n_hits,
+         | CAST((1000000 * (SELECT h FROM h_$name))
+         |  // (SELECT count(*) FROM truth) AS BIGINT) AS recall_ppm""".stripMargin
+    def hits(name: String): String =
+      s"""h_$name AS (
+         | SELECT count(*) AS h FROM r_$name r
+         | JOIN truth t ON t.qid = r.qid AND t.nid = r.nid)""".stripMargin
+    s"""WITH truth AS (SELECT qid, nid FROM ($bfSql) WHERE rn <= 3),
+       |r_lsh AS ($lshSql),
+       |r_ivf AS ($ivfSql),
+       |r_pq_adc AS ($pqSql),
+       |${hits("lsh")},
+       |${hits("ivf")},
+       |${hits("pq_adc")}
+       |${arm("lsh")}
+       |UNION ALL
+       |${arm("ivf")}
+       |UNION ALL
+       |${arm("pq_adc")}""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ann_pq_adc_topk" -> pqSql,
     "embedding_kmeans_step" -> kmeansSql,
     "ann_ivf_topk" -> ivfSql,
-    "ann_bruteforce_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (
-        | SELECT a.vec_id AS qid, b.vec_id AS nid,
-        |  round(list_dot_product(a.v, b.v)
-        |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-        | FROM e a JOIN e b ON b.vec_id <> a.vec_id
-        | WHERE a.vec_id < 8),
-        |r AS (SELECT qid, nid, cos,
-        | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
-        |SELECT qid, nid, cos, rn FROM r WHERE rn <= 5""".stripMargin,
-
-    "ann_lsh_topk" ->
-      s"""WITH e AS (
-         | SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  $bucketSql AS bucket
-         | FROM embeddings),
-         |p AS (
-         | SELECT a.vec_id AS qid, b.vec_id AS nid, a.bucket,
-         |  round(list_dot_product(a.v, b.v)
-         |   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-         | FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
-         | WHERE a.vec_id < 8),
-         |r AS (SELECT qid, nid, bucket, cos,
-         | row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM p)
-         |SELECT qid, nid, bucket, cos, rn FROM r WHERE rn <= 3""".stripMargin
+    "ann_eval" -> annEvalSql,
+    "ann_bruteforce_topk" -> bfSql,
+    "ann_lsh_topk" -> lshSql
   )
 }

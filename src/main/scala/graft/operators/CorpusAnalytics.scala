@@ -117,11 +117,47 @@ object CorpusAnalytics {
           - (col("n_docs") + lit(1.0)) / col("n_docs"), 6).as("gini"))
   }
 
+  /** Tokenizer-vocabulary coverage — the OOV census run before
+    * committing to a vocab size: build the global top-1000 token
+    * vocabulary (count desc, token asc tie-break), then per source
+    * report total/OOV token occurrences and distinct-type counts, with
+    * the OOV rate in integer ppm.
+    *
+    * Scale shape: the corpus tokenizes and shuffles ONCE into the
+    * bounded (source, token) count table (map-side partials do the
+    * heavy compression — Zipf makes per-partition token sets small);
+    * the vocabulary derives from a re-agg of that table with a
+    * k-BOUNDED heap aggregate (TopKAgg, never a global sort) and joins
+    * back as a broadcast. Nothing corpus-sized moves twice.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // one corpus pass; vocab + coverage both reuse it
+    val vocab = st.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0L) - col("cnt")).as("neg"), col("tok")), 1000,
+        reverse = true).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.tok").as("tok"), lit(1L).as("__v"))
+    st.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("__v").isNull, col("n")).otherwise(0L)).as("n_oov_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_distinct_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov_tokens"),
+        col("n_distinct"), col("n_distinct_oov"),
+        expr("(1000000 * n_oov_tokens) div n_tokens").as("oov_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "source_overlap" -> (sourceOverlap _),
     "percentile_filter" -> (percentileFilter _),
     "decay_score" -> (decayScore _),
-    "token_gini" -> (tokenGini _)
+    "token_gini" -> (tokenGini _),
+    "vocab_coverage" -> (vocabCoverage _)
   )
 
   private val normSql =
@@ -176,6 +212,24 @@ object CorpusAnalytics {
          | round((2.0 * weighted) / (n_docs * total_tokens)
          |  - (n_docs + 1.0) / n_docs, 6) AS gini
          |FROM g""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH st AS (
+         | SELECT source, tok, count(*) AS n FROM (
+         |  SELECT source, unnest(string_split($normSql, ' ')) AS tok
+         |  FROM documents)
+         | GROUP BY 1, 2),
+         |tc AS (SELECT tok, sum(n) AS cnt FROM st GROUP BY 1),
+         |vocab AS (SELECT tok, 1 AS v FROM tc ORDER BY cnt DESC, tok LIMIT 1000)
+         |SELECT source,
+         | CAST(sum(n) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN v IS NULL THEN n ELSE 0 END) AS BIGINT) AS n_oov_tokens,
+         | count(*) AS n_distinct,
+         | CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_oov,
+         | CAST((1000000 * sum(CASE WHEN v IS NULL THEN n ELSE 0 END))
+         |   // sum(n) AS BIGINT) AS oov_ppm
+         |FROM st LEFT JOIN vocab USING (tok)
+         |GROUP BY source""".stripMargin,
 
     "decay_score" ->
       """WITH ev AS (

@@ -117,10 +117,50 @@ object VectorOps {
           - col("q") * col("maxm").cast("double") / 127.0), 3).as("err_um"))
   }
 
+  /** Corpus-level embedding outlier census: squared L2 distance of
+    * every vector to the global centroid, flagged by the same
+    * median/MAD rule as mad_outliers (exact order statistics — a
+    * mean/std threshold would ride float accumulation order across
+    * engines; a median is deterministic). The "broken encoder batch /
+    * wrong-modality rows" screen run before embeddings feed dedup or
+    * ANN indexing.
+    *
+    * Determinism: vectors go to integer micros first (ExactSum), the
+    * centroid derives from exact integer per-dim sums, and the
+    * distance is a fixed-order in-array fold — no partition-order
+    * float noise anywhere. Scale shape: centroid = one map-side-
+    * partial agg to 64 rows, broadcast back; distances are narrow;
+    * the two medians run over the bounded (vec_id, dist2) table,
+    * pinned once (localCheckpoint) for its three consumers.
+    */
+  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("xm"))
+    val cent = e.select(posexplode(col("xm")).as(Seq("dim", "x")))
+      .groupBy(col("dim")).agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        (col("sm").cast("double") / col("n")).as("m")))),
+        p => p.getField("m")).as("c"))
+    val diff = zip_with(col("xm"), col("c"), (x, m) => x.cast("double") - m)
+    val dd = e.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"),
+        round(dot(diff, diff) / lit(1e12), 6).as("dist2"))
+      .localCheckpoint(true)
+    val med = dd.agg(round(median(col("dist2")), 6).as("med"))
+    val dm = dd.crossJoin(broadcast(med))
+    val mad = dm.agg(round(median(abs(col("dist2") - col("med"))), 6).as("mad"))
+    dm.crossJoin(broadcast(mad))
+      .select(col("vec_id"), col("label"), col("dist2"), col("med"), col("mad"),
+        (col("dist2") > col("med") + lit(4.4478) * col("mad"))
+          .cast("long").as("is_outlier"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "embedding_standardize" -> (embeddingStandardize _),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
-    "embedding_quantize" -> (embeddingQuantize _)
+    "embedding_quantize" -> (embeddingQuantize _),
+    "embedding_outliers" -> (embeddingOutliers _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -160,6 +200,28 @@ object VectorOps {
         | k1.rn AS rank_ab, k2.rn AS rank_ba
         |FROM k k1 JOIN k k2 ON k1.aid = k2.bid AND k1.bid = k2.aid
         |WHERE k1.aid < k1.bid""".stripMargin,
+
+    "embedding_outliers" ->
+      """WITH e AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding::DOUBLE[], v -> CAST(round(v * 1e6) AS BIGINT)) AS xm
+        | FROM embeddings),
+        |cent AS (
+        | SELECT list(m ORDER BY dim) AS c FROM (
+        |  SELECT dim, CAST(sum(x) AS DOUBLE) / count(*) AS m
+        |  FROM (SELECT unnest(xm) AS x, unnest(range(1, len(xm) + 1)) AS dim FROM e)
+        |  GROUP BY dim)),
+        |d AS (
+        | SELECT vec_id, label,
+        |  round(list_sum(list_transform(range(1, len(xm) + 1),
+        |    i -> (CAST(xm[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)])
+        |       * (CAST(xm[CAST(i AS INT)] AS DOUBLE) - c[CAST(i AS INT)]))) / 1e12, 6) AS dist2
+        | FROM e, cent),
+        |m1 AS (SELECT round(median(dist2), 6) AS med FROM d),
+        |m2 AS (SELECT round(median(abs(dist2 - med)), 6) AS mad FROM d, m1)
+        |SELECT vec_id, label, dist2, med, mad,
+        | CAST(dist2 > med + 4.4478 * mad AS BIGINT) AS is_outlier
+        |FROM d, m1, m2""".stripMargin,
 
     "embedding_quantize" ->
       """WITH e AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the r6 evaluation/census operators (exact
+  * values are pinned by the DuckDB oracles; these pin the contracts).
+  */
+class EvalOpsSpec extends SparkTestBase {
+
+  test("ann_eval: one row per method, hits bounded by truth and retrieved") {
+    val ev = Ann.annEval(spark, sf).collect()
+    assert(ev.map(_.getString(0)).sorted.toSeq == Seq("ivf", "lsh", "pq_adc"))
+    ev.foreach { r =>
+      val (nTruth, nRetr, nHits, ppm) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nHits <= nTruth && nHits <= nRetr)
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(ppm == 1000000L * nHits / nTruth)
+    }
+  }
+
+  test("vocab_coverage: OOV bounded, totals reconcile with the tokenizer") {
+    val vc = CorpusAnalytics.vocabCoverage(spark, sf)
+    vc.collect().foreach { r =>
+      assert(r.getAs[Long]("n_oov_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_distinct_oov") <= r.getAs[Long]("n_distinct"))
+    }
+    val total = vc.agg(sum(col("n_tokens"))).head().getLong(0)
+    val direct = graft.Tables.documents(spark, sf)
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(total == direct,
+      "vocab_coverage occurrence totals must reconcile with the tokenizer")
+  }
+
+  test("embedding_outliers: row-preserving, scalar stats constant, outliers minority") {
+    val out = VectorOps.embeddingOutliers(spark, sf)
+    val n = out.count()
+    assert(n == graft.Tables.embeddings(spark, sf).count())
+    assert(out.select(col("med"), col("mad")).distinct().count() == 1)
+    val flagged = out.filter(col("is_outlier") === 1).count()
+    assert(flagged < n / 2, s"MAD flag must be a tail flag, got $flagged/$n")
+  }
+}

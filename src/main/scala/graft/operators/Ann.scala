@@ -294,15 +294,18 @@ object Ann {
     * joins are on the tiny (nq x k) result sets — the corpus-sized
     * work is the three operator runs themselves.
     */
-  def annEval(s: SparkSession, d: String): DataFrame = {
+  def annEval(s: SparkSession, d: String, materialize: Boolean = true): DataFrame = {
     // each operator result is nq x k rows — pin them so the two
     // consumers (size agg + hit join) don't re-run the corpus-sized
-    // operator (the skewDetect localCheckpoint pattern)
-    val truth = annBruteforceTopk(s, d).filter(col("rn") <= 3)
-      .select(col("qid"), col("nid")).localCheckpoint(true)
+    // operator (the skewDetect localCheckpoint pattern). materialize =
+    // false is the lazy twin for plan linting (PlanGuardSpec).
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
+    val truth = pin(annBruteforceTopk(s, d).filter(col("rn") <= 3)
+      .select(col("qid"), col("nid")))
     val truthAgg = truth.agg(count(lit(1)).as("n_truth"))
     def scoreOf(name: String, retrieved: DataFrame): DataFrame = {
-      val r = retrieved.select(col("qid"), col("nid")).localCheckpoint(true)
+      val r = pin(retrieved.select(col("qid"), col("nid")))
       r.agg(count(lit(1)).as("n_retrieved"))
         .crossJoin(broadcast(
           r.join(truth, Seq("qid", "nid")).agg(count(lit(1)).as("n_hits"))))
@@ -321,7 +324,7 @@ object Ann {
     "ann_bruteforce_topk" -> (annBruteforceTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
-    "ann_eval" -> (annEval _),
+    "ann_eval" -> ((s, d) => annEval(s, d)),
     "embedding_kmeans_step" -> (embeddingKmeansStep _)
   )
 

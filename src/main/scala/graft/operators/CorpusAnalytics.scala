@@ -130,11 +130,12 @@ object CorpusAnalytics {
     * k-BOUNDED heap aggregate (TopKAgg, never a global sort) and joins
     * back as a broadcast. Nothing corpus-sized moves twice.
     */
-  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
-    val st = Tables.documents(s, d)
+  def vocabCoverage(s: SparkSession, d: String, materialize: Boolean = true): DataFrame = {
+    val st0 = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // one corpus pass; vocab + coverage both reuse it
+    // one corpus pass; vocab + coverage both reuse it (lazy for plan lint)
+    val st = if (materialize) st0.localCheckpoint(true) else st0
     val vocab = st.groupBy(col("tok")).agg(sum(col("n")).as("cnt"))
       .agg(graft.functions.TopKAgg.collectTopK(
         struct((lit(0L) - col("cnt")).as("neg"), col("tok")), 1000,
@@ -157,7 +158,7 @@ object CorpusAnalytics {
     "percentile_filter" -> (percentileFilter _),
     "decay_score" -> (decayScore _),
     "token_gini" -> (tokenGini _),
-    "vocab_coverage" -> (vocabCoverage _)
+    "vocab_coverage" -> ((s, d) => vocabCoverage(s, d))
   )
 
   private val normSql =

@@ -133,7 +133,7 @@ object VectorOps {
     * the two medians run over the bounded (vec_id, dist2) table,
     * pinned once (localCheckpoint) for its three consumers.
     */
-  def embeddingOutliers(s: SparkSession, d: String): DataFrame = {
+  def embeddingOutliers(s: SparkSession, d: String, materialize: Boolean = true): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1e6).cast("long")).as("xm"))
@@ -143,10 +143,10 @@ object VectorOps {
         (col("sm").cast("double") / col("n")).as("m")))),
         p => p.getField("m")).as("c"))
     val diff = zip_with(col("xm"), col("c"), (x, m) => x.cast("double") - m)
-    val dd = e.crossJoin(broadcast(cent))
+    val dd0 = e.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"),
         round(dot(diff, diff) / lit(1e12), 6).as("dist2"))
-      .localCheckpoint(true)
+    val dd = if (materialize) dd0.localCheckpoint(true) else dd0
     val med = dd.agg(round(median(col("dist2")), 6).as("med"))
     val dm = dd.crossJoin(broadcast(med))
     val mad = dm.agg(round(median(abs(col("dist2") - col("med"))), 6).as("mad"))
@@ -160,7 +160,7 @@ object VectorOps {
     "embedding_standardize" -> (embeddingStandardize _),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_quantize" -> (embeddingQuantize _),
-    "embedding_outliers" -> (embeddingOutliers _)
+    "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -20,7 +20,10 @@ class PlanGuardSpec extends SparkTestBase {
   private val lazyTwins: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "heavy_hitters" -> ((s, d) => graft.operators.Sketch.heavyHitters(s, d, materialize = false)),
     "similarity_pagerank" -> ((s, d) => graft.operators.Graph.similarityPagerank(s, d, materialize = false)),
-    "triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d, materialize = false)))
+    "triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d, materialize = false)),
+    "ann_eval" -> ((s, d) => graft.operators.Ann.annEval(s, d, materialize = false)),
+    "vocab_coverage" -> ((s, d) => graft.operators.CorpusAnalytics.vocabCoverage(s, d, materialize = false)),
+    "embedding_outliers" -> ((s, d) => graft.operators.VectorOps.embeddingOutliers(s, d, materialize = false)))
 
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -31,6 +34,18 @@ class PlanGuardSpec extends SparkTestBase {
         if (cart) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("basket_pairs plans exactly two exchanges (basket build + pair agg)") {
+    // the r6 reshape removed the third exchange (distinct output
+    // re-partitioned onto l_orderkey for the self-join); pin it so a
+    // future edit doesn't silently reintroduce the extra corpus shuffle
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = graft.operators.StarJoin.basketPairs(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = flattenPlan(plan).collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length == 2,
+      s"expected 2 exchanges, got ${exchanges.length}:\n$plan")
   }
 
   test("every broadcast nested-loop join broadcasts a bounded side") {

@@ -550,6 +550,41 @@ object Dedup {
         ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"))
   }
 
+  /** Per-document n-gram novelty of an incoming crawl batch against the
+    * standing corpus — the prioritization metric an incremental crawler
+    * scores every fetched page with ("how much of this have we already
+    * got?"). Batch = doc_id % 10 == 9 (dedupIncremental's daily-crawl
+    * split); for each batch doc, the fraction of its DISTINCT word
+    * trigrams absent from the corpus-side distinct trigram set, in
+    * integer ppm.
+    *
+    * Shape: one tokenize pass feeds both sides; the corpus side
+    * collapses to its distinct gram set (partial-agg'd — the exchange
+    * carries gram VOCABULARY, sub-linear in corpus tokens), then one
+    * equi-join on the 60-bit gram hash and a per-doc count aggregate.
+    * Nothing is ever all-pairs. At 100 TB the exact form stays viable
+    * because both join sides are hash-partitioned on `g`; when
+    * approximate novelty suffices, a corpus-gram bloom filter
+    * (functions.BloomJoin) replaces the join with a narrow map-side
+    * probe at the cost of a bounded false-"seen" rate.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(gramHashes(col("toks"), 3))).as("g"))
+    val corpus = grams.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("g")).distinct()
+    grams.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .join(corpus.withColumn("seen", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        floor(col("n_novel").cast("double") * lit(1000000.0) /
+          col("n_grams").cast("double")).cast("long").as("novelty_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "minhash_signature" -> (minhashSignature _),
@@ -562,7 +597,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "embedding_cosine_neardup" -> (embeddingCosineNeardup _),
     "dedup_eval" -> (dedupEval _),
-    "simhash_eval" -> (simhashEval _)
+    "simhash_eval" -> (simhashEval _),
+    "ngram_novelty" -> (ngramNovelty _)
   )
 
   /** SimHash-quality evaluation — dedupEval's sibling for the bit
@@ -927,6 +963,20 @@ object Dedup {
          |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fp)) AS BIGINT) END AS precision_ppm,
          | CASE WHEN tp + fn > 0
          |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fn)) AS BIGINT) END AS recall_ppm
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // same md5-%P trigram hashes as the Spark side's gramHashes(_, 3)
+    "ngram_novelty" ->
+      s"""$shingleHashCte,
+         |g AS (SELECT doc_id, unnest(hv) AS g FROM hs),
+         |dg AS (SELECT DISTINCT doc_id, g FROM g),
+         |corpus AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 <> 9),
+         |batch AS (SELECT doc_id, g FROM dg WHERE doc_id % 10 = 9)
+         |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN c.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(FLOOR(CAST(SUM(CASE WHEN c.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    * 1000000.0 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS novelty_ppm
+         |FROM batch b LEFT JOIN corpus c ON b.g = c.g
+         |GROUP BY b.doc_id""".stripMargin
   )
 }

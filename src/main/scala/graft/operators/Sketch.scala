@@ -160,9 +160,97 @@ object Sketch {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
 
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007), built
+    * from scratch on the md5-based hash60 so the DuckDB oracle can
+    * replay it bit-for-bit: approx distinct `l_orderkey` per
+    * `l_returnflag` next to the exact count and the error in ppm.
+    * m = 1024 registers (p = 10): top 10 hash bits pick the register,
+    * the rank of the leading 1-bit in the remaining 50 bits updates it
+    * via MAX — which makes the sketch FULLY MERGEABLE: Spark's partial
+    * aggregation merges per-partition registers map-side, so at 100 TB
+    * the exchange carries <= groups x 1024 register rows, never keys.
+    * `hll_est_merged` re-derives the same estimate from per-year
+    * (year(l_shipdate)) register tables merged by a second MAX — the
+    * pre-aggregated-sketch-per-partition-grain warehouse pattern — and
+    * is pinned equal to the direct estimate (MAX is associative; the
+    * oracle computes hll_est from RAW rows and hll_est_merged via the
+    * per-grain merge, so the equality is cross-engine proof, not a
+    * shared subtree).
+    *
+    * Everything is cross-engine exact: rho via `51 - length(bin(rem))`
+    * (pure integer, no floating log2), the register sum carried as the
+    * integer Σ 2^(51-rho) (<= 2^62, fits BIGINT), and the final
+    * alpha*m²/S division done in IEEE doubles with the identical
+    * literal expression on both engines. The ln-based small-range
+    * (linear-counting) correction is deliberately OMITTED — libm log
+    * is not correctly-rounded cross-engine, so the raw estimate is the
+    * only hash-stable form; below ~2.5m distinct values the raw
+    * estimate carries the documented HLL small-range bias (visible at
+    * sf0.001; at sf0.01+ the groups sit in the ±1.04/√m ≈ 3% regime).
+    */
+  def hllDistinct(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    // ONE md5 pass: per-(flag, shipdate) register tables are the finest
+    // granularity; the overall registers are their MAX-merge (that merge
+    // IS the sketch's distributive property). The checkpoint pins the
+    // hashing scan so both estimate branches read the bounded register
+    // table, not the corpus. The DuckDB oracle intentionally computes
+    // hll_est from RAW rows and hll_est_daily_merged via the per-day
+    // merge — hash equality of the two columns is the cross-engine
+    // proof the merge is lossless, not a tautology on a shared subtree.
+    // Partition grain = YEAR, not day: a (group, grain, bucket) partial
+    // aggregate only compresses map-side when the grain keeps the group
+    // count well under the rows-per-task; day grain at sf1 makes the
+    // keys near-unique (measured: the daily-register exchange carries
+    // ~4.2M rows and costs 10 s of the query's 13.5 s — partial agg
+    // passes everything through). Year grain is 3 x 7 x 1024 ≈ 21k
+    // groups → 9x map-side compression → sub-M exchange. At 100 TB the
+    // per-partition-date register tables aren't built by one global
+    // shuffle at all — each ingest partition aggregates only its own
+    // date's 1024 registers and the merge query reads the tiny
+    // register table; this operator is the self-contained replay of
+    // that merge algebra, at the grain where one query can afford it.
+    val mergedLazy = li
+      .select(col("l_returnflag"), year(col("l_shipdate")).as("yr"),
+        hash60(col("l_orderkey").cast("string")).as("hv"))
+      .select(col("l_returnflag"), col("yr"),
+        shiftright(col("hv"), 50).as("bucket"),
+        col("hv").bitwiseAND(lit((1L << 50) - 1)).as("rem"))
+      .withColumn("rho",
+        when(col("rem") === 0L, lit(51))
+          .otherwise(lit(51) - length(bin(col("rem")))))
+      .groupBy(col("l_returnflag"), col("yr"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .groupBy(col("l_returnflag"), col("bucket")).agg(max(col("r")).as("r"))
+    // checkpoint the MERGED registers (<= groups x 1024 rows — KBs),
+    // never the per-grain table: the bounded register table is the
+    // only thing two consumers re-read
+    val merged =
+      if (materialize) mergedLazy.localCheckpoint(true) else mergedLazy
+    def estimate(reg: DataFrame, out: String): DataFrame =
+      reg.groupBy(col("l_returnflag"))
+        .agg((sum(expr("shiftleft(cast(1 as bigint), 51 - r)")) +
+          (lit(1024L) - count(lit(1))) * lit(1L << 51)).as("s_scaled"))
+        .select(col("l_returnflag"),
+          floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
+            lit(1048576.0) * lit(2251799813685248.0) /
+            col("s_scaled").cast("double")).cast("long").as(out))
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      .join(estimate(merged, "hll_est"), Seq("l_returnflag"))
+      .join(estimate(merged, "hll_est_merged"), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"), col("hll_est"),
+        col("hll_est_merged"),
+        floor(abs(col("hll_est") - col("n_exact")).cast("double") * lit(1000000.0) /
+          col("n_exact").cast("double")).cast("long").as("err_ppm"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
-    "token_freq_spectrum" -> (tokenFreqSpectrum _)
+    "token_freq_spectrum" -> (tokenFreqSpectrum _),
+    "hll_distinct" -> ((s, d) => hllDistinct(s, d))
   )
 
   private val normSql = TextAnalysis.normSql
@@ -181,6 +269,48 @@ object Sketch {
       s"""WITH toks AS (
          | SELECT unnest(string_split($normSql, ' ')) AS token FROM documents),
          |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token)
-         |SELECT cnt, count(*) AS n_types FROM c GROUP BY cnt""".stripMargin
+         |SELECT cnt, count(*) AS n_types FROM c GROUP BY cnt""".stripMargin,
+
+    // bit-identical HLL replay: same hash60, same integer rho, same
+    // Σ 2^(51-rho) register sum (SUM cast from HUGEINT to BIGINT),
+    // same IEEE double literal chain for alpha*m^2/S
+    "hll_distinct" ->
+      s"""WITH b AS (
+         | SELECT l_returnflag, yr,
+         |   hv >> 50 AS bucket, hv & ((1::BIGINT << 50) - 1) AS rem
+         | FROM (SELECT l_returnflag, year(l_shipdate) AS yr,
+         |   ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |   FROM lineitem)),
+         |rho AS (
+         | SELECT l_returnflag, yr, bucket,
+         |   CASE WHEN rem = 0 THEN 51 ELSE 51 - length(bin(rem)) END AS rho
+         | FROM b),
+         |reg AS (
+         | SELECT l_returnflag, bucket, MAX(rho) AS r FROM rho GROUP BY 1, 2),
+         |dreg AS (
+         | SELECT l_returnflag, bucket, MAX(r) AS r FROM (
+         |   SELECT l_returnflag, yr, bucket, MAX(rho) AS r
+         |   FROM rho GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |est AS (
+         | SELECT l_returnflag,
+         |  CAST(FLOOR(0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 2251799813685248.0
+         |   / CAST(CAST(SUM(1::BIGINT << (51 - r))
+         |       + (1024 - COUNT(*)) * (1::BIGINT << 51) AS BIGINT) AS DOUBLE))
+         |   AS BIGINT) AS hll_est
+         | FROM reg GROUP BY 1),
+         |dest AS (
+         | SELECT l_returnflag,
+         |  CAST(FLOOR(0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 * 2251799813685248.0
+         |   / CAST(CAST(SUM(1::BIGINT << (51 - r))
+         |       + (1024 - COUNT(*)) * (1::BIGINT << 51) AS BIGINT) AS DOUBLE))
+         |   AS BIGINT) AS hll_est_merged
+         | FROM dreg GROUP BY 1),
+         |ex AS (
+         | SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact
+         | FROM lineitem GROUP BY 1)
+         |SELECT ex.l_returnflag, n_exact, hll_est, hll_est_merged,
+         |  CAST(FLOOR(ABS(hll_est - n_exact) * 1000000.0 / n_exact) AS BIGINT) AS err_ppm
+         |FROM ex JOIN est USING (l_returnflag) JOIN dest USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -654,6 +654,75 @@ object StreamingOps {
       .select(col("event_type"), col("day_s"), col("n"), col("is_anomaly"))
   }
 
+  /** Streaming HLL distinct-count sketch — the state-store twin of
+    * Sketch.hllDistinct's register algebra, over the events stream:
+    * per event_type, a 1024-register HLL (p = 10, hash60 of the
+    * user_id rendered as a string, rho = rank of the leading 1-bit of
+    * the low 50 hash bits) lives in state and MAX-merges each
+    * micro-batch's observations. This is WHY HLL is the 100 TB
+    * distinct operator: in batch the registers merge map-side across
+    * partitions; here the identical merge runs across triggers in the
+    * state store — same registers, same Σ 2^(51-rho) integer sum,
+    * same raw alpha*m²/S estimate (StreamingSpec pins single- and
+    * multi-batch runs equal to an independent driver-side replay).
+    * State per key is a fixed 1024-int array — bounded regardless of
+    * stream length, unlike an exact distinct's key set.
+    */
+  case class HllRow(event_type: String, seq: Long, s_scaled: Long, hll_est: Long)
+  case class HllRegState(seq: Long, regs: Array[Int])
+
+  def hllStream(events: DataFrame): Dataset[HllRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"),
+        graft.functions.TextFunctions.hash60(col("user_id").cast("string")).as("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HllRegState, HllRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (et, rows, state) =>
+          val prev = state.getOption.getOrElse(HllRegState(0L, new Array[Int](1024)))
+          val regs = prev.regs.clone()
+          rows.foreach { case (_, hv) =>
+            val bucket = (hv >>> 50).toInt
+            val rem = hv & ((1L << 50) - 1)
+            val rho =
+              if (rem == 0L) 51 else 51 - java.lang.Long.toBinaryString(rem).length
+            if (rho > regs(bucket)) regs(bucket) = rho
+          }
+          val seq = prev.seq + 1
+          state.update(HllRegState(seq, regs))
+          var sScaled = 0L
+          var i = 0
+          while (i < 1024) { sScaled += 1L << (51 - regs(i)); i += 1 }
+          val est = math.floor(0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 *
+            2251799813685248.0 / sScaled.toDouble).toLong
+          Iterator.single(HllRow(et, seq, sScaled, est))
+      }
+  }
+
+  /** Streaming driver for hllStream (update mode, memory sink);
+    * readout keeps each type's latest (max-seq) register summary.
+    */
+  def runHllOnce(spark: SparkSession, dir: String, queryName: String,
+      source: DataFrame = null): DataFrame = {
+    val in = Option(source).getOrElse(readEvents(spark, dir))
+    val q = hllStream(in)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    spark.table(queryName)
+      .withColumn("__mx", org.apache.spark.sql.functions.max(col("seq")).over(w))
+      .filter(col("seq") === col("__mx"))
+      .select(col("event_type"), col("s_scaled"), col("hll_est"))
+  }
+
   /** Streaming driver for heavyHittersStream (update mode, memory
     * sink): each trigger re-emits a shard's full summary, so the
     * readout keeps only each shard's latest (max-seq) emission.

@@ -25,7 +25,9 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_clusters",    // iterative connected components
     "anomaly_days",      // integer z-test over trailing windows
     "pack_efficiency",   // integer packing stats over a cumsum window
-    "dedup_eval"         // sketch-vs-truth confusion counts
+    "dedup_eval",        // sketch-vs-truth confusion counts
+    "hll_distinct",      // MAX-merged registers + integer register sum
+    "ngram_novelty"      // distinct-gram anti-membership counts
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -23,7 +23,8 @@ class PlanGuardSpec extends SparkTestBase {
     "triangle_count" -> ((s, d) => graft.operators.Graph.triangleCount(s, d, materialize = false)),
     "ann_eval" -> ((s, d) => graft.operators.Ann.annEval(s, d, materialize = false)),
     "vocab_coverage" -> ((s, d) => graft.operators.CorpusAnalytics.vocabCoverage(s, d, materialize = false)),
-    "embedding_outliers" -> ((s, d) => graft.operators.VectorOps.embeddingOutliers(s, d, materialize = false)))
+    "embedding_outliers" -> ((s, d) => graft.operators.VectorOps.embeddingOutliers(s, d, materialize = false)),
+    "hll_distinct" -> ((s, d) => graft.operators.Sketch.hllDistinct(s, d, materialize = false)))
 
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -12,6 +12,45 @@ import graft.functions.TextFunctions._
   */
 class SketchSpec extends SparkTestBase {
 
+  test("hll_distinct matches an independent driver-side HLL replay; grain merge is lossless") {
+    val rows = Sketch.hllDistinct(spark, sf).collect()
+    assert(rows.length == 3)
+    // independent replay: java MessageDigest md5 -> top-60-bit hash,
+    // p=10 registers, raw alpha*m^2/S estimate — same math, separate code
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(v: String): Long = {
+      val d = md.digest(v.getBytes("UTF-8"))
+      var x = 0L
+      for (i <- 0 until 8) x = (x << 8) | (d(i) & 0xffL)
+      x >>> 4
+    }
+    val keys = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byFlag = keys.groupBy(_._1)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val ks = byFlag(flag).map(_._2).distinct
+      assert(r.getLong(1) == ks.length, s"$flag n_exact")
+      val regs = new Array[Int](1024)
+      ks.foreach { k =>
+        val hv = h60(k.toString)
+        val bucket = (hv >>> 50).toInt
+        val rem = hv & ((1L << 50) - 1)
+        val rho = if (rem == 0L) 51 else 51 - java.lang.Long.toBinaryString(rem).length
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val sScaled = regs.map(m => 1L << (51 - m)).sum
+      val est = math.floor(0.7213 / (1.0 + 1.079 / 1024.0) *
+        1048576.0 * 2251799813685248.0 / sScaled.toDouble).toLong
+      assert(r.getLong(2) == est, s"$flag hll_est: got ${r.getLong(2)}, replay $est")
+      // MAX-merge of per-year registers must be exactly the direct sketch
+      assert(r.getLong(3) == r.getLong(2), s"$flag per-year merge not lossless")
+      val ppm = math.floor(math.abs(est - ks.length).toDouble * 1000000.0 / ks.length).toLong
+      assert(r.getLong(4) == ppm, s"$flag err_ppm")
+    }
+  }
+
   test("misraGries: survivors cover every item above n/(cap+1); totals exact") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 20) {

@@ -180,6 +180,52 @@ class StreamingSpec extends SparkTestBase {
     assert(streamSet(multiDf) == expected)
   }
 
+  test("streaming HLL registers == driver replay, single- and multi-batch") {
+    // independent replay: same md5-top-60-bit hash, p=10 registers,
+    // raw alpha*m^2/S estimate — no shared code with the twin under test
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(v: String): Long = {
+      val d = md.digest(v.getBytes("UTF-8"))
+      var x = 0L
+      for (i <- 0 until 8) x = (x << 8) | (d(i) & 0xffL)
+      x >>> 4
+    }
+    val expected = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (et, rows) =>
+        val regs = new Array[Int](1024)
+        rows.map(_._2).foreach { uid =>
+          val hv = h60(uid.toString)
+          val rem = hv & ((1L << 50) - 1)
+          val rho = if (rem == 0L) 51
+            else 51 - java.lang.Long.toBinaryString(rem).length
+          val b = (hv >>> 50).toInt
+          if (rho > regs(b)) regs(b) = rho
+        }
+        val sScaled = regs.map(m => 1L << (51 - m)).sum
+        val est = math.floor(0.7213 / (1.0 + 1.079 / 1024.0) * 1048576.0 *
+          2251799813685248.0 / sScaled.toDouble).toLong
+        (et, sScaled, est)
+      }.toSet
+    assert(expected.nonEmpty)
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got(StreamingOps.runHllOnce(spark, sf, "hll_single")) == expected)
+    // multi-batch: 4 files, one per trigger — registers must MAX-merge
+    // across triggers to the same final state
+    val dir = "target/stream_hll_multi"
+    graft.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(graft.Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val multi = StreamingOps.runHllOnce(spark, sf, "hll_multi", src)
+    assert(spark.table("hll_multi")
+      .agg(max(col("seq"))).head.getLong(0) >= 2) // state genuinely carried
+    assert(got(multi) == expected)
+  }
+
   test("streaming MG sketch carries state across micro-batches (multi-file source)") {
     // single-file sources collapse AvailableNow into one batch, which
     // never exercises the state carry — split the corpus into 4 files

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -247,10 +247,62 @@ object Sketch {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Count-Min sketch frequency estimation (Cormode & Muthukrishnan
+    * 2005) with its quality eval — the third member of the sketch
+    * family (Misra-Gries: heavy hitters; HLL: distinct counts; CMS:
+    * point frequencies). Depth 4 x width 1024 integer registers, row
+    * hashes h_i(t) = hash60("cm<i>_" ++ t) mod 1024, so the DuckDB
+    * oracle replays every register and lookup bit-for-bit; the
+    * estimate for a token is min_i regs[i][h_i(t)] — always >= the
+    * true count (only additive collisions), overestimate bounded by
+    * 2n/w per row with high probability.
+    *
+    * Output: the exact top-20 tokens (cnt desc, token tiebreak — the
+    * heavy_hitters candidate shape) with exact count, CMS estimate,
+    * and overestimate in ppm. Everything is integer arithmetic.
+    *
+    * Scale shape: the register build is ONE pass over the token
+    * stream exploded x4 (posexplode of the four bucket ids), partial-
+    * aggregated into <= 4 x 1024 groups — the exchange carries KBs
+    * regardless of corpus size, and registers MERGE by elementwise
+    * sum (the same partial-agg algebra, so a 100 TB corpus or a
+    * stream of daily sketches sums into one table). The exact-count
+    * side exists because this is an EVAL operator (dedup_eval's
+    * pattern): production lookups would read the 4096-row register
+    * table alone.
+    */
+  def cmsketchEval(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+    def bucketCols(t: Column): Column = array((0 until 4).map { i =>
+      pmod(hash60(concat(lit(s"cm${i}_"), t)), lit(1024L))
+    }: _*)
+    val regsLazy = toks
+      .select(posexplode(bucketCols(col("token"))).as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket")).agg(count(lit(1)).as("c"))
+    // bounded (<= 4096 rows) register table read once per lookup join
+    val regs = if (materialize) regsLazy.localCheckpoint(true) else regsLazy
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+    top.select(col("token"), col("cnt"), col("rank"),
+        posexplode(bucketCols(col("token"))).as(Seq("row_i", "bucket")))
+      .join(regs, Seq("row_i", "bucket"))
+      .groupBy(col("token"), col("cnt"), col("rank"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("token"), col("cnt"), col("rank"), col("cms_est"),
+        floor((col("cms_est") - col("cnt")).cast("double") * lit(1000000.0) /
+          col("cnt").cast("double")).cast("long").as("overest_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "token_freq_spectrum" -> (tokenFreqSpectrum _),
-    "hll_distinct" -> ((s, d) => hllDistinct(s, d))
+    "hll_distinct" -> ((s, d) => hllDistinct(s, d)),
+    "cmsketch_eval" -> ((s, d) => cmsketchEval(s, d))
   )
 
   private val normSql = TextAnalysis.normSql
@@ -311,6 +363,35 @@ object Sketch {
          |SELECT ex.l_returnflag, n_exact, hll_est, hll_est_merged,
          |  CAST(FLOOR(ABS(hll_est - n_exact) * 1000000.0 / n_exact) AS BIGINT) AS err_ppm
          |FROM ex JOIN est USING (l_returnflag) JOIN dest USING (l_returnflag)
-         |ORDER BY l_returnflag""".stripMargin
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // bit-identical CMS replay: same salted md5 row hashes, same 4x1024
+    // integer registers, same min-over-rows lookup
+    "cmsketch_eval" ->
+      s"""WITH toks AS (
+         | SELECT unnest(string_split($normSql, ' ')) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+         |top AS (
+         | SELECT token, cnt, rank FROM (
+         |  SELECT token, cnt,
+         |   row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c)
+         | WHERE rank <= 20),
+         |ii AS (SELECT unnest([0, 1, 2, 3]) AS row_i),
+         |b AS (
+         | SELECT row_i,
+         |  ('0x' || substr(md5('cm' || row_i || '_' || token), 1, 15))::BIGINT % 1024 AS bucket
+         | FROM toks CROSS JOIN ii),
+         |regs AS (
+         | SELECT row_i, bucket, CAST(count(*) AS BIGINT) AS c
+         | FROM b GROUP BY 1, 2),
+         |lk AS (
+         | SELECT t.token, t.cnt, t.rank, r.c
+         | FROM top t CROSS JOIN ii
+         | JOIN regs r ON r.row_i = ii.row_i AND r.bucket =
+         |  ('0x' || substr(md5('cm' || ii.row_i || '_' || t.token), 1, 15))::BIGINT % 1024)
+         |SELECT token, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS BIGINT) AS rank,
+         |  MIN(c) AS cms_est,
+         |  CAST(FLOOR((MIN(c) - cnt) * 1000000.0 / cnt) AS BIGINT) AS overest_ppm
+         |FROM lk GROUP BY token, cnt, rank""".stripMargin
   )
 }

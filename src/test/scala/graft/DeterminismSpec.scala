@@ -27,7 +27,8 @@ class DeterminismSpec extends SparkTestBase {
     "pack_efficiency",   // integer packing stats over a cumsum window
     "dedup_eval",        // sketch-vs-truth confusion counts
     "hll_distinct",      // MAX-merged registers + integer register sum
-    "ngram_novelty"      // distinct-gram anti-membership counts
+    "ngram_novelty",     // distinct-gram anti-membership counts
+    "cmsketch_eval"      // SUM-merged CMS registers, min-over-rows lookups
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -51,6 +51,36 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("cmsketch_eval matches a driver-side CMS replay; estimates never undercount") {
+    val rows = Sketch.cmsketchEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 20)
+    // independent replay over the collected token stream
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60mod(v: String): Int = {
+      val d = md.digest(v.getBytes("UTF-8"))
+      var x = 0L
+      for (i <- 0 until 8) x = (x << 8) | (d(i) & 0xffL)
+      ((x >>> 4) % 1024L).toInt
+    }
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("t")).collect().map(_.getString(0))
+    val exact = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val regs = Array.fill(4, 1024)(0L)
+    toks.foreach { t =>
+      for (i <- 0 until 4) regs(i)(h60mod(s"cm${i}_$t")) += 1L
+    }
+    def est(t: String): Long = (0 until 4).map(i => regs(i)(h60mod(s"cm${i}_$t"))).min
+    rows.foreach { case (tok, cnt, _, cms, ppm) =>
+      assert(cnt == exact(tok), s"$tok exact")
+      assert(cms == est(tok), s"$tok cms: got $cms, replay ${est(tok)}")
+      assert(cms >= cnt, s"$tok undercounts") // CMS one-sided error
+      assert(ppm == math.floor((cms - cnt).toDouble * 1000000.0 / cnt).toLong)
+    }
+    // the one-sided guarantee holds for EVERY token, not just the top-20
+    exact.foreach { case (t, c) => assert(est(t) >= c, s"$t undercounts in replay") }
+  }
+
   test("misraGries: survivors cover every item above n/(cap+1); totals exact") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 20) {

@@ -569,10 +569,16 @@ object Dedup {
     * probe at the cost of a bounded false-"seen" rate.
     */
   def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    // reduce mod P like the oracle's hv list: the gram VALUE (not just
+    // per-engine counts) must agree cross-engine — raw-60-bit on one
+    // side vs mod-P on the other diverges once the corpus is large
+    // enough for a mod collision (expected ~1 at ~150k grams)
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(gramHashes(col("toks"), 3))).as("g"))
+        explode(gramHashes(col("toks"), 3)).as("g0"))
+      .select(col("doc_id"), pmod(col("g0"), lit(P)).as("g"))
+      .distinct()
     val corpus = grams.filter(pmod(col("doc_id"), lit(10)) =!= 9)
       .select(col("g")).distinct()
     grams.filter(pmod(col("doc_id"), lit(10)) === 9)
@@ -583,6 +589,65 @@ object Dedup {
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
         floor(col("n_novel").cast("double") * lit(1000000.0) /
           col("n_grams").cast("double")).cast("long").as("novelty_ppm"))
+  }
+
+  /** Bloom-filter membership eval — the measured-FP-rate census for
+    * the bloom-prune decision (functions.BloomJoin prunes a big join's
+    * probe side with exactly this math; this operator pins the math
+    * cross-engine and reports the realized false-positive rate on this
+    * corpus). Filter: k = 4 salted hash60 functions into one
+    * m = 131072-bit array, built over the corpus-side (doc_id%10 != 9)
+    * DISTINCT trigram set; probes are the batch side's distinct
+    * trigrams. A true member can never miss (one-sided error —
+    * `n_false_neg` is emitted and must be 0 on both engines); a
+    * non-member hits only when all 4 of its buckets collide —
+    * `fp_ppm` is the measured rate the prune's selectivity model
+    * feeds on.
+    *
+    * Shape: the bit array IS a distinct-bucket table (<= m rows, KBs)
+    * — set-bit membership is an equi-join on the bucket id, and the
+    * per-probe all-4-buckets conjunction is a count aggregate. At
+    * 100 TB the bits table broadcasts and the probe pass is map-side
+    * (the BloomJoin layout); here it stays an explicit join so the
+    * oracle can replay it.
+    */
+  def bloomEval(s: SparkSession, d: String): DataFrame = {
+    val m = 131072L
+    def buckets(g: Column): Column = array((0 until 4).map { j =>
+      pmod(graft.functions.TextFunctions.hash60(
+        concat(lit(s"bf${j}_"), g.cast("string"))), lit(m))
+    }: _*)
+    // mod-P gram values (see ngramNovelty) — here the VALUE feeds the
+    // salted bucket hashes, so cross-engine equality is load-bearing
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(gramHashes(col("toks"), 3)).as("g0"))
+      .select(col("doc_id"), pmod(col("g0"), lit(P)).as("g"))
+    val corpus = grams.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("g")).distinct()
+    val bits = corpus.select(explode(buckets(col("g"))).as("bucket")).distinct()
+    val probes = grams.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("g")).distinct()
+    val probed = probes
+      .join(corpus.withColumn("member", lit(1)), Seq("g"), "left")
+      .select(col("g"), col("member"), posexplode(buckets(col("g"))).as(Seq("j", "bucket")))
+      .join(bits.withColumn("hit", lit(1)), Seq("bucket"), "left")
+      .groupBy(col("g"), col("member"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hits"))
+      .select(col("member").isNotNull.as("is_member"),
+        (col("n_hits") === 4).as("bloom_hit"))
+    probed.agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("is_member") && !col("bloom_hit"), 1L).otherwise(0L)).as("n_false_neg"),
+        sum(when(!col("is_member") && col("bloom_hit"), 1L).otherwise(0L)).as("n_false_pos"))
+      .select(col("n_probes"), col("n_members"), col("n_bloom_hits"),
+        col("n_false_neg"), col("n_false_pos"),
+        when(col("n_probes") > col("n_members"),
+          floor(col("n_false_pos").cast("double") * lit(1000000.0) /
+            (col("n_probes") - col("n_members")).cast("double")).cast("long"))
+          .as("fp_ppm"))
   }
 
   val queries: Map[String, Relational.Q] = Map(
@@ -598,7 +663,8 @@ object Dedup {
     "embedding_cosine_neardup" -> (embeddingCosineNeardup _),
     "dedup_eval" -> (dedupEval _),
     "simhash_eval" -> (simhashEval _),
-    "ngram_novelty" -> (ngramNovelty _)
+    "ngram_novelty" -> (ngramNovelty _),
+    "bloom_eval" -> (bloomEval _)
   )
 
   /** SimHash-quality evaluation — dedupEval's sibling for the bit
@@ -977,6 +1043,37 @@ object Dedup {
          |  CAST(FLOOR(CAST(SUM(CASE WHEN c.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |    * 1000000.0 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS novelty_ppm
          |FROM batch b LEFT JOIN corpus c ON b.g = c.g
-         |GROUP BY b.doc_id""".stripMargin
+         |GROUP BY b.doc_id""".stripMargin,
+
+    // same salted md5 bucket hashes, same distinct-bucket bit table,
+    // same all-4-buckets conjunction
+    "bloom_eval" ->
+      s"""$shingleHashCte,
+         |g0 AS (SELECT doc_id, unnest(hv) AS g FROM hs),
+         |dg AS (SELECT DISTINCT doc_id, g FROM g0),
+         |corpus AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 <> 9),
+         |jj AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |bits AS (
+         | SELECT DISTINCT ('0x' || substr(md5('bf' || j || '_' || g), 1, 15))::BIGINT % 131072 AS bucket
+         | FROM corpus CROSS JOIN jj),
+         |probes AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 9),
+         |pr AS (
+         | SELECT p.g, (c.g IS NOT NULL) AS is_member,
+         |   SUM(CASE WHEN b.bucket IS NOT NULL THEN 1 ELSE 0 END) = 4 AS bloom_hit
+         | FROM probes p
+         | LEFT JOIN corpus c ON p.g = c.g
+         | CROSS JOIN jj
+         | LEFT JOIN bits b ON b.bucket =
+         |   ('0x' || substr(md5('bf' || jj.j || '_' || p.g), 1, 15))::BIGINT % 131072
+         | GROUP BY p.g, c.g)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |  CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+         |  CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+         |  CAST(SUM(CASE WHEN is_member AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+         |  CAST(SUM(CASE WHEN NOT is_member AND bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         |  CASE WHEN COUNT(*) > SUM(CASE WHEN is_member THEN 1 ELSE 0 END)
+         |    THEN CAST(FLOOR(SUM(CASE WHEN NOT is_member AND bloom_hit THEN 1 ELSE 0 END) * 1000000.0
+         |      / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END))) AS BIGINT) END AS fp_ppm
+         |FROM pr""".stripMargin
   )
 }

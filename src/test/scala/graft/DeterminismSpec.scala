@@ -28,7 +28,8 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_eval",        // sketch-vs-truth confusion counts
     "hll_distinct",      // MAX-merged registers + integer register sum
     "ngram_novelty",     // distinct-gram anti-membership counts
-    "cmsketch_eval"      // SUM-merged CMS registers, min-over-rows lookups
+    "cmsketch_eval",     // SUM-merged CMS registers, min-over-rows lookups
+    "bloom_eval"         // distinct-bucket bit table + all-k conjunction
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -35,6 +35,32 @@ class EvalOpsSpec extends SparkTestBase {
       "vocab_coverage occurrence totals must reconcile with the tokenizer")
   }
 
+  test("bloom_eval: no false negatives ever; counts reconcile; FP a small minority") {
+    val r = Dedup.bloomEval(spark, sf).head()
+    val (probes, members, hits, fn, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(fn == 0L, "bloom filters have one-sided error — a member can never miss")
+    assert(hits == members + fp, "hits must be exactly members + false positives")
+    assert(members <= probes && fp <= probes - members)
+    if (probes > members) {
+      val ppm = r.getLong(5)
+      assert(ppm == math.floor(fp.toDouble * 1000000.0 / (probes - members)).toLong)
+      // k=4 / m=131072 sized for this corpus family: FP stays a tail
+      assert(ppm < 250000L, s"FP rate implausibly high: $ppm ppm")
+    }
+  }
+
+  test("ngram_novelty: ppm bounded, novel <= grams, batch split respected") {
+    val rows = Dedup.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 9, "only batch docs are scored")
+      val (n, novel, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(novel <= n && n > 0)
+      assert(ppm == math.floor(novel.toDouble * 1000000.0 / n).toLong)
+    }
+  }
+
   test("embedding_outliers: row-preserving, scalar stats constant, outliers minority") {
     val out = VectorOps.embeddingOutliers(spark, sf)
     val n = out.count()

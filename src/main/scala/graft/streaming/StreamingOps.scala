@@ -723,6 +723,76 @@ object StreamingOps {
       .select(col("event_type"), col("s_scaled"), col("hll_est"))
   }
 
+  /** Streaming Count-Min sketch — the state-store twin of
+    * Sketch.cmsketchEval's register build over the documents stream:
+    * the 4 x 1024 integer registers live in state keyed by the CMS
+    * row index (4 keys, so the register build parallelizes across the
+    * state store like the batch build parallelizes across partitions),
+    * and each micro-batch's token counts SUM-merge into them — the
+    * same elementwise-sum algebra that merges per-partition partials
+    * in batch. Emits one row per register row per trigger with the
+    * register SUM (mass conservation: Σ registers of any row == total
+    * tokens seen) and a stable checksum of the register vector so the
+    * spec can pin stream-final == batch registers exactly.
+    */
+  case class CmsRow(row_i: Int, seq: Long, total: Long, checksum: Long)
+  case class CmsRegState(seq: Long, regs: Array[Long])
+
+  def cmsStream(docs: DataFrame): Dataset[CmsRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .select(explode(array((0 until 4).map { i =>
+        struct(lit(i).as("row_i"),
+          pmod(graft.functions.TextFunctions.hash60(
+            concat(lit(s"cm${i}_"), col("token"))), lit(1024L)).as("bucket"))
+      }: _*)).as("rb"))
+      .select(col("rb.row_i"), col("rb.bucket"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CmsRegState, CmsRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (rowI, rows, state) =>
+          val prev = state.getOption.getOrElse(CmsRegState(0L, new Array[Long](1024)))
+          val regs = prev.regs.clone()
+          rows.foreach { case (_, b) => regs(b.toInt) += 1L }
+          val seq = prev.seq + 1
+          state.update(CmsRegState(seq, regs))
+          var total = 0L
+          var ck = 0L
+          var i = 0
+          while (i < 1024) {
+            total += regs(i)
+            // order-fixed polynomial checksum over the register vector
+            ck = ck * 1000003L + regs(i)
+            i += 1
+          }
+          Iterator.single(CmsRow(rowI, seq, total, ck))
+      }
+  }
+
+  /** Streaming driver for cmsStream (update mode, memory sink);
+    * readout keeps each register row's latest (max-seq) summary.
+    */
+  def runCmsOnce(spark: SparkSession, dir: String, queryName: String,
+      source: DataFrame = null): DataFrame = {
+    val in = Option(source).getOrElse(readDocuments(spark, dir))
+    val q = cmsStream(in)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("row_i"))
+    spark.table(queryName)
+      .withColumn("__mx", org.apache.spark.sql.functions.max(col("seq")).over(w))
+      .filter(col("seq") === col("__mx"))
+      .select(col("row_i"), col("total"), col("checksum"))
+  }
+
   /** Streaming driver for heavyHittersStream (update mode, memory
     * sink): each trigger re-emits a shard's full summary, so the
     * readout keeps only each shard's latest (max-seq) emission.

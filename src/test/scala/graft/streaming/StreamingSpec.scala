@@ -226,6 +226,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got(multi) == expected)
   }
 
+  test("streaming CMS registers == batch registers, single- and multi-batch") {
+    // batch truth: an independent driver-side register build
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .collect().map(_.getString(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60mod(v: String): Int = {
+      val d = md.digest(v.getBytes("UTF-8"))
+      var x = 0L
+      for (i <- 0 until 8) x = (x << 8) | (d(i) & 0xffL)
+      ((x >>> 4) % 1024L).toInt
+    }
+    val regs = Array.fill(4, 1024)(0L)
+    toks.foreach { t => for (i <- 0 until 4) regs(i)(h60mod(s"cm${i}_$t")) += 1L }
+    val expected = (0 until 4).map { i =>
+      var ck = 0L
+      regs(i).foreach(v => ck = ck * 1000003L + v)
+      (i, regs(i).sum, ck)
+    }.toSet
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got(StreamingOps.runCmsOnce(spark, sf, "cms_single")) == expected)
+    // multi-batch: registers must SUM-merge across triggers
+    val dir = "target/stream_cms_multi"
+    graft.Tables.documents(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(graft.Tables.documents(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val multi = StreamingOps.runCmsOnce(spark, sf, "cms_multi", src)
+    assert(spark.table("cms_multi")
+      .agg(max(col("seq"))).head.getLong(0) >= 2)
+    assert(got(multi) == expected)
+  }
+
   test("streaming MG sketch carries state across micro-batches (multi-file source)") {
     // single-file sources collapse AvailableNow into one batch, which
     // never exercises the state carry — split the corpus into 4 files

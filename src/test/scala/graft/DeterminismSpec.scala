@@ -29,7 +29,8 @@ class DeterminismSpec extends SparkTestBase {
     "hll_distinct",      // MAX-merged registers + integer register sum
     "ngram_novelty",     // distinct-gram anti-membership counts
     "cmsketch_eval",     // SUM-merged CMS registers, min-over-rows lookups
-    "bloom_eval"         // distinct-bucket bit table + all-k conjunction
+    "bloom_eval",        // distinct-bucket bit table + all-k conjunction
+    "hll_union"          // pairwise MAX-merged register algebra
   )
 
   test("query results are invariant to the shuffle partition count") {

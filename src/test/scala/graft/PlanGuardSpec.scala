@@ -25,7 +25,8 @@ class PlanGuardSpec extends SparkTestBase {
     "vocab_coverage" -> ((s, d) => graft.operators.CorpusAnalytics.vocabCoverage(s, d, materialize = false)),
     "embedding_outliers" -> ((s, d) => graft.operators.VectorOps.embeddingOutliers(s, d, materialize = false)),
     "hll_distinct" -> ((s, d) => graft.operators.Sketch.hllDistinct(s, d, materialize = false)),
-    "cmsketch_eval" -> ((s, d) => graft.operators.Sketch.cmsketchEval(s, d, materialize = false)))
+    "cmsketch_eval" -> ((s, d) => graft.operators.Sketch.cmsketchEval(s, d, materialize = false)),
+    "hll_union" -> ((s, d) => graft.operators.Sketch.hllUnion(s, d, materialize = false)))
 
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

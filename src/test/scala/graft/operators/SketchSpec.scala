@@ -51,6 +51,27 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("hll_union: per-source estimates equal hll_distinct's; union dominates operands") {
+    val uni = Sketch.hllUnion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(uni.map(t => (t._1, t._2)).toSeq.sorted ==
+      Seq(("A", "N"), ("A", "R"), ("N", "R")))
+    // the per-source estimate must be the SAME number hll_distinct
+    // publishes — one register algebra, two operators
+    val single = Sketch.hllDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    uni.foreach { case (a, b, estA, estB, estU, estI, exact, ppm) =>
+      assert(estA == single(a), s"$a estimate drifted from hll_distinct")
+      assert(estB == single(b), s"$b estimate drifted from hll_distinct")
+      // union registers dominate each operand's pointwise -> estimate does too
+      assert(estU >= estA && estU >= estB, s"($a,$b) union below an operand")
+      assert(estI == estA + estB - estU)
+      assert(exact > 0 &&
+        ppm == math.floor(math.abs(estU - exact).toDouble * 1000000.0 / exact).toLong)
+    }
+  }
+
   test("cmsketch_eval matches a driver-side CMS replay; estimates never undercount") {
     val rows = Sketch.cmsketchEval(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the box has 128 GiB and local[32] runs 32 concurrent
+  // tasks in ONE JVM — at 8g the sf1 pair/register aggregations
+  // (basket_pairs' ~18M near-unique pair keys) spill and GC-thrash,
+  // which measured as 11-74 s run-to-run variance on an unchanged
+  // plan. Heap is the bench variance knob, not the plan.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+UseParallelGC",
 )

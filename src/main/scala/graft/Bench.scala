@@ -31,9 +31,21 @@ object Bench {
     // — the numbers looked 10-20x better than the work actually costs.
     // toRdd materializes every output column of the plan as-is (the
     // honest "produce the result set" cost, like a noop sink).
+    // Drop the blocks a finished query leaves behind: localCheckpoint
+    // registers MEMORY_AND_DISK RDDs that ContextCleaner only reclaims
+    // on a driver GC, so across a 124-query sequence they pile up,
+    // shrink the effective heap, and made late queries measure 3-6x
+    // their true cost (basket_pairs 12 s quiet vs 74 s late-in-bench).
+    // Explicit unpersist makes each query's timing independent of its
+    // position in the run order.
+    def drainCaches(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+    }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => return -1.0 }
+      finally drainCaches()
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -63,6 +75,7 @@ object Bench {
           val t0 = System.nanoTime()
           // toRdd.count(): full evaluation, see timeOnce
           try { fn(spark, sf1Dir).queryExecution.toRdd.count() } catch { case _: Throwable => return -1.0 }
+          finally drainCaches()
           (System.nanoTime() - t0) / 1e9
         }
         // paired re-run for the expensive queries only: single-run sf1

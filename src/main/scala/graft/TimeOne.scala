@@ -29,6 +29,10 @@ object TimeOne {
         // scan (see Bench.timeOnce)
         val c = fn(spark, dir).queryExecution.toRdd.count()
         println(f"[time] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+        // see Bench.drainCaches: leftover localCheckpoint blocks make
+        // later runs measure heap pressure, not the plan
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sharedState.cacheManager.clearCache()
       }
     }
     spark.stop()

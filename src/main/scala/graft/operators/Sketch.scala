@@ -387,12 +387,63 @@ object Sketch {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Equi-width histogram quantile sketch — the fourth register
+    * family (MG: heavy hitters, HLL: distinct, CMS: frequency, this:
+    * quantiles): p50/p90/p99 of `l_extendedprice` estimated from 1024
+    * bucket-count registers instead of a global sort. The registers
+    * MERGE by elementwise sum (the partial-agg algebra — a 100 TB
+    * corpus, or a stream of daily histograms, adds into one table;
+    * `SketchSpec` pins split-merge equality), the exchange carries
+    * <= 1024 rows regardless of corpus size, and the only ordered
+    * step is a window over the BOUNDED register domain, never the
+    * data. Estimation error is bounded by one bucket width.
+    *
+    * Everything is integer arithmetic on price micros: bucket =
+    * ((u-mn)*1024) div span, target rank = (n*q_ppm) div 1e6 (0-based
+    * kth smallest), picked bucket = first with cumulative count >
+    * rank, estimate = linear interpolation inside the bucket with
+    * integer floor-division — the DuckDB oracle replays every register
+    * and every division digit-for-digit. min/max/count ride in as a
+    * 1-row broadcast scalar, the same shape as supplier_share's total.
+    */
+  def histQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.lineitem(s, d)
+      .select(graft.functions.ExactSum.micros(col("l_extendedprice")).as("u"))
+    val st = v.agg(min(col("u")).as("mn"), max(col("u")).as("mx"),
+      count(lit(1)).as("n"))
+    val counts = v.crossJoin(broadcast(st))
+      .select(expr("(u - mn) * 1024 div (mx - mn + 1)").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    // register-domain window: <= 1024 rows, constant-bounded
+    val cum = counts.withColumn("cum",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket"))))
+    val tgt = Seq(500000L, 900000L, 990000L).toDF("q_ppm")
+      .crossJoin(broadcast(st))
+      .select(col("q_ppm"), expr("n * q_ppm div 1000000").as("target"),
+        col("mn"), expr("mx - mn + 1").as("span"))
+    val pick = tgt.join(broadcast(cum), col("cum") > col("target"))
+      .groupBy(col("q_ppm")).agg(min(col("bucket")).as("bucket"))
+    pick
+      .join(broadcast(cum), Seq("bucket"))
+      .join(broadcast(tgt), Seq("q_ppm"))
+      .select(col("q_ppm"), col("bucket"),
+        expr("""mn + (span * bucket) div 1024 +
+               |((target - (cum - cnt) + 1) *
+               | ((span * (bucket + 1)) div 1024 - (span * bucket) div 1024))
+               | div cnt""".stripMargin).as("est_u"),
+        (col("cum") - col("cnt")).as("n_below"))
+      .orderBy(col("q_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "token_freq_spectrum" -> (tokenFreqSpectrum _),
     "hll_distinct" -> ((s, d) => hllDistinct(s, d)),
     "cmsketch_eval" -> ((s, d) => cmsketchEval(s, d)),
-    "hll_union" -> ((s, d) => hllUnion(s, d))
+    "hll_union" -> ((s, d) => hllUnion(s, d)),
+    "hist_quantiles" -> (histQuantiles _)
   )
 
   private val normSql = TextAnalysis.normSql
@@ -535,6 +586,42 @@ object Sketch {
          |JOIN est1 eb ON eb.src = p.src_b
          |JOIN uest ue USING (src_a, src_b)
          |JOIN ex USING (src_a, src_b)
-         |ORDER BY src_a, src_b""".stripMargin
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    // register-exact replay: same micros lattice, same 1024-bucket
+    // floor-division registers, same integer interpolation (all
+    // BIGINT; the cumulative sum cast down from DuckDB's HUGEINT)
+    "hist_quantiles" ->
+      """WITH v AS (
+        | SELECT CAST(round(l_extendedprice * 1000000) AS BIGINT) AS u
+        | FROM lineitem),
+        |st AS (
+        | SELECT min(u) AS mn, max(u) AS mx, mx - mn + 1 AS span,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM v),
+        |counts AS (
+        | SELECT ((u - mn) * 1024) // (mx - mn + 1) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM v, st GROUP BY 1),
+        |c AS (
+        | SELECT bucket, cnt,
+        |  CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+        | FROM counts),
+        |tgt AS (
+        | SELECT q_ppm, (n * q_ppm) // 1000000 AS target, mn, span
+        | FROM (VALUES (CAST(500000 AS BIGINT)), (900000), (990000)) AS q(q_ppm), st),
+        |pick AS (
+        | SELECT q_ppm, min(bucket) AS bucket
+        | FROM tgt JOIN c ON cum > target GROUP BY 1)
+        |SELECT p.q_ppm, p.bucket,
+        | CAST(mn + (span * p.bucket) // 1024 +
+        |  ((target - (cum - cnt) + 1) *
+        |   ((span * (p.bucket + 1)) // 1024 - (span * p.bucket) // 1024))
+        |   // cnt AS BIGINT) AS est_u,
+        | CAST(cum - cnt AS BIGINT) AS n_below
+        |FROM pick p
+        |JOIN c ON c.bucket = p.bucket
+        |JOIN tgt ON tgt.q_ppm = p.q_ppm
+        |ORDER BY p.q_ppm""".stripMargin
   )
 }

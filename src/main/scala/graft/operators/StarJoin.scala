@@ -170,11 +170,173 @@ object StarJoin {
         sum(round(col("l_extendedprice") * 100).cast("long")).as("revenue_cents"))
   }
 
+  /** TPC-H Q17 shape — correlated scalar subquery, decorrelated:
+    * revenue locked in lineitems whose quantity is below 20% of their
+    * part's average quantity, per brand. The reference SQL shape is
+    * `WHERE l_quantity < (SELECT 0.2*avg(l_quantity) ... same part)`;
+    * the Spark-first rewrite is the classic decorrelation — ONE
+    * per-part aggregate (count, sum of integral quantities) joined
+    * back on the part key — so the "subquery" runs once as a grouped
+    * scan, not per outer row. The comparison stays in integers:
+    * `q < 0.2 * (sq/n)  ⇔  5*q*n < sq` — no double division, so the
+    * boundary (a quantity at exactly a fifth of the average) is
+    * decided identically in every engine.
+    *
+    * Scale: the per-part stats table is |part|-sized (fact/~4 rows) —
+    * AQE picks broadcast vs shuffle by its actual size; both joins
+    * share the l_partkey key so the fact shuffles once at most.
+    */
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+        ExactSum.micros(col("l_extendedprice")).as("price_u"))
+    val ps = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+    val brands = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+    li.join(ps, "l_partkey")
+      .filter(lit(5) * col("q") * col("n") < col("sq"))
+      .join(brands, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        ExactSum.microsToDouble(sum(col("price_u"))).as("revenue"))
+  }
+
+  /** TPC-H Q18 shape — HAVING-gated fact aggregate joined back to its
+    * dimensions: orders whose total quantity exceeds 250 units, with
+    * their customer. The aggregate-filter runs FIRST (map-side partial
+    * sums compress lineitem to one row per order before the exchange;
+    * the `> 250` gate then cuts ~15k orders to ~200) so the order and
+    * customer joins see only the qualifying minority — at 100 TB the
+    * post-gate side is broadcastable and AQE does exactly that.
+    * Quantities are integral; the gate and the emitted totals are
+    * exact long sums.
+    */
+  def bigOrderCustomers(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("orderdate"), col("o_totalprice"),
+        col("total_qty"))
+  }
+
+  /** TPC-H Q15 shape — argmax over an aggregate ("the top supplier"):
+    * per-supplier revenue over the closing quarter, keeping every
+    * supplier tied at the maximum. The max is a 1-row scalar aggregate
+    * broadcast back against the same grouped view (computed once —
+    * Spark reuses the exchange under ReuseExchange), NOT a
+    * single-partition global window, which would serialize all
+    * suppliers through one task at scale. The argmax equality compares
+    * integer micros, so ties and the winner are engine-independent;
+    * only the final emitted revenue returns to double.
+    */
+  def topSupplierRevenue(s: SparkSession, d: String): DataFrame = {
+    val win0 = lit("1998-03-01").cast("timestamp")
+    val win1 = lit(Cutoff).cast("timestamp")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= win0 && col("l_shipdate") < win1)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("r_u"))
+    val mx = rev.agg(max(col("r_u")).as("max_u"))
+    rev.join(broadcast(mx), col("r_u") === col("max_u"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        ExactSum.microsToDouble(col("r_u")).as("total_revenue"))
+  }
+
+  /** TPC-H Q11 shape — group share-of-total with a global-scalar
+    * threshold: suppliers carrying at least 1% of all lineitem value,
+    * with their exact share in ppm. The total is a 1-row scalar
+    * cross-joined (broadcast) against the per-supplier aggregate —
+    * never a global window. Share arithmetic never touches doubles:
+    * the threshold test and the ppm floor-division run in
+    * DECIMAL(38,0) (value_u*1e6 overflows int64 at ~SF10 — the
+    * decimal lane is the documented 100 TB path, and DuckDB's HUGEINT
+    * lane agrees digit-for-digit).
+    */
+  def supplierShare(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(ExactSum.micros(col("l_extendedprice"))).as("value_u"),
+        count(lit(1)).as("n_items"))
+    val tot = rev.agg(sum(col("value_u")).as("total_u"))
+    rev.crossJoin(broadcast(tot))
+      .filter(expr("CAST(value_u AS DECIMAL(38,0)) * 100 >= CAST(total_u AS DECIMAL(38,0))"))
+      .select(col("l_suppkey").as("suppkey"), col("n_items"),
+        ExactSum.microsToDouble(col("value_u")).as("value_rev"),
+        expr("CAST(CAST(value_u AS DECIMAL(38,0)) * 1000000 div CAST(total_u AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_ppm"))
+  }
+
+  /** TPC-H Q4 shape — EXISTS census: per order priority, how many
+    * orders have at least one lineitem shipped more than 90 days after
+    * the order date. The EXISTS is a LEFT SEMI join (one match ends
+    * the probe — no fan-out, no distinct-after-join); the lateness
+    * predicate compares integer epoch days on both engines so the
+    * 90-day boundary can't drift through timestamp arithmetic.
+    * Pre-projecting lineitem to (orderkey, ship_day) keeps the semi
+    * join's build side two columns wide.
+    */
+  def lateOrderCensus(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("ship_day"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("order_day"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("ship_day") > col("order_day") + 90,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+  }
+
+  /** TPC-H Q22 shape — anti join gated by a global scalar: customers
+    * with an above-average account balance and NO order since the
+    * lapse cutoff ("high-value lapsed accounts"), per market segment.
+    * The average threshold never becomes a float: `bal > total/n ⇔
+    * bal_u * n > total_u` in integer micros, with the (total_u, n)
+    * scalar broadcast. The lapse test is a LEFT ANTI join against the
+    * date-filtered orders — the NOT EXISTS dual of
+    * semi_join_customers, with the filter pushed to the orders scan
+    * so the anti join's build side is the recent minority, not the
+    * full fact table.
+    */
+  private val LapseCutoff = "2000-01-01"
+
+  def lapsedRichCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ExactSum.micros(col("c_acctbal")).as("bal_u"))
+    val st = cust.agg(sum(col("bal_u")).as("total_u"), count(lit(1)).as("n"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(LapseCutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(st))
+      .filter(col("bal_u") * col("n") > col("total_u"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        ExactSum.microsToDouble(sum(col("bal_u"))).as("total_bal"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "star_shipping_priority" -> (shippingPriority _),
     "star_local_volume" -> (localSupplierVolume _),
     "basket_pairs" -> (basketPairs _),
-    "bloom_prune_join" -> (bloomPruneJoin _)
+    "bloom_prune_join" -> (bloomPruneJoin _),
+    "small_qty_revenue" -> (smallQtyRevenue _),
+    "big_order_customers" -> (bigOrderCustomers _),
+    "top_supplier_revenue" -> (topSupplierRevenue _),
+    "supplier_share" -> (supplierShare _),
+    "late_order_census" -> (lateOrderCensus _),
+    "lapsed_rich_customers" -> (lapsedRichCustomers _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -216,6 +378,92 @@ object StarJoin {
         |  AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |HAVING count(*) >= 2""".stripMargin,
+
+    // integer-exact correlated-subquery twin: 5*q*n < sq == q < 0.2*avg
+    "small_qty_revenue" ->
+      """WITH ps AS (
+        | SELECT l_partkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        | FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN ps USING (l_partkey)
+        | JOIN part ON p_partkey = l_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * n < sq
+        |GROUP BY 1""".stripMargin,
+
+    "big_order_customers" ->
+      """WITH big AS (
+        | SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate::DATE AS orderdate,
+        | o_totalprice, total_qty
+        |FROM big
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey""".stripMargin,
+
+    // argmax ties decided on integer micros (r_u); revenue emitted via
+    // the proven decimal-sum lane
+    "top_supplier_revenue" ->
+      s"""WITH rev AS (
+         | SELECT l_suppkey,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS r_u,
+         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+         |  AND l_shipdate < TIMESTAMP '$Cutoff'
+         | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE r_u = (SELECT max(r_u) FROM rev)""".stripMargin,
+
+    // HUGEINT lane mirrors Spark's DECIMAL(38,0) lane digit-for-digit;
+    // both floor the ppm division on positive integers
+    "supplier_share" ->
+      """WITH rev AS (
+        | SELECT l_suppkey AS suppkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS value_u,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS value_rev
+        | FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(value_u) AS HUGEINT) AS total_u FROM rev)
+        |SELECT suppkey, n_items, value_rev,
+        | CAST((CAST(value_u AS HUGEINT) * 1000000) // total_u AS BIGINT) AS share_ppm
+        |FROM rev, tot
+        |WHERE CAST(value_u AS HUGEINT) * 100 >= total_u""".stripMargin,
+
+    // integer epoch-day lateness boundary; EXISTS == semi join
+    "late_order_census" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (
+        | SELECT 1 FROM lineitem
+        | WHERE l_orderkey = o_orderkey
+        |  AND date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+        |    > date_diff('day', DATE '1970-01-01', o_orderdate::DATE) + 90)
+        |GROUP BY 1""".stripMargin,
+
+    // integer-micros mean threshold (bal_u*n > total_u); NOT EXISTS ==
+    // anti join against the date-filtered orders
+    "lapsed_rich_customers" ->
+      s"""WITH c AS (
+         | SELECT c_custkey, c_mktsegment, c_acctbal,
+         |  CAST(round(c_acctbal * 1000000) AS BIGINT) AS bal_u
+         | FROM customer),
+         |st AS (
+         | SELECT CAST(sum(bal_u) AS BIGINT) AS total_u,
+         |  CAST(count(*) AS BIGINT) AS n
+         | FROM c)
+         |SELECT c_mktsegment, count(*) AS n_custs,
+         | CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_bal
+         |FROM c, st
+         |WHERE bal_u * n > total_u
+         | AND NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey
+         |   AND o_orderdate >= TIMESTAMP '$LapseCutoff')
+         |GROUP BY 1""".stripMargin,
 
     // the bloom is semantics-transparent (false positives die in the
     // exact join) — the oracle is the PLAIN join

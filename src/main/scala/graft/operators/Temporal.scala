@@ -264,6 +264,45 @@ object Temporal {
           .as("is_anomaly"))
   }
 
+  /** Session path mining — the clickstream query behind "what do
+    * users do first": sessionize (the events_sessionize 30-min-gap
+    * contract: boundary on epoch-second gaps, order by (micros,
+    * event_id)), take each session's first four event types as an
+    * ordered path string, count sessions and total events per path.
+    *
+    * Shape: ONE user-partitioned window pass computes both the gap
+    * lag and the running session number (same partition+order → one
+    * exchange, one sort), then a (user, session) aggregate builds the
+    * ordered path with sort_array(collect_list(struct)) — the
+    * struct's (ts_us, event_id) prefix IS the sort key, so ordering
+    * happens inside the aggregate buffer, not in another window. The
+    * final path rollup is vocabulary-sized (|event_types|^4 tops).
+    * All counts integer; the path string is deterministic because the
+    * event_id tiebreak is part of the sort key on both engines.
+    */
+  def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      .withColumn("es", expr("ts_us div 1000000"))
+    val gap = col("es") - lag(col("es"), 1).over(w)
+    base
+      .withColumn("b", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("b")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(
+        struct(col("ts_us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        expr("array_join(transform(slice(evs, 1, 4), x -> x.event_type), '>')")
+          .as("path"),
+        size(col("evs")).cast("long").as("sess_n"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("sess_n")).as("total_events"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
@@ -273,7 +312,8 @@ object Temporal {
     "timeseries_fill" -> (timeseriesFill _),
     "user_growth_curve" -> (userGrowthCurve _),
     "event_transitions" -> (eventTransitions _),
-    "anomaly_days" -> (anomalyDays _)
+    "anomaly_days" -> (anomalyDays _),
+    "session_paths" -> (sessionPaths _)
   )
 
   private val bandsValues = bands
@@ -403,6 +443,39 @@ object Temporal {
         |SELECT event_type, day, n,
         | (win_n = 7 AND
         |  (7 * n - s) * (7 * n - s) > 9 * (7 * sx2 - s * s)) AS is_anomaly
-        |FROM win""".stripMargin
+        |FROM win""".stripMargin,
+
+    // same sessionize contract as events_sessionize (epoch-second
+    // gaps, (micros, event_id) order); the ordered path via
+    // string_agg ORDER BY mirrors the sorted-struct aggregation
+    "session_paths" ->
+      """WITH t AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+        |  epoch_us(ts) // 1000000 AS es
+        | FROM events),
+        |g AS (
+        | SELECT *, CASE WHEN es - lag(es, 1) OVER w IS NULL
+        |   OR es - lag(es, 1) OVER w > 1800 THEN 1 ELSE 0 END AS b
+        | FROM t
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        | SELECT *, CAST(sum(b) OVER (PARTITION BY user_id
+        |   ORDER BY ts_us, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS session_seq
+        | FROM g),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+        |   ORDER BY ts_us, event_id) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY user_id, session_seq) AS BIGINT)
+        |   AS sess_n
+        | FROM sess),
+        |p AS (
+        | SELECT user_id, session_seq, sess_n,
+        |  string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 4 GROUP BY 1, 2, 3)
+        |SELECT path, count(*) AS n_sessions,
+        | CAST(sum(sess_n) AS BIGINT) AS total_events
+        |FROM p GROUP BY 1""".stripMargin
   )
 }

@@ -232,4 +232,41 @@ class SketchSpec extends SparkTestBase {
     val n1 = rows.count(_._5 == 1L)
     assert(n1 > 0 && n1 < rows.length)
   }
+
+  test("hist_quantiles: estimate within one bucket of the exact order statistic; registers merge by sum") {
+    import org.apache.spark.sql.functions._
+    val us = graft.Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 1e6).cast("long").as("u"))
+      .collect().map(_.getLong(0)).sorted
+    val (mn, mx, n) = (us.head, us.last, us.length.toLong)
+    val span = mx - mn + 1
+    val width = span / 1024 + 1
+    val got = Sketch.histQuantiles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toList == List(500000L, 900000L, 990000L))
+    got.foreach { case (qPpm, bucket, estU, nBelow) =>
+      val target = n * qPpm / 1000000
+      val exact = us(target.toInt)
+      // the exact order statistic lives in the picked bucket, whose
+      // width bounds the interpolation error
+      assert(math.abs(estU - exact) <= width,
+        s"q=$qPpm est=$estU exact=$exact width=$width")
+      // n_below/cnt bracket the target rank
+      assert(nBelow <= target)
+      val cnt = us.count(u => (u - mn) * 1024 / span == bucket)
+      assert(target < nBelow + cnt)
+    }
+    // merge algebra: registers of two disjoint halves sum to the
+    // full-corpus registers (what a per-day / per-partition histogram
+    // warehouse relies on)
+    val byBucket = us.groupBy(u => (u - mn) * 1024 / span)
+      .map { case (b, v) => b -> v.length.toLong }
+    val (evens, odds) = us.zipWithIndex.partition(_._2 % 2 == 0)
+    def regs(xs: Array[(Long, Int)]) =
+      xs.map(_._1).groupBy(u => (u - mn) * 1024 / span)
+        .map { case (b, v) => b -> v.length.toLong }
+    val mergedRegs = (regs(evens).toSeq ++ regs(odds).toSeq)
+      .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).sum }
+    assert(mergedRegs == byBucket)
+  }
 }

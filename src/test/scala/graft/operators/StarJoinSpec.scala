@@ -92,4 +92,136 @@ class StarJoinSpec extends SparkTestBase {
     assert(kept >= matched)     // no false negatives
     assert(kept < total / 2)    // the 7%-selective build side prunes the probe
   }
+
+  test("small_qty_revenue: equals exact-rational driver replay") {
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brand = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val stats = li.groupBy(_._1).map { case (pk, rows) =>
+      pk -> (rows.length.toLong, rows.map(_._2).sum)
+    }
+    // q < 0.2*avg decided as 5*q*n < sq — pure integers, no doubles
+    val expected = li
+      .filter { case (pk, q, _) =>
+        val (n, sq) = stats(pk); 5 * q * n < sq
+      }
+      .groupBy(t => brand(t._1))
+      .map { case (b, rows) =>
+        val micros = rows.map(t => math.round(t._3 * 1e6)).sum
+        (b, rows.length.toLong,
+          (BigDecimal(micros) / BigDecimal(1000000)).toDouble)
+      }.toSet
+    val got = StarJoin.smallQtyRevenue(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("big_order_customers: equals integer driver replay; gate strictly above 250") {
+    val totals = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val bigOrders = totals.filter(_._2 > 250)
+    val got = StarJoin.bigOrderCustomers(spark, sf).collect()
+    assert(got.map(_.getLong(2)).toSet == bigOrders.keySet)
+    got.foreach { r =>
+      assert(r.getLong(5) == bigOrders(r.getLong(2)))
+      assert(r.getLong(5) > 250)
+    }
+  }
+
+  test("top_supplier_revenue: argmax on integer micros, all ties kept") {
+    val win0 = java.time.LocalDateTime.parse("1998-03-01T00:00:00")
+    val win1 = java.time.LocalDateTime.parse("1998-06-01T00:00:00")
+    val perSupp = graft.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .filter { r =>
+        val t = r.getAs[java.time.LocalDateTime](1)
+        !t.isBefore(win0) && t.isBefore(win1)
+      }
+      .map(r => (r.getLong(0),
+        math.round(r.getDouble(2) * (1 - r.getDouble(3)) * 1e6)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val maxU = perSupp.values.max
+    val winners = perSupp.filter(_._2 == maxU).keySet
+    val got = StarJoin.topSupplierRevenue(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == winners)
+    got.foreach { r =>
+      assert(r.getDouble(2) ==
+        (BigDecimal(maxU) / BigDecimal(1000000)).toDouble)
+    }
+  }
+
+  test("supplier_share: threshold and ppm agree with BigInt replay; plan broadcasts the scalar") {
+    val perSupp = graft.Tables.lineitem(spark, sf)
+      .select(col("l_suppkey"), col("l_extendedprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+      .groupBy(_._1).map { case (k, v) => k -> (v.map(_._2).sum, v.length.toLong) }
+    val total = BigInt(perSupp.values.map(_._1).sum)
+    val expected = perSupp.collect {
+      case (k, (vu, n)) if BigInt(vu) * 100 >= total =>
+        (k, n, (BigInt(vu) * 1000000 / total).toLong)
+    }.toSet
+    val q = StarJoin.supplierShare(spark, sf)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the global total must come in as a broadcast, never a global window
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    assert(!plan.toLowerCase.contains("window"))
+  }
+
+  test("late_order_census: equals epoch-day driver replay; semi join in the plan") {
+    val shipDays = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    val orders = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val expected = orders
+      .filter { case (ok, _, od) =>
+        shipDays.getOrElse(ok, Seq.empty[Int]).exists(_ > od + 90)
+      }
+      .groupBy(_._2).map { case (p, v) => (p, v.length.toLong) }.toSet
+    val q = StarJoin.lateOrderCensus(spark, sf)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // EXISTS must plan as a semi join (one probe match, no fan-out)
+    assert(q.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("lapsed_rich_customers: integer mean gate + anti join equal a BigInt replay") {
+    val custs = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val withOrders = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val balU = custs.map(c => c._1 -> math.round(c._3 * 1e6)).toMap
+    val total = BigInt(balU.values.sum)
+    val n = custs.length
+    val expected = custs
+      .filter(c => BigInt(balU(c._1)) * n > total && !withOrders(c._1))
+      .groupBy(_._2)
+      .map { case (seg, v) =>
+        val segU = v.map(c => balU(c._1)).sum
+        (seg, v.length.toLong,
+          (BigDecimal(segU) / BigDecimal(1000000)).toDouble)
+      }.toSet
+    val got = StarJoin.lapsedRichCustomers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

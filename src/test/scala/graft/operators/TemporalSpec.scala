@@ -151,4 +151,40 @@ class TemporalSpec extends SparkTestBase {
       if (off > 0) assert(n <= m((cohort, 0L)), s"$cohort offset $off")
     }
   }
+
+  test("session_paths: equals a driver-side sessionize-and-path replay") {
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // replay: per user, order by (micros, event_id), break sessions on
+    // >1800 s epoch-second gaps, path = first 4 types
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var lastEs = Long.MinValue
+      ordered.foreach { case (_, _, tsUs, tpe) =>
+        val es = Math.floorDiv(tsUs, 1000000L)
+        if (lastEs == Long.MinValue || es - lastEs > 1800) {
+          if (cur.nonEmpty) out += cur.toList
+          cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        }
+        cur += tpe
+        lastEs = es
+      }
+      if (cur.nonEmpty) out += cur.toList
+      out
+    }.toList
+    val expected = sessions
+      .groupBy(sess => sess.take(4).mkString(">"))
+      .map { case (p, ss) => (p, ss.length.toLong, ss.map(_.length.toLong).sum) }
+      .toSet
+    val got = Temporal.sessionPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // mass conservation: total_events over all paths == corpus size
+    assert(got.toSeq.map(_._3).sum == evs.length.toLong)
+  }
 }

@@ -250,8 +250,10 @@ object StarJoin {
   }
 
   /** TPC-H Q11 shape — group share-of-total with a global-scalar
-    * threshold: suppliers carrying at least 1% of all lineitem value,
-    * with their exact share in ppm. The total is a 1-row scalar
+    * threshold: suppliers carrying an ABOVE-AVERAGE slice of all
+    * lineitem value (`value > total/n_supp` — scale-invariant, unlike
+    * a fixed percentage, which empties as the supplier base grows),
+    * with their exact share in ppm. The (total, n) scalar is
     * cross-joined (broadcast) against the per-supplier aggregate —
     * never a global window. Share arithmetic never touches doubles:
     * the threshold test and the ppm floor-division run in
@@ -264,9 +266,10 @@ object StarJoin {
       .groupBy(col("l_suppkey"))
       .agg(sum(ExactSum.micros(col("l_extendedprice"))).as("value_u"),
         count(lit(1)).as("n_items"))
-    val tot = rev.agg(sum(col("value_u")).as("total_u"))
+    val tot = rev.agg(sum(col("value_u")).as("total_u"),
+      count(lit(1)).as("n_supp"))
     rev.crossJoin(broadcast(tot))
-      .filter(expr("CAST(value_u AS DECIMAL(38,0)) * 100 >= CAST(total_u AS DECIMAL(38,0))"))
+      .filter(expr("CAST(value_u AS DECIMAL(38,0)) * n_supp > CAST(total_u AS DECIMAL(38,0))"))
       .select(col("l_suppkey").as("suppkey"), col("n_items"),
         ExactSum.microsToDouble(col("value_u")).as("value_rev"),
         expr("CAST(CAST(value_u AS DECIMAL(38,0)) * 1000000 div CAST(total_u AS DECIMAL(38,0)) AS BIGINT)")
@@ -428,11 +431,12 @@ object StarJoin {
         |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS value_u,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS value_rev
         | FROM lineitem GROUP BY 1),
-        |tot AS (SELECT CAST(sum(value_u) AS HUGEINT) AS total_u FROM rev)
+        |tot AS (SELECT CAST(sum(value_u) AS HUGEINT) AS total_u,
+        |  CAST(count(*) AS BIGINT) AS n_supp FROM rev)
         |SELECT suppkey, n_items, value_rev,
         | CAST((CAST(value_u AS HUGEINT) * 1000000) // total_u AS BIGINT) AS share_ppm
         |FROM rev, tot
-        |WHERE CAST(value_u AS HUGEINT) * 100 >= total_u""".stripMargin,
+        |WHERE CAST(value_u AS HUGEINT) * n_supp > total_u""".stripMargin,
 
     // integer epoch-day lateness boundary; EXISTS == semi join
     "late_order_census" ->

@@ -164,8 +164,9 @@ class StarJoinSpec extends SparkTestBase {
       .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
       .groupBy(_._1).map { case (k, v) => k -> (v.map(_._2).sum, v.length.toLong) }
     val total = BigInt(perSupp.values.map(_._1).sum)
+    val nSupp = perSupp.size
     val expected = perSupp.collect {
-      case (k, (vu, n)) if BigInt(vu) * 100 >= total =>
+      case (k, (vu, n)) if BigInt(vu) * nSupp > total =>
         (k, n, (BigInt(vu) * 1000000 / total).toLong)
     }.toSet
     val q = StarJoin.supplierShare(spark, sf)

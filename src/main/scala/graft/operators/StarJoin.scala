@@ -329,6 +329,160 @@ object StarJoin {
         ExactSum.microsToDouble(sum(col("bal_u"))).as("total_bal"))
   }
 
+  /** TPC-H Q7 shape — cross-region trade flows: revenue shipped by
+    * ASIA-region suppliers to AMERICA-region customers, per
+    * (supp_nation, cust_nation, ship_year). The region filters land on
+    * the two DIM chains (region⋈nation⋈supplier and
+    * region⋈nation⋈customer both shrink to ~1/5 of their table before
+    * any fact join), so the keyed fact shuffles (lineitem⋈orders,
+    * orders⋈customer) carry only flow-relevant rows — the
+    * filter-before-shuffle discipline Q7 exists to test. Cross-ness is
+    * structural (disjoint region filters), never a post-join
+    * inequality. Revenue runs on the integer-micros lane.
+    */
+  private val TradeSuppRegion = "ASIA"
+  private val TradeCustRegion = "AMERICA"
+
+  private def regionNations(s: SparkSession, d: String, region: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+
+  def nationTradeFlows(s: SparkSession, d: String): DataFrame = {
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(regionNations(s, d, TradeSuppRegion)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(regionNations(s, d, TradeCustRegion)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_u"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(ExactSum.microsToDouble(sum(col("rev_u"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8 shape — national market share: of all ECONOMY-part
+    * revenue bought by AMERICA-region customers, what fraction (ppm)
+    * was supplied by one nation, per order year. The selective part
+    * filter (1/|types|) reaches the part scan and shrinks lineitem
+    * BEFORE its join shuffles; region⋈nation⋈customer is a broadcast
+    * chain; the share division runs in DECIMAL(38,0) (numerator
+    * micros * 1e6 overflows int64 at warehouse scale) mirroring
+    * DuckDB's HUGEINT lane digit-for-digit, and both engines floor
+    * the division on non-negative integers.
+    */
+  private val ShareNation = "NATION_3"
+  private val SharePartType = "ECONOMY"
+
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    val econParts = Tables.part(s, d)
+      .filter(col("p_type") === SharePartType)
+      .select(col("p_partkey"))
+    val amerNations = Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(amerNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.nation(s, d)
+      .filter(col("n_name") === ShareNation)
+      .select(col("n_nationkey").as("target_nk"))
+    val supp = Tables.supplier(s, d)
+      .join(broadcast(suppNation), col("s_nationkey") === col("target_nk"),
+        "left")
+      .select(col("s_suppkey"), col("target_nk").isNotNull.as("is_target"))
+    val li = Tables.lineitem(s, d)
+      .join(econParts, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_u"))
+    li.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("order_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("order_year"))
+      .agg(
+        sum(when(col("is_target"), col("rev_u")).otherwise(0L)).as("target_u"),
+        sum(col("rev_u")).as("total_u"),
+        count(lit(1)).as("n_items"))
+      .select(col("order_year"), col("n_items"),
+        ExactSum.microsToDouble(col("total_u")).as("total_revenue"),
+        expr("CAST(CAST(target_u AS DECIMAL(38,0)) * 1000000 div CAST(total_u AS DECIMAL(38,0)) AS BIGINT)")
+          .as("share_ppm"))
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution: per-customer
+    * order counts (INCLUDING never-ordered customers, via the left
+    * outer join with the priority predicate inside the join condition,
+    * not a pre-filter that would turn it inner), then the histogram of
+    * those counts. Two aggregations, both integer-exact; the second
+    * runs over a table bounded by |customers|, and its group key
+    * (n_orders) is tiny, so the final exchange is negligible. The
+    * fact-side filter is applied before the join shuffle.
+    */
+  def customerOrderCounts(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** TPC-H Q21 shape — sole-blame late supplier census: suppliers who
+    * were the ONLY late shipper (>90 epoch-days after the order date)
+    * on a multi-supplier order. Shape: ONE orderkey join shuffle
+    * (lineitem⋈orders) feeds everything downstream shuffle-free —
+    * the (orderkey, suppkey) dedup-aggregate, the per-order census,
+    * and the blame join are all clustered by orderkey, so Catalyst
+    * reuses the join's partitioning for all three (EnsureRequirements
+    * adds no exchange: HashPartitioning(orderkey) satisfies every
+    * ClusteredDistribution whose keys include orderkey). Only the
+    * final per-supplier rollup re-shuffles, on a table bounded by
+    * |blamed (order, supplier) pairs|. Lateness compares integer epoch
+    * days on both engines (the late_order_census boundary).
+    */
+  def waitingSupplierCensus(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("ship_day"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("order_day"))
+    val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("ship_day") > col("order_day") + 90, 1L).otherwise(0L))
+        .as("late_any"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late_any")).as("n_late"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .select(col("l_orderkey").as("blame_orderkey"))
+    perSupp.filter(col("late_any") === 1)
+      .join(perOrder, col("l_orderkey") === col("blame_orderkey"))
+      .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_blamed_orders"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "star_shipping_priority" -> (shippingPriority _),
     "star_local_volume" -> (localSupplierVolume _),
@@ -339,7 +493,11 @@ object StarJoin {
     "top_supplier_revenue" -> (topSupplierRevenue _),
     "supplier_share" -> (supplierShare _),
     "late_order_census" -> (lateOrderCensus _),
-    "lapsed_rich_customers" -> (lapsedRichCustomers _)
+    "lapsed_rich_customers" -> (lapsedRichCustomers _),
+    "nation_trade_flows" -> (nationTradeFlows _),
+    "market_share" -> (marketShare _),
+    "customer_order_counts" -> (customerOrderCounts _),
+    "waiting_supplier_census" -> (waitingSupplierCensus _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -468,6 +626,81 @@ object StarJoin {
          |  WHERE o_custkey = c_custkey
          |   AND o_orderdate >= TIMESTAMP '$LapseCutoff')
          |GROUP BY 1""".stripMargin,
+
+    // disjoint region filters on the two dim chains; year cast to
+    // BIGINT on both sides; decimal-sum revenue lane
+    "nation_trade_flows" ->
+      s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+         | count(*) AS n_items
+         |FROM lineitem
+         | JOIN supplier ON s_suppkey = l_suppkey
+         | JOIN nation ns ON ns.n_nationkey = s_nationkey
+         | JOIN region rs ON rs.r_regionkey = ns.n_regionkey
+         | JOIN orders ON o_orderkey = l_orderkey
+         | JOIN customer ON c_custkey = o_custkey
+         | JOIN nation nc ON nc.n_nationkey = c_nationkey
+         | JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         | AND l_shipdate < TIMESTAMP '1998-01-01'
+         | AND rs.r_name = '$TradeSuppRegion'
+         | AND rc.r_name = '$TradeCustRegion'
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // HUGEINT numerator/denominator lane == Spark's DECIMAL(38,0);
+    // both floor the ppm division on non-negative integers
+    "market_share" ->
+      s"""WITH li AS (
+         | SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         |  CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS rev_u,
+         |  CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6)) AS rev_d,
+         |  (SELECT n_nationkey FROM nation WHERE n_name = '$ShareNation')
+         |    = s_nationkey AS is_target
+         | FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation nc ON nc.n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = nc.n_regionkey
+         | WHERE p_type = '$SharePartType' AND r_name = 'AMERICA')
+         |SELECT order_year, count(*) AS n_items,
+         | CAST(sum(rev_d) AS DOUBLE) AS total_revenue,
+         | CAST((CAST(sum(CASE WHEN is_target THEN rev_u ELSE 0 END) AS HUGEINT) * 1000000)
+         |   // CAST(sum(rev_u) AS HUGEINT) AS BIGINT) AS share_ppm
+         |FROM li GROUP BY 1""".stripMargin,
+
+    // left join keeps zero-order customers; the priority predicate
+    // lives in the JOIN condition so it cannot turn the join inner
+    "customer_order_counts" ->
+      """WITH per_cust AS (
+        | SELECT c_custkey, count(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders
+        |  ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_customers
+        |FROM per_cust GROUP BY 1""".stripMargin,
+
+    // integer epoch-day lateness; n_late/n_supp never reach the output
+    // (HUGEINT-safe); the blame join replays the Spark composition
+    "waiting_supplier_census" ->
+      """WITH ls AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  max(CASE WHEN date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+        |        > date_diff('day', DATE '1970-01-01', o_orderdate::DATE) + 90
+        |      THEN 1 ELSE 0 END) AS late_any
+        | FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        | GROUP BY 1, 2),
+        |po AS (
+        | SELECT l_orderkey FROM ls GROUP BY 1
+        | HAVING count(*) >= 2 AND sum(late_any) = 1)
+        |SELECT s_suppkey, s_name, count(*) AS n_blamed_orders
+        |FROM ls
+        | JOIN po USING (l_orderkey)
+        | JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late_any = 1
+        |GROUP BY 1, 2""".stripMargin,
 
     // the bloom is semantics-transparent (false positives die in the
     // exact join) — the oracle is the PLAIN join

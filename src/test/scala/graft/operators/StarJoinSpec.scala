@@ -225,4 +225,128 @@ class StarJoinSpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("nation_trade_flows: equals post-filter twin; regions structurally disjoint") {
+    val got = StarJoin.nationTradeFlows(spark, sf)
+    val regionOf = graft.Tables.nation(spark, sf)
+      .join(graft.Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val naive = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(regionOf.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"), col("r_name").as("supp_region")),
+        col("s_nationkey") === col("snk"))
+      .join(graft.Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(regionOf.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"), col("r_name").as("cust_region")),
+        col("c_nationkey") === col("cnk"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("supp_region") === "ASIA" && col("cust_region") === "AMERICA")
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(graft.functions.ExactSum.sumExact(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+    assert(got.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(got).count() == 0)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // supplier and customer nations come from disjoint regions
+    rows.foreach(r => assert(r.getString(0) != r.getString(1)))
+  }
+
+  test("market_share: ppm agrees with BigInt replay; share bounded by 1e6") {
+    // driver replay in exact integers over the joined scope
+    val partType = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val suppNation = graft.Tables.supplier(spark, sf)
+      .select(col("s_suppkey").cast("long"), col("s_nationkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nations = graft.Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    val regions = graft.Tables.region(spark, sf)
+      .select(col("r_regionkey").cast("long"), col("r_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val custNk = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val orders = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).cast("long"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val targetNk = nations.collectFirst {
+      case (nk, (name, _)) if name == "NATION_3" => nk }.get
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .flatMap { r =>
+        val (ok, pk, sk) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val (ck, yr) = orders(ok)
+        val custRegion = regions(nations(custNk(ck))._2)
+        if (partType(pk) == "ECONOMY" && custRegion == "AMERICA")
+          Some((yr, suppNation(sk) == targetNk,
+            math.round(r.getDouble(3) * (1 - r.getDouble(4)) * 1e6)))
+        else None
+      }
+    val expected = li.groupBy(_._1).map { case (yr, rows) =>
+      val tot = BigInt(rows.map(_._3).sum)
+      val tgt = BigInt(rows.filter(_._2).map(_._3).sum)
+      (yr, rows.length.toLong, (tgt * 1000000 / tot).toLong)
+    }.toSet
+    val got = StarJoin.marketShare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, ppm) => assert(ppm >= 0 && ppm <= 1000000) }
+  }
+
+  test("customer_order_counts: masses conserve; zero-order bucket includes orderless customers") {
+    val got = StarJoin.customerOrderCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nCust = graft.Tables.customer(spark, sf).count()
+    val nOrd = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    // every customer lands in exactly one bucket
+    assert(got.values.sum == nCust)
+    // order mass conserves: sum(n_orders * n_customers) == filtered orders
+    assert(got.map { case (n, c) => n * c }.sum == nOrd)
+    // integer replay of the full histogram
+    val perCust = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val allCust = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val expected = allCust.map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).map { case (n, v) => (n, v.size.toLong) }
+    assert(got == expected)
+  }
+
+  test("waiting_supplier_census: equals epoch-day driver replay") {
+    val orderDay = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val perSupp = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((ok, sk), rows) =>
+        (ok, sk, rows.exists(_._3 > orderDay(ok) + 90)) }
+    val byOrder = perSupp.groupBy(_._1)
+    val expected = byOrder.toSeq
+      .filter { case (_, supps) =>
+        supps.size >= 2 && supps.count(_._3) == 1 }
+      .map { case (_, supps) => supps.find(_._3).get._2 }
+      .groupBy(identity).map { case (sk, v) => (sk, v.size.toLong) }.toSet
+    val got = StarJoin.waitingSupplierCensus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

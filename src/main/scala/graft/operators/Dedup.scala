@@ -650,8 +650,58 @@ object Dedup {
           .as("fp_ppm"))
   }
 
+  /** Blocked pairwise set CONTAINMENT — the asymmetric near-dup case
+    * Jaccard misses: a short doc quoted wholesale inside a long one
+    * has |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0, so
+    * neither the minhash-LSH bands (which estimate Jaccard) nor the
+    * jac>=0.5 verifier can see it. Containment of the SMALLER side
+    * (max of the two directions) is the standard containment-dedup
+    * gate; kept pairs report both metrics so downstream policy can
+    * distinguish subset-dups (high cont, low jac) from mutual
+    * near-dups (both high).
+    *
+    * Gate decided in pure integers (5*i >= 4*min(|A|,|B|) ⇔
+    * cont >= 0.8) — no float boundary cross-engine. Same blocked
+    * verification shape as dedup_ngram_jaccard (per-source block;
+    * within-block pairs over sorted distinct token-hash sets, native
+    * merge-walk intersect), but unigram sets only — no trigram stage.
+    * Scale path: this is the exact-verification operator; at 100 TB
+    * candidates come from a partial-signature index (index the
+    * smaller side's min-k token hashes; a containment>=t pair shares
+    * one of ~k/t of them) feeding the same merge-walk verify, the
+    * dedup_pipeline discipline.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"))
+      .select(col("doc_id"), col("source"), col("uni"),
+        size(col("uni")).cast("long").as("nu"))
+      .localCheckpoint(true)
+    val a = base.select(col("source"), col("doc_id").as("doc_a"),
+      col("uni").as("uni_a"), col("nu").as("nu_a"))
+    val b = base.select(col("source"), col("doc_id").as("doc_b"),
+      col("uni").as("uni_b"), col("nu").as("nu_b"))
+    val i = graft.functions.IntersectCount
+      .intersectCount(col("uni_a"), col("uni_b")).cast("long")
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("nu_a"), col("nu_b"), i.as("n_shared"))
+      .filter(col("nu_a") > 0 && col("nu_b") > 0 &&
+        col("n_shared") * 5 >= least(col("nu_a"), col("nu_b")) * 4)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("nu_a"), col("nu_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("nu_a"), col("nu_b")), 6).as("containment"),
+        round(col("n_shared").cast("double") /
+          (col("nu_a") + col("nu_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_containment" -> (dedupContainment _),
     "minhash_signature" -> (minhashSignature _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -923,6 +973,26 @@ object Dedup {
          |SELECT a.doc_id, a.cluster_id, s.cluster_size,
          | a.doc_id = a.cluster_id AS is_canonical
          |FROM alld a JOIN sizes s USING (cluster_id)""".stripMargin,
+
+    // token strings here, hashes on the Spark side: counts identical
+    // (md5 injective on the distinct token sets); gate in pure integers
+    "dedup_containment" ->
+      s"""WITH base AS (
+         | SELECT doc_id, source,
+         |  list_distinct(string_split($normSql, ' ')) AS uni
+         | FROM documents),
+         |p AS (
+         | SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(a.uni) AS BIGINT) AS nu_a,
+         |  CAST(len(b.uni) AS BIGINT) AS nu_b,
+         |  CAST(len(list_intersect(a.uni, b.uni)) AS BIGINT) AS n_shared
+         | FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT source, doc_a, doc_b, nu_a, nu_b, n_shared,
+         | round(CAST(n_shared AS DOUBLE) / least(nu_a, nu_b), 6) AS containment,
+         | round(CAST(n_shared AS DOUBLE) / (nu_a + nu_b - n_shared), 6) AS jaccard
+         |FROM p
+         |WHERE nu_a > 0 AND nu_b > 0
+         | AND n_shared * 5 >= least(nu_a, nu_b) * 4""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH base AS (

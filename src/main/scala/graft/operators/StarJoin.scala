@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ExactSum
@@ -451,14 +452,17 @@ object StarJoin {
     * were the ONLY late shipper (>90 epoch-days after the order date)
     * on a multi-supplier order. Shape: ONE orderkey join shuffle
     * (lineitem⋈orders) feeds everything downstream shuffle-free —
-    * the (orderkey, suppkey) dedup-aggregate, the per-order census,
-    * and the blame join are all clustered by orderkey, so Catalyst
-    * reuses the join's partitioning for all three (EnsureRequirements
-    * adds no exchange: HashPartitioning(orderkey) satisfies every
-    * ClusteredDistribution whose keys include orderkey). Only the
-    * final per-supplier rollup re-shuffles, on a table bounded by
-    * |blamed (order, supplier) pairs|. Lateness compares integer epoch
-    * days on both engines (the late_order_census boundary).
+    * the (orderkey, suppkey) dedup-aggregate and the per-order census
+    * (count / late-count as a WINDOW over the same orderkey
+    * clustering, not a second aggregate branch) both ride the join's
+    * HashPartitioning(orderkey), so EnsureRequirements adds no
+    * exchange and the fact join is scanned ONCE. (The first draft
+    * derived the census by re-aggregating perSupp and joining back —
+    * Catalyst planned the whole fact join twice, no exchange reuse;
+    * the window form halves the sf1 cost.) Only the final
+    * per-supplier rollup re-shuffles, on a table bounded by |blamed
+    * (order, supplier) pairs|. Lateness compares integer epoch days
+    * on both engines (the late_order_census boundary).
     */
   def waitingSupplierCensus(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -471,12 +475,12 @@ object StarJoin {
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(when(col("ship_day") > col("order_day") + 90, 1L).otherwise(0L))
         .as("late_any"))
-    val perOrder = perSupp.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("late_any")).as("n_late"))
-      .filter(col("n_supp") >= 2 && col("n_late") === 1)
-      .select(col("l_orderkey").as("blame_orderkey"))
-    perSupp.filter(col("late_any") === 1)
-      .join(perOrder, col("l_orderkey") === col("blame_orderkey"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .select(col("l_orderkey"), col("l_suppkey"), col("late_any"),
+        count(lit(1)).over(w).as("n_supp"),
+        sum(col("late_any")).over(w).as("n_late"))
+      .filter(col("late_any") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
       .join(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))

@@ -156,14 +156,74 @@ object VectorOps {
           .cast("long").as("is_outlier"))
   }
 
+  /** One power-iteration step toward the corpus's leading principal
+    * direction — matrix-free PCA, the way it actually runs at 100 TB:
+    * never materialize the Gram matrix, just two corpus passes
+    * (w = Σᵢ (xᵢ·v₀) xᵢ with the fixed start vector v₀ = 1). The
+    * driver of a full PCA loops this step; one step is the operator.
+    *
+    * Exactness discipline (embedding_outliers family): quantize each
+    * coordinate to integer micros FIRST, so the per-row dot (Σ xm =
+    * xm·1) is an exact long, the per-element product rescales through
+    * one deterministic double rounding, the per-dim sums are exact
+    * longs, and the norm accumulates in DECIMAL(38,0) == DuckDB
+    * HUGEINT (w_u² ~ 4e25 overflows int64). Only the final
+    * w_u/√Σw_u² touches floats, once, identically on both engines.
+    *
+    * Scale shape: one narrow projection computes dots in-row; the
+    * explode shuffles (n·dims) SLIM rows into a dims-bounded partial
+    * agg (map-side combine compresses to ≤ dims rows per task); the
+    * 64-row norm scalar broadcasts back. No corpus-sized second pass,
+    * no window, nothing driver-side.
+    */
+  def embeddingPcaStep(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("xm"))
+      .withColumn("dot_u",
+        aggregate(col("xm"), lit(0L), (a, x) => a + x))
+    val p = e.select(col("dot_u"), posexplode(col("xm")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        round((col("dot_u") * col("x")).cast("double") / 1e6)
+          .cast("long").as("pu"))
+    val w = p.groupBy(col("dim")).agg(sum(col("pu")).as("w_u"))
+    val s2 = w.agg(sum(col("w_u").cast("decimal(38,0)") * col("w_u")).as("s2"))
+    w.crossJoin(broadcast(s2))
+      .select(col("dim"), col("w_u"),
+        round(col("w_u").cast("double") / sqrt(col("s2").cast("double")), 6)
+          .as("v1"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "embedding_standardize" -> (embeddingStandardize _),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_quantize" -> (embeddingQuantize _),
-    "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d))
+    "embedding_outliers" -> ((s, d) => embeddingOutliers(s, d)),
+    "embedding_pca_step" -> (embeddingPcaStep _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    // integer-micros lane end-to-end; HUGEINT norm == Spark DECIMAL(38,0)
+    "embedding_pca_step" ->
+      """WITH e AS (
+        | SELECT list_transform(embedding::DOUBLE[],
+        |   v -> CAST(round(v * 1e6) AS BIGINT)) AS xm
+        | FROM embeddings),
+        |dt AS (
+        | SELECT xm, CAST(list_sum(xm) AS BIGINT) AS dot_u FROM e),
+        |p AS (
+        | SELECT unnest(range(0, len(xm))) AS dim,
+        |  unnest(list_transform(xm,
+        |    x -> CAST(round(CAST(dot_u * x AS DOUBLE) / 1e6) AS BIGINT))) AS pu
+        | FROM dt),
+        |w AS (
+        | SELECT CAST(dim AS BIGINT) AS dim, CAST(sum(pu) AS BIGINT) AS w_u
+        | FROM p GROUP BY 1),
+        |s AS (SELECT sum(CAST(w_u AS HUGEINT) * w_u) AS s2 FROM w)
+        |SELECT dim, w_u,
+        | round(CAST(w_u AS DOUBLE) / sqrt(CAST(s2 AS DOUBLE)), 6) AS v1
+        |FROM w, s""".stripMargin,
+
     "embedding_standardize" ->
       """WITH e AS (
         | SELECT vec_id, dim,

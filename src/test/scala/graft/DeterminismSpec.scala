@@ -30,7 +30,11 @@ class DeterminismSpec extends SparkTestBase {
     "ngram_novelty",     // distinct-gram anti-membership counts
     "cmsketch_eval",     // SUM-merged CMS registers, min-over-rows lookups
     "bloom_eval",        // distinct-bucket bit table + all-k conjunction
-    "hll_union"          // pairwise MAX-merged register algebra
+    "hll_union",         // pairwise MAX-merged register algebra
+    "market_share",      // DECIMAL(38) ppm share division
+    "waiting_supplier_census", // clustered multi-stage blame census
+    "embedding_pca_step",// integer-micros vector aggregation + norm
+    "dedup_containment"  // merge-walk set intersections, integer gate
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -47,6 +47,39 @@ class TextPropsSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("containment pairs equal a string-set driver replay; containment >= 0.8 >= jaccard bound") {
+    val got = Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getDouble(7))).toSet
+    // replay on raw token STRINGS (the oracle's form; hash counts are
+    // identical because md5 is injective on the distinct token sets)
+    def toks(t: String): Set[String] =
+      t.replaceAll("[^a-zA-Z0-9\\s]", " ").replaceAll("\\s+", " ")
+        .trim.toLowerCase.split(" ").toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2))))
+    val expected = (for {
+      a <- docs; b <- docs
+      if a._2 == b._2 && a._1 < b._1
+      na = a._3.size.toLong; nb = b._3.size.toLong
+      i = (a._3 & b._3).size.toLong
+      if na > 0 && nb > 0 && i * 5 >= math.min(na, nb) * 4
+    } yield {
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a._1, b._1, na, nb, i,
+        r6(i.toDouble / math.min(na, nb)),
+        r6(i.toDouble / (na + nb - i)))
+    }).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    got.foreach { case (_, _, _, _, _, cont, jac) =>
+      assert(cont >= 0.8 - 1e-9 && cont <= 1.0 + 1e-9)
+      assert(jac <= cont + 1e-9)
+    }
+  }
+
   test("simhash of identical texts is identical") {
     import graft.Tables
     val fp = Dedup.dedupSimhash(spark, sf)

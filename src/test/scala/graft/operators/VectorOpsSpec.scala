@@ -90,4 +90,36 @@ class VectorOpsSpec extends SparkTestBase {
     assert(viol === 0)
     out.unpersist()
   }
+
+  test("embedding_pca_step: equals exact integer driver replay; v1 unit-norm") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(x => math.round(x.toDouble * 1e6)).toArray)
+    val dims = vecs.head.length
+    val wU = Array.fill(dims)(0L)
+    vecs.foreach { xm =>
+      val dotU = xm.sum
+      var j = 0
+      while (j < dims) {
+        // HALF_UP, not math.round: exact ±.5 is reachable on the
+        // integer lane and math.round sends -0.5 the wrong way
+        wU(j) += BigDecimal(dotU.toDouble * xm(j) / 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        j += 1
+      }
+    }
+    val s2 = wU.map(w => BigInt(w) * BigInt(w)).sum
+    val nrm = math.sqrt(BigDecimal(s2).toDouble)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = wU.zipWithIndex
+      .map { case (w, j) => (j.toLong, w, r6(w / nrm)) }.toSet
+    val got = VectorOps.embeddingPcaStep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.size == dims)
+    // the emitted direction is unit-norm up to per-dim rounding
+    val norm1 = math.sqrt(got.toSeq.map { case (_, _, v) => v * v }.sum)
+    assert(math.abs(norm1 - 1.0) < 1e-3)
+  }
 }

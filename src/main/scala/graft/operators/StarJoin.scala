@@ -487,6 +487,99 @@ object StarJoin {
       .agg(count(lit(1)).as("n_blamed_orders"))
   }
 
+  /** TPC-H Q10 shape — returned-item revenue: the top 20 customers by
+    * revenue lost to returns in a one-quarter order window. The
+    * selective filters (returnflag on lineitem, date window on orders)
+    * are scan predicates pushed to parquet, so the orderkey join
+    * shuffles only the filtered minorities; customer and nation attach
+    * AFTER the revenue rollup (the aggregate is custkey-bounded, so
+    * the enrichment join carries |customers| rows, not |lineitems|).
+    * Top-20 ordering decides on exact integer micros with a custkey
+    * tiebreak — engine-independent.
+    */
+  private val ReturnsQStart = "1998-01-01"
+  private val ReturnsQEnd = "1998-04-01"
+
+  def returnedItemRevenue(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(ReturnsQStart).cast("timestamp") &&
+        col("o_orderdate") < lit(ReturnsQEnd).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_u"))
+    val perCust = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_u")).as("r_u"), count(lit(1)).as("n_items"))
+    perCust
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("n_items"),
+        ExactSum.microsToDouble(col("r_u")).as("lost_revenue"), col("r_u"))
+      .orderBy(col("r_u").desc, col("c_custkey"))
+      .limit(20)
+      .drop("r_u")
+  }
+
+  /** TPC-H Q12 shape — late-shipment priority census: per return flag,
+    * how many late-shipped lineitems (>60 epoch-days after order
+    * date) belong to critical-priority orders (1-URGENT / 2-HIGH) vs
+    * not — the two-way CONDITIONAL aggregation after a fact join. The
+    * classification happens in the aggregate (sum of when), never as
+    * two query passes; the join carries only the three columns the
+    * census needs. Lateness compares integer epoch days.
+    */
+  def lateShipmentCensus(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01")).as("ship_day"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("order_day"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("ship_day") > col("order_day") + 60)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("n_critical"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("n_regular"))
+  }
+
+  /** TPC-H Q19 shape — disjunctive predicate revenue: revenue from
+    * three OR'd brand/size/quantity clause groups. The point is
+    * PUSHDOWN of a disjunctive tree: the per-side conjuncts common to
+    * all branches (size >= 1, quantity bounds) plus the OR of brands
+    * reach the two scans, and the join evaluates only the residual
+    * cross-table clauses. One broadcast-able dim join (part after its
+    * brand OR-filter is a minority), one aggregate — no union of three
+    * query passes.
+    */
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_u"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .groupBy(col("p_brand"))
+      .agg(ExactSum.microsToDouble(sum(col("rev_u"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "star_shipping_priority" -> (shippingPriority _),
     "star_local_volume" -> (localSupplierVolume _),
@@ -501,7 +594,10 @@ object StarJoin {
     "nation_trade_flows" -> (nationTradeFlows _),
     "market_share" -> (marketShare _),
     "customer_order_counts" -> (customerOrderCounts _),
-    "waiting_supplier_census" -> (waitingSupplierCensus _)
+    "waiting_supplier_census" -> (waitingSupplierCensus _),
+    "returned_item_revenue" -> (returnedItemRevenue _),
+    "late_shipment_census" -> (lateShipmentCensus _),
+    "disjunctive_revenue" -> (disjunctiveRevenue _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -705,6 +801,54 @@ object StarJoin {
         | JOIN supplier ON s_suppkey = l_suppkey
         |WHERE late_any = 1
         |GROUP BY 1, 2""".stripMargin,
+
+    // top-20 decided on the integer-micros sum with custkey tiebreak;
+    // revenue emitted through the proven decimal-sum lane
+    "returned_item_revenue" ->
+      s"""WITH per_cust AS (
+         | SELECT o_custkey,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS r_u,
+         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS lost_revenue,
+         |  count(*) AS n_items
+         | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         | WHERE o_orderdate >= TIMESTAMP '$ReturnsQStart'
+         |  AND o_orderdate < TIMESTAMP '$ReturnsQEnd'
+         |  AND l_returnflag = 'R'
+         | GROUP BY 1)
+         |SELECT c_custkey, c_name, n_name, n_items, lost_revenue
+         |FROM per_cust
+         | JOIN customer ON c_custkey = o_custkey
+         | JOIN nation ON n_nationkey = c_nationkey
+         |ORDER BY r_u DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
+    // two-way conditional aggregation; integer epoch-day lateness
+    "late_shipment_census" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_critical,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS n_regular
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE date_diff('day', DATE '1970-01-01', l_shipdate::DATE)
+        |  > date_diff('day', DATE '1970-01-01', o_orderdate::DATE) + 60
+        |GROUP BY 1""".stripMargin,
+
+    // the disjunctive clause tree evaluated post-join, identical
+    // branch boundaries; decimal-sum revenue lane
+    "disjunctive_revenue" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_quantity >= 1 AND l_quantity <= 30
+        | AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity BETWEEN 20 AND 30))
+        |GROUP BY 1""".stripMargin,
 
     // the bloom is semantics-transparent (false positives die in the
     // exact join) — the oracle is the PLAIN join

@@ -349,4 +349,86 @@ class StarJoinSpec extends SparkTestBase {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("returned_item_revenue: top-20 equals integer-micros driver replay") {
+    val win0 = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val win1 = java.time.LocalDateTime.parse("1998-04-01T00:00:00")
+    val custOf = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")).collect()
+      .filter { r =>
+        val t = r.getAs[java.time.LocalDateTime](2)
+        !t.isBefore(win0) && t.isBefore(win1)
+      }.map(r => (r.getLong(0), r.getLong(1))).toMap
+    val perCust = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .flatMap { r =>
+        custOf.get(r.getLong(0)).map(ck =>
+          (ck, math.round(r.getDouble(1) * (1 - r.getDouble(2)) * 1e6)))
+      }
+      .groupBy(_._1).map { case (ck, v) => (ck, v.map(_._2).sum, v.length.toLong) }
+    val top = perCust.toSeq.sortBy { case (ck, ru, _) => (-ru, ck) }.take(20)
+    val got = StarJoin.returnedItemRevenue(spark, sf).collect()
+    assert(got.length == top.length)
+    got.zip(top).foreach { case (r, (ck, ru, n)) =>
+      assert(r.getLong(0) == ck)
+      assert(r.getLong(3) == n)
+      assert(r.getDouble(4) == (BigDecimal(ru) / BigDecimal(1000000)).toDouble)
+    }
+  }
+
+  test("late_shipment_census: equals epoch-day conditional replay; masses partition") {
+    val prio = graft.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01"))).collect()
+      .flatMap { r =>
+        val (p, od) = prio(r.getLong(0))
+        if (r.getInt(2) > od + 60)
+          Some((r.getString(1), Set("1-URGENT", "2-HIGH")(p)))
+        else None
+      }
+    val expected = rows.groupBy(_._1).map { case (f, v) =>
+      (f, v.count(_._2).toLong, v.count(!_._2).toLong) }.toSet
+    val got = StarJoin.lateShipmentCensus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("disjunctive_revenue: equals replay; brand OR-filter pushed to the part scan") {
+    val brandOf = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getAs[Number](2).longValue))).toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .flatMap { r =>
+        val (b, sz) = brandOf(r.getLong(0))
+        val q = r.getDouble(1)
+        val keep =
+          (b == "Brand#1" && sz >= 1 && sz <= 15 && q >= 1 && q <= 11) ||
+          (b == "Brand#2" && sz >= 1 && sz <= 25 && q >= 10 && q <= 20) ||
+          (b == "Brand#3" && sz >= 1 && sz <= 35 && q >= 20 && q <= 30)
+        if (keep)
+          Some((b, math.round(r.getDouble(2) * (1 - r.getDouble(3)) * 1e6)))
+        else None
+      }
+    val expected = rows.groupBy(_._1).map { case (b, v) =>
+      (b, (BigDecimal(v.map(_._2).sum) / BigDecimal(1000000)).toDouble,
+        v.length.toLong) }.toSet
+    val q = StarJoin.disjunctiveRevenue(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // the brand disjunction must reach the part scan as a pushed/scan
+    // filter, not wait for the post-join residual
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Brand#1") && plan.contains("Brand#3"))
+  }
 }

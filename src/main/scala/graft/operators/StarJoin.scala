@@ -580,6 +580,55 @@ object StarJoin {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q16 shape — supplier diversity census: how many DISTINCT
+    * suppliers ship each (brand, size-bucket) of parts, excluding one
+    * brand. The interesting plan property is count(DISTINCT supp)
+    * AFTER a fact join: Catalyst plans it as a two-phase aggregate
+    * (partial distinct on (group, supp), then count) — never a
+    * row-level distinct of the joined stream. The part filter prunes
+    * to the scan; lineitem carries only (partkey, suppkey).
+    */
+  def supplierDiversity(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1")
+      .select(col("p_partkey"), col("p_brand"),
+        (floor(col("p_size") / 10) * 10).cast("long").as("size_bucket"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("size_bucket"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q14 shape — promo revenue share by month: what fraction
+    * (ppm) of each month's revenue came from ECONOMY-type parts. The
+    * conditional-share-of-total shape: ONE pass computes both the
+    * numerator (sum of when) and denominator in the same aggregate —
+    * never two query passes joined back. Share division runs in
+    * DECIMAL(38,0) == DuckDB HUGEINT; month comes from the shipdate.
+    */
+  def promoShareMonthly(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+        ExactSum.micros(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("rev_u"))
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), (col("p_type") === SharePartType).as("is_promo"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"))
+      .agg(sum(when(col("is_promo"), col("rev_u")).otherwise(0L)).as("promo_u"),
+        sum(col("rev_u")).as("total_u"),
+        count(lit(1)).as("n_items"))
+      .select(col("month"), col("n_items"),
+        ExactSum.microsToDouble(col("total_u")).as("total_revenue"),
+        expr("CAST(CAST(promo_u AS DECIMAL(38,0)) * 1000000 div CAST(total_u AS DECIMAL(38,0)) AS BIGINT)")
+          .as("promo_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "star_shipping_priority" -> (shippingPriority _),
     "star_local_volume" -> (localSupplierVolume _),
@@ -597,7 +646,9 @@ object StarJoin {
     "waiting_supplier_census" -> (waitingSupplierCensus _),
     "returned_item_revenue" -> (returnedItemRevenue _),
     "late_shipment_census" -> (lateShipmentCensus _),
-    "disjunctive_revenue" -> (disjunctiveRevenue _)
+    "disjunctive_revenue" -> (disjunctiveRevenue _),
+    "supplier_diversity" -> (supplierDiversity _),
+    "promo_share_monthly" -> (promoShareMonthly _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -849,6 +900,31 @@ object StarJoin {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
         |        AND l_quantity BETWEEN 20 AND 30))
         |GROUP BY 1""".stripMargin,
+
+    // count(DISTINCT) after the join; integer size buckets
+    "supplier_diversity" ->
+      """SELECT p_brand,
+        | CAST(floor(p_size / 10) * 10 AS BIGINT) AS size_bucket,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // HUGEINT share lane == Spark DECIMAL(38,0); decimal-sum revenue
+    "promo_share_monthly" ->
+      s"""SELECT date_trunc('month', l_shipdate)::DATE AS month,
+         | count(*) AS n_items,
+         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue,
+         | CAST((CAST(sum(CASE WHEN p_type = '$SharePartType'
+         |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
+         |    ELSE 0 END) AS HUGEINT) * 1000000)
+         |  // CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS HUGEINT)
+         |  AS BIGINT) AS promo_ppm
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         | AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin,
 
     // the bloom is semantics-transparent (false positives die in the
     // exact join) — the oracle is the PLAIN join

@@ -431,4 +431,55 @@ class StarJoinSpec extends SparkTestBase {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("Brand#1") && plan.contains("Brand#3"))
   }
+
+  test("supplier_diversity: equals distinct-set driver replay; excluded brand absent") {
+    val pInfo = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_brand"), col("p_size")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getAs[Number](2).longValue / 10 * 10)))
+      .toMap
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .flatMap { r =>
+        val (b, sb) = pInfo(r.getLong(0))
+        if (b != "Brand#1") Some(((b, sb), r.getLong(1))) else None
+      }
+    val expected = rows.groupBy(_._1).map { case ((b, sb), v) =>
+      (b, sb, v.map(_._2).distinct.length.toLong, v.length.toLong) }.toSet
+    val got = StarJoin.supplierDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    assert(!got.exists(_._1 == "Brand#1"))
+  }
+
+  test("promo_share_monthly: ppm equals BigInt replay; share bounded") {
+    val isPromo = graft.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1) == "ECONOMY")).toMap
+    val win0 = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val win1 = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount")).collect()
+      .flatMap { r =>
+        val t = r.getAs[java.time.LocalDateTime](1)
+        if (!t.isBefore(win0) && t.isBefore(win1))
+          Some((t.getYear * 100 + t.getMonthValue, isPromo(r.getLong(0)),
+            math.round(r.getDouble(2) * (1 - r.getDouble(3)) * 1e6)))
+        else None
+      }
+    val expected = rows.groupBy(_._1).map { case (m, v) =>
+      val tot = BigInt(v.map(_._3).sum)
+      val promo = BigInt(v.filter(_._2).map(_._3).sum)
+      (m, v.length.toLong, (promo * 1000000 / tot).toLong)
+    }.toSet
+    val got = StarJoin.promoShareMonthly(spark, sf).collect()
+      .map { r =>
+        val d = r.getDate(0).toLocalDate
+        (d.getYear * 100 + d.getMonthValue, r.getLong(1), r.getLong(3))
+      }.toSet
+    assert(got == expected)
+    assert(got.size == 12)
+    got.foreach { case (_, _, ppm) => assert(ppm >= 0 && ppm <= 1000000) }
+  }
 }

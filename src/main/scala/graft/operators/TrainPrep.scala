@@ -55,6 +55,69 @@ object TrainPrep {
           .as("avg_nll"))
   }
 
+  /** Bigram LM negative log-likelihood per document with add-one
+    * smoothing — the next rung above unigramLmScore on the CCNet-style
+    * quality ladder (a bigram LM separates "common words in a weird
+    * order" from fluent text, which a unigram model cannot):
+    * avg_nll(d) = Σ_bg tf·(ln(c1(t1)+V) − ln(cbg+1)) / (|d|−1), where
+    * cbg is the corpus count of the bigram, c1(t1) the corpus count of
+    * bigrams starting with t1 (Σ_t2 cbg — derived, not a second corpus
+    * pass), and V the number of distinct first tokens.
+    *
+    * Shape: the LM itself is VOCABULARY-SIZED (≤ V² bigrams — here
+    * ≤ 961 rows), so the whole model — corpus bigram counts, the
+    * first-token rollup, V, and each bigram's quantized per-occurrence
+    * term (ln(c1+V) − ln(cbg+1), in integer NANONATS: one
+    * deterministic double rounding per BIGRAM, not per row) — is built
+    * on the bounded table and broadcast. The corpus then takes exactly
+    * TWO passes over the exploded bigrams: one map-side-combining
+    * count into the ≤V² model table, and one scoring pass whose
+    * per-doc sum of long nanonats is exact, order-free, and partial-
+    * aggregated map-side. Per-occurrence summing makes the tf
+    * multiplier implicit (Σ_occ term ≡ Σ_bg tf·term on the integer
+    * lattice), so no (doc, bigram) intermediate aggregate exists at
+    * all — that 10M-group hash agg was the cost of the first draft
+    * (10.8 s warm sf1; sorted-list float fold), vs 3-4 s for this
+    * form. At 100 TB the model table is the persisted artifact; the
+    * scoring pass is embarrassingly parallel.
+    */
+  def bigramLmScore(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.gramHashes
+    // bigram identity carried as the native 60-bit gram HASH with the
+    // first token's hash alongside (h1[i] for bigram i) — no gram
+    // string is ever materialized in the corpus passes (the string
+    // form measured 12 s warm sf1; the hash kernel 2-4 s). The oracle
+    // counts the STRING bigrams — identical by hash injectivity on
+    // the distinct bigram set, the library-wide hashing convention.
+    val bgx = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(arrays_zip(
+          gramHashes(col("toks"), 2).as("bh"),
+          slice(gramHashes(col("toks"), 1), lit(1),
+            greatest(size(col("toks")) - 1, lit(0))).as("th"))).as("z"))
+      .select(col("doc_id"), col("dl"),
+        col("z.bh").as("bh"), col("z.th").as("th"))
+      .filter(col("dl") >= 2)
+    val cbg = bgx.groupBy(col("bh"))
+      .agg(count(lit(1)).as("cbg"), max(col("th")).as("t1h"))
+    val c1 = cbg.groupBy(col("t1h")).agg(sum(col("cbg")).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    val lm = cbg
+      .join(c1, Seq("t1h"))
+      .crossJoin(vocab)
+      .select(col("bh"),
+        round((log((col("c1") + col("v")).cast("double")) -
+          log((col("cbg") + lit(1L)).cast("double"))) * lit(1e9))
+          .cast("long").as("term_n"))
+    bgx.join(broadcast(lm), Seq("bh"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("term_n")).as("sn"))
+      .select(col("doc_id"), col("dl").as("n_tokens"),
+        round(col("sn").cast("double") / 1e9 / (col("dl") - 1), 6)
+          .as("avg_nll"))
+  }
+
   private val SpanK = 8
 
   /** Exact duplicate-span detection — the signal behind exact-substring
@@ -279,6 +342,7 @@ object TrainPrep {
 
   val queries: Map[String, Relational.Q] = Map(
     "unigram_lm_score" -> (unigramLmScore _),
+    "bigram_lm_score" -> (bigramLmScore _),
     "dup_span_detect" -> (dupSpanDetect _),
     "global_shuffle" -> (globalShuffle _),
     "quality_classifier" -> (qualityClassifier _),
@@ -292,6 +356,38 @@ object TrainPrep {
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   val oracleSql: Map[String, String] = Map(
+    // per-BIGRAM term quantized to integer nanonats in the <=V^2 model
+    // table (identical rounding both engines); per-occurrence long sum
+    // is exact and order-free; sum cast BIGINT (DuckDB widens)
+    "bigram_lm_score" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |bgx AS (
+         | SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |  unnest(CASE WHEN len(w) >= 2
+         |   THEN list_transform(range(0, len(w) - 1),
+         |     i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 2 AS INT)], ' '))
+         |   ELSE [] END) AS bg
+         | FROM toks WHERE len(w) >= 2),
+         |cbg AS (SELECT bg, count(*) AS cbg FROM bgx GROUP BY 1),
+         |c1 AS (
+         | SELECT split_part(bg, ' ', 1) AS t1, sum(cbg) AS c1
+         | FROM cbg GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM c1),
+         |lm AS (
+         | SELECT bg,
+         |  CAST(round((ln(CAST(c1.c1 + vv.v AS DOUBLE))
+         |    - ln(CAST(cbg.cbg + 1 AS DOUBLE))) * 1e9) AS BIGINT) AS term_n
+         | FROM cbg
+         |  JOIN c1 ON c1.t1 = split_part(cbg.bg, ' ', 1)
+         |  CROSS JOIN vv),
+         |per AS (
+         | SELECT doc_id, dl, CAST(sum(term_n) AS BIGINT) AS sn
+         | FROM bgx JOIN lm USING (bg) GROUP BY 1, 2)
+         |SELECT doc_id, dl AS n_tokens,
+         | round(CAST(sn AS DOUBLE) / 1e9 / (dl - 1), 6) AS avg_nll
+         |FROM per""".stripMargin,
+
     "unigram_lm_score" ->
       s"""WITH toks AS (
          | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),

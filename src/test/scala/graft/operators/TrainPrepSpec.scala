@@ -174,4 +174,42 @@ class TrainPrepSpec extends SparkTestBase {
     })
     r.unpersist()
   }
+
+  test("bigram_lm_score: equals exact driver replay; strictly positive") {
+    def toks(t: String): Array[String] =
+      t.replaceAll("[^a-zA-Z0-9\\s]", " ").replaceAll("\\s+", " ")
+        .trim.toLowerCase.split(" ")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+      .filter(_._2.length >= 2)
+    val docBgs = docs.map { case (id, w) =>
+      (id, w.length.toLong, w.sliding(2).map(_.mkString(" ")).toSeq)
+    }
+    val cbg = docBgs.flatMap(_._3).groupBy(identity)
+      .map { case (g, v) => (g, v.length.toLong) }
+    val c1 = cbg.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (t, v) => (t, v.map(_._2).sum) }
+    val vocabV = c1.size.toLong
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // per-bigram nanonat term (HALF_UP), per-occurrence exact long sum
+    // — the engines' order-free integer lane
+    val termN = cbg.map { case (g, n) =>
+      val term = math.log((c1(g.split(" ")(0)) + vocabV).toDouble) -
+        math.log((n + 1).toDouble)
+      (g, BigDecimal(term * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val expected = docBgs.map { case (id, dl, bgs) =>
+      val sn = bgs.map(termN).sum
+      (id, dl, r6(sn.toDouble / 1e9 / (dl - 1)))
+    }.toSet
+    val got = TrainPrep.bigramLmScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // add-one smoothing: ln(c1+V) > ln(cbg+1) since c1 >= cbg, V >= 1
+    got.foreach { case (_, _, nll) => assert(nll > 0) }
+  }
 }

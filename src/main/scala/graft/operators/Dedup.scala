@@ -550,6 +550,61 @@ object Dedup {
         ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"))
   }
 
+  /** Containment-blindness evaluation — dedupEval's third panel: on
+    * the same 1-in-5 sample, how well does MinHash signature agreement
+    * (a JACCARD estimator) detect CONTAINMENT-positive pairs
+    * (5·|A∩B| >= 4·min(|A|,|B|), the dedup_containment gate)? The
+    * asym_* columns isolate the pairs that are containment-positive
+    * but NOT Jaccard-positive (3·i < na+nb) — the short-doc-inside-
+    * long-doc shape. Their recall (asym_recall_ppm) is the measured
+    * justification for running dedup_containment as its own channel:
+    * a Jaccard sketch can only find these by accident. All decisions
+    * in pure integers; the per-threshold rollup is an 8-row aggregate.
+    */
+  def containmentEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"))
+      .select(col("doc_id"), col("source"), col("uni"), size(col("uni")).as("nu"))
+    val sig = minhashSigDf(s, d)
+      .filter(pmod(col("doc_id"), lit(5)) === 0 && col("sig0").isNotNull)
+      .select(col("doc_id"),
+        array((0 until 8).map(j => col(s"sig$j")): _*).as("sig_arr"))
+    val base = docs.join(sig, Seq("doc_id")).localCheckpoint(true)
+    val a = base.select(col("source"), col("doc_id").as("doc_a"),
+      col("uni").as("ua"), col("nu").as("na"), col("sig_arr").as("sa"))
+    val m = aggregate(zip_with(col("sa"), col("sb"),
+      (x, y) => (x === y).cast("int")), lit(0), (acc, x) => acc + x)
+    val inter = graft.functions.IntersectCount.intersectCount(col("ua"), col("ub"))
+    val pairs = a.join(
+        base.select(col("source"), col("doc_id").as("doc_b"),
+          col("uni").as("ub"), col("nu").as("nb"), col("sig_arr").as("sb")),
+        Seq("source"))
+      .filter(col("doc_a") < col("doc_b") && col("na") > 0 && col("nb") > 0)
+      .select(m.as("m"), inter.as("i"), col("na"), col("nb"))
+      .select(col("m"),
+        (lit(5) * col("i") >= lit(4) * least(col("na"), col("nb"))).as("pos"),
+        (lit(3) * col("i") >= col("na") + col("nb")).as("jpos"))
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * 1e6 / den).cast("long"))
+    pairs.select(explode(sequence(lit(1), lit(8))).as("t"),
+        col("m"), col("pos"), col("jpos"))
+      .groupBy(col("t"))
+      .agg(
+        sum(when(col("m") >= col("t") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("m") >= col("t") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("m") < col("t") && col("pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pos") && !col("jpos"), 1L).otherwise(0L)).as("asym_pos"),
+        sum(when(col("m") >= col("t") && col("pos") && !col("jpos"), 1L)
+          .otherwise(0L)).as("asym_tp"))
+      .select(col("t").cast("long").as("threshold_eighths"),
+        col("tp"), col("fp"), col("fn"), col("asym_pos"), col("asym_tp"),
+        ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"),
+        ppm(col("asym_tp"), col("asym_pos")).as("asym_recall_ppm"))
+  }
+
   /** Per-document n-gram novelty of an incoming crawl batch against the
     * standing corpus — the prioritization metric an incremental crawler
     * scores every fetched page with ("how much of this have we already
@@ -714,7 +769,8 @@ object Dedup {
     "dedup_eval" -> (dedupEval _),
     "simhash_eval" -> (simhashEval _),
     "ngram_novelty" -> (ngramNovelty _),
-    "bloom_eval" -> (bloomEval _)
+    "bloom_eval" -> (bloomEval _),
+    "containment_eval" -> (containmentEval _)
   )
 
   /** SimHash-quality evaluation — dedupEval's sibling for the bit
@@ -1060,6 +1116,45 @@ object Dedup {
          |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fp)) AS BIGINT) END AS precision_ppm,
          | CASE WHEN tp + fn > 0
          |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fn)) AS BIGINT) END AS recall_ppm
+         |FROM agg""".stripMargin,
+
+    // truth = the dedup_containment gate (5i >= 4min); asym_* isolates
+    // containment-positives that are NOT jaccard-positive
+    "containment_eval" ->
+      s"""$shingleHashCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM hs),
+         |sa AS (
+         | SELECT doc_id, [sig0,sig1,sig2,sig3,sig4,sig5,sig6,sig7] AS sig_arr
+         | FROM sig WHERE sig0 IS NOT NULL AND doc_id % 5 = 0),
+         |uni AS (
+         | SELECT doc_id, source,
+         |  list_distinct(string_split($normSql, ' ')) AS uni
+         | FROM documents WHERE doc_id % 5 = 0),
+         |base AS (
+         | SELECT u.doc_id, u.source, u.uni, len(u.uni) AS nu, s.sig_arr
+         | FROM uni u JOIN sa s USING (doc_id)),
+         |p AS (
+         | SELECT
+         |  len(list_filter(range(0, 8),
+         |    i -> a.sig_arr[CAST(i + 1 AS INT)] = b.sig_arr[CAST(i + 1 AS INT)])) AS m,
+         |  5 * len(list_intersect(a.uni, b.uni)) >= 4 * least(a.nu, b.nu) AS pos,
+         |  3 * len(list_intersect(a.uni, b.uni)) >= a.nu + b.nu AS jpos
+         | FROM base a JOIN base b ON a.source = b.source AND a.doc_id < b.doc_id
+         | WHERE a.nu > 0 AND b.nu > 0),
+         |t AS (SELECT unnest(range(1, 9)) AS t),
+         |agg AS (
+         | SELECT t,
+         |  CAST(sum(CASE WHEN m >= t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN m >= t AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN m < t AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN pos AND NOT jpos THEN 1 ELSE 0 END) AS BIGINT) AS asym_pos,
+         |  CAST(sum(CASE WHEN m >= t AND pos AND NOT jpos THEN 1 ELSE 0 END) AS BIGINT) AS asym_tp
+         | FROM t CROSS JOIN p GROUP BY t)
+         |SELECT t AS threshold_eighths, tp, fp, fn, asym_pos, asym_tp,
+         | CASE WHEN tp + fn > 0
+         |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fn)) AS BIGINT) END AS recall_ppm,
+         | CASE WHEN asym_pos > 0
+         |  THEN CAST(floor(CAST(asym_tp AS DOUBLE) * 1e6 / asym_pos) AS BIGINT) END AS asym_recall_ppm
          |FROM agg""".stripMargin,
 
     "simhash_eval" ->

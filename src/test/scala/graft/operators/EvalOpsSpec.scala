@@ -9,6 +9,54 @@ import org.apache.spark.sql.functions._
   */
 class EvalOpsSpec extends SparkTestBase {
 
+  test("containment_eval: positives equal a set replay; counters monotone; asym subset real") {
+    val got = Dedup.containmentEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 8L))
+    // (tp + fn) is the positive count — constant across thresholds
+    val nPos = got.head._2 + got.head._4
+    got.foreach { case (_, tp, _, fn, asymPos, asymTp) =>
+      assert(tp + fn == nPos)
+      assert(asymPos == got.head._5)
+      assert(asymTp <= tp)
+    }
+    // tp non-increasing as the agreement threshold tightens
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._6 <= a._6)
+    case _ => ()
+    }
+    // replay the truth counts from raw token sets (sampled docs)
+    def toks(t: String): Set[String] =
+      t.replaceAll("[^a-zA-Z0-9\\s]", " ").replaceAll("\\s+", " ")
+        .trim.toLowerCase.split(" ").toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2))))
+    // the sig join keeps docs with >= 3 raw tokens (sig0 non-null
+    // needs a word trigram); mirror it via the engine tokenizer
+    val rawLen = graft.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select(col("doc_id"), size(tokens(col("text"))).as("n")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val eligible = docs.filter(d => d._3.nonEmpty && rawLen(d._1) >= 3)
+    def pairsOf(ds: Array[(Long, String, Set[String])]) = for {
+      a <- ds; b <- ds
+      if a._2 == b._2 && a._1 < b._1
+    } yield (a._3, b._3)
+    val truth = pairsOf(eligible).map { case (ua, ub) =>
+      val i = (ua & ub).size
+      (5 * i >= 4 * math.min(ua.size, ub.size),
+        3 * i >= ua.size + ub.size)
+    }
+    assert(truth.count(_._1) == nPos)
+    assert(truth.count(t => t._1 && !t._2) == got.head._5)
+    // the asymmetric case must actually exist on this corpus for the
+    // eval to be evidence of anything
+    assert(got.head._5 > 0)
+  }
+
   test("ann_eval: one row per method, hits bounded by truth and retrieved") {
     val ev = Ann.annEval(spark, sf).collect()
     assert(ev.map(_.getString(0)).sorted.toSeq == Seq("ivf", "lsh", "pq_adc"))

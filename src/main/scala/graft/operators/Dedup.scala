@@ -605,6 +605,55 @@ object Dedup {
         ppm(col("asym_tp"), col("asym_pos")).as("asym_recall_ppm"))
   }
 
+  /** Incremental containment screening — the daily-crawl twin of
+    * dedup_containment (dedupIncremental's split: batch =
+    * doc_id % 10 == 9, corpus = the rest): every NEW doc is probed
+    * against the standing corpus within its source block, and any
+    * corpus doc that contains >= 80% of the new doc's tokens (or vice
+    * versa — gate on the smaller side, 5i >= 4·min, pure integers)
+    * flags it. Emits one row per new doc with the match census and the
+    * best (highest-containment, then lowest old_id) corpus match —
+    * the keep/drop signal a crawl-ingest pipeline consumes. The pair
+    * join is asymmetric batch×corpus (1/10 × 9/10 of each block),
+    * never corpus×corpus; the best-match pick is one hash aggregate
+    * (lexicographic struct-min), not a window.
+    */
+  def containmentIncremental(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"))
+      .select(col("doc_id"), col("source"), col("uni"),
+        size(col("uni")).cast("long").as("nu"))
+      .localCheckpoint(true)
+    val batch = base.filter(pmod(col("doc_id"), lit(10)) === 9)
+      .select(col("source"), col("doc_id").as("new_id"),
+        col("uni").as("un"), col("nu").as("nn"))
+    val corpus = base.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("source"), col("doc_id").as("old_id"),
+        col("uni").as("uo"), col("nu").as("no"))
+    val i = graft.functions.IntersectCount
+      .intersectCount(col("un"), col("uo")).cast("long")
+    val matches = batch.join(corpus, Seq("source"))
+      .select(col("new_id"), col("old_id"), col("nn"), col("no"), i.as("i"))
+      .filter(col("nn") > 0 && col("no") > 0 &&
+        col("i") * 5 >= least(col("nn"), col("no")) * 4)
+      .select(col("new_id"), col("old_id"),
+        round(col("i").cast("double") / least(col("nn"), col("no")), 6)
+          .as("cont"))
+    val best = matches
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct((lit(0.0) - col("cont")).as("neg"), col("old_id"))).as("b"))
+      .select(col("new_id"), col("n_matches"),
+        (lit(0.0) - col("b.neg")).as("best_cont"), col("b.old_id").as("best_match"))
+    batch.select(col("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best_cont"), col("best_match"),
+        when(col("best_cont").isNull, lit(1L)).otherwise(lit(0L)).as("keep_flag"))
+  }
+
   /** Per-document n-gram novelty of an incoming crawl batch against the
     * standing corpus — the prioritization metric an incremental crawler
     * scores every fetched page with ("how much of this have we already
@@ -770,7 +819,8 @@ object Dedup {
     "simhash_eval" -> (simhashEval _),
     "ngram_novelty" -> (ngramNovelty _),
     "bloom_eval" -> (bloomEval _),
-    "containment_eval" -> (containmentEval _)
+    "containment_eval" -> (containmentEval _),
+    "containment_incremental" -> (containmentIncremental _)
   )
 
   /** SimHash-quality evaluation — dedupEval's sibling for the bit
@@ -1029,6 +1079,36 @@ object Dedup {
          |SELECT a.doc_id, a.cluster_id, s.cluster_size,
          | a.doc_id = a.cluster_id AS is_canonical
          |FROM alld a JOIN sizes s USING (cluster_id)""".stripMargin,
+
+    // asymmetric batch x corpus probe; containment gate in pure
+    // integers; best match replayed with a window (== struct-min)
+    "containment_incremental" ->
+      s"""WITH base AS (
+         | SELECT doc_id, source,
+         |  list_distinct(string_split($normSql, ' ')) AS uni
+         | FROM documents),
+         |m AS (
+         | SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+         |  CAST(len(n.uni) AS BIGINT) AS nn,
+         |  CAST(len(o.uni) AS BIGINT) AS nold,
+         |  CAST(len(list_intersect(n.uni, o.uni)) AS BIGINT) AS i
+         | FROM base n JOIN base o ON n.source = o.source
+         | WHERE n.doc_id % 10 = 9 AND o.doc_id % 10 <> 9),
+         |f AS (
+         | SELECT new_id, old_id,
+         |  round(CAST(i AS DOUBLE) / least(nn, nold), 6) AS cont
+         | FROM m
+         | WHERE nn > 0 AND nold > 0 AND i * 5 >= least(nn, nold) * 4),
+         |best AS (
+         | SELECT new_id, old_id AS best_match, cont AS best_cont,
+         |  count(*) OVER (PARTITION BY new_id) AS n_matches,
+         |  row_number() OVER (PARTITION BY new_id ORDER BY cont DESC, old_id) AS rn
+         | FROM f)
+         |SELECT d.doc_id AS new_id,
+         | coalesce(b.n_matches, 0) AS n_matches, b.best_cont, b.best_match,
+         | CAST(CASE WHEN b.best_cont IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id""".stripMargin,
 
     // token strings here, hashes on the Spark side: counts identical
     // (md5 injective on the distinct token sets); gate in pure integers

@@ -6,21 +6,25 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.ExactSum
 
-/** Multi-way star-schema join analytics — the TPC-H Q3/Q5 shapes that
-  * exercise the join-planning decisions a 100 TB warehouse lives on:
-  * which joins broadcast (fixed dims: region, nation), which stay
-  * keyed shuffles (fact-to-fact: orders⋈lineitem, customer⋈orders —
-  * both sides scale with the data, so a broadcast would OOM at SF100+),
-  * and where selective dimension filters must reach the probe side
-  * BEFORE the big shuffle (filter-then-join, never join-then-filter).
+/** Multi-way star-schema join analytics — the TPC-H query shapes
+  * (Q3/Q4/Q5/Q7/Q8/Q10/Q12/Q13/Q14/Q15/Q16/Q17/Q18/Q19/Q21/Q22, plus
+  * basket pairs and the explicit bloom-prune join) that exercise the
+  * join-planning decisions a 100 TB warehouse lives on: which joins
+  * broadcast (fixed dims: region, nation), which stay keyed shuffles
+  * (fact-to-fact: orders⋈lineitem, customer⋈orders — both sides scale
+  * with the data, so a broadcast would OOM at SF100+), and where
+  * selective dimension filters must reach the probe side BEFORE the
+  * big shuffle (filter-then-join, never join-then-filter).
   *
-  * Both queries keep the plan declarative — no join hints — so
+  * Every query keeps the plan declarative — no join hints — so
   * Catalyst + AQE pick broadcast vs shuffle per actual build-side
   * size at whatever scale the query runs. The shapes are chosen so
   * the right plan exists at every scale: dimension filters are narrow
   * scan predicates (pushed to parquet), every join is an equi-join on
   * a single key, and revenue sums run in integer micros (ExactSum) so
   * totals are order-independent and byte-reproducible cross-engine.
+  * Share/ppm divisions run in DECIMAL(38,0), the lane DuckDB's
+  * HUGEINT mirrors digit-for-digit.
   */
 object StarJoin {
 

@@ -81,6 +81,47 @@ class DedupPipelineSpec extends SparkTestBase {
     assert(rows.exists(_.getLong(4) == 0L))
   }
 
+  test("containment_incremental: equals string-set driver replay; asymmetric split respected") {
+    def toks(t: String): Set[String] =
+      t.replaceAll("[^a-zA-Z0-9\\s]", " ").replaceAll("\\s+", " ")
+        .trim.toLowerCase.split(" ").toSet
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2))))
+    val batch = docs.filter(_._1 % 10 == 9)
+    val corpus = docs.filter(_._1 % 10 != 9)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val matches = for {
+      n <- batch; o <- corpus
+      if n._2 == o._2
+      nn = n._3.size.toLong; no = o._3.size.toLong
+      i = (n._3 & o._3).size.toLong
+      if nn > 0 && no > 0 && i * 5 >= math.min(nn, no) * 4
+    } yield (n._1, o._1, r6(i.toDouble / math.min(nn, no)))
+    val bestByNew = matches.groupBy(_._1).map { case (nid, g) =>
+      val best = g.minBy { case (_, oid, c) => (-c, oid) }
+      nid -> (g.length.toLong, best._3, best._2)
+    }
+    val expected = batch.map { case (nid, _, _) =>
+      bestByNew.get(nid) match {
+        case Some((n, c, m)) => (nid, n, Some(c), Some(m), 0L)
+        case None => (nid, 0L, None, None, 1L)
+      }
+    }.toSet
+    val got = Dedup.containmentIncremental(spark, sf).collect()
+      .map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4))
+      }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // a matched old_id is never itself in the batch
+    got.foreach { case (_, _, _, m, _) => m.foreach(o => assert(o % 10 != 9)) }
+  }
+
   test("dedup_incremental: best match agrees with the full LSH pair table") {
     // project the symmetric pair table onto new-vs-existing and take the
     // same (est desc, id) argmax — the incremental path must agree

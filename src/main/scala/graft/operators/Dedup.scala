@@ -606,8 +606,7 @@ object Dedup {
   }
 
   /** Incremental containment screening — the daily-crawl twin of
-    * dedup_containment (dedupIncremental's split: batch =
-    * doc_id % 10 == 9, corpus = the rest): every NEW doc is probed
+    * dedup_containment: every NEW doc is probed
     * against the standing corpus within its source block, and any
     * corpus doc that contains >= 80% of the new doc's tokens (or vice
     * versa — gate on the smaller side, 5i >= 4·min, pure integers)
@@ -618,6 +617,13 @@ object Dedup {
     * never corpus×corpus; the best-match pick is one hash aggregate
     * (lexicographic struct-min), not a window.
     */
+  // batch split: doc_id % 7 == 3, NOT dedupIncremental's % 10 == 9 —
+  // the synthetic generator's duplicate pairs preserve doc_id mod 10,
+  // so a %10 boundary has ZERO cross-boundary containment pairs at
+  // every sf (measured); %7 breaks the alignment (1.2k+ matches).
+  private[graft] val IncrMod = 7
+  private[graft] val IncrRem = 3
+
   def containmentIncremental(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
@@ -626,10 +632,10 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("uni"),
         size(col("uni")).cast("long").as("nu"))
       .localCheckpoint(true)
-    val batch = base.filter(pmod(col("doc_id"), lit(10)) === 9)
+    val batch = base.filter(pmod(col("doc_id"), lit(IncrMod)) === IncrRem)
       .select(col("source"), col("doc_id").as("new_id"),
         col("uni").as("un"), col("nu").as("nn"))
-    val corpus = base.filter(pmod(col("doc_id"), lit(10)) =!= 9)
+    val corpus = base.filter(pmod(col("doc_id"), lit(IncrMod)) =!= IncrRem)
       .select(col("source"), col("doc_id").as("old_id"),
         col("uni").as("uo"), col("nu").as("no"))
     val i = graft.functions.IntersectCount
@@ -1093,7 +1099,7 @@ object Dedup {
          |  CAST(len(o.uni) AS BIGINT) AS nold,
          |  CAST(len(list_intersect(n.uni, o.uni)) AS BIGINT) AS i
          | FROM base n JOIN base o ON n.source = o.source
-         | WHERE n.doc_id % 10 = 9 AND o.doc_id % 10 <> 9),
+         | WHERE n.doc_id % 7 = 3 AND o.doc_id % 7 <> 3),
          |f AS (
          | SELECT new_id, old_id,
          |  round(CAST(i AS DOUBLE) / least(nn, nold), 6) AS cont
@@ -1107,7 +1113,7 @@ object Dedup {
          |SELECT d.doc_id AS new_id,
          | coalesce(b.n_matches, 0) AS n_matches, b.best_cont, b.best_match,
          | CAST(CASE WHEN b.best_cont IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
          |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id""".stripMargin,
 
     // token strings here, hashes on the Spark side: counts identical

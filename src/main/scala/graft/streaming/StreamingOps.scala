@@ -361,6 +361,77 @@ object StreamingOps {
         col("m.est").as("best_est"), (-col("m.neg")).as("best_match"))
   }
 
+  /** Stream-static incremental CONTAINMENT screening — the streaming
+    * twin of `Dedup.containmentIncremental` and the asymmetric
+    * complement of incrementalDedupStream (a short new doc quoted
+    * inside a long corpus doc never agrees on minhash signatures;
+    * this channel catches it at ingest time). NEW docs land as a
+    * stream carrying their per-row sorted distinct token-hash set
+    * (narrow array expression, no stream aggregation before the
+    * join); the STATIC side is the corpus's set table keyed by
+    * source — the published batch artifact. The per-pair merge-walk
+    * intersect and the integer 5i >= 4·min gate run inside the
+    * stream-static join projection; ONE update-mode aggregate keeps
+    * each new doc's match census and best containing match.
+    */
+  def incrementalContainmentStream(spark: SparkSession, newDocs: DataFrame,
+                                   staticDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val corpus = graft.Tables.documents(spark, staticDir)
+      .filter(pmod(col("doc_id"), lit(graft.operators.Dedup.IncrMod)) =!=
+        graft.operators.Dedup.IncrRem)
+      .select(col("source"), col("doc_id").as("old_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("source"), col("old_id"),
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uo"))
+      .select(col("source"), col("old_id"), col("uo"),
+        size(col("uo")).cast("long").as("no"))
+    val batch = newDocs
+      .filter(pmod(col("doc_id"), lit(graft.operators.Dedup.IncrMod)) ===
+        graft.operators.Dedup.IncrRem)
+      .select(col("source"), col("doc_id").as("new_id"),
+        tokens(col("text")).as("toks"))
+      .select(col("source"), col("new_id"),
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("un"))
+      .select(col("source"), col("new_id"), col("un"),
+        size(col("un")).cast("long").as("nn"))
+    val i = graft.functions.IntersectCount
+      .intersectCount(col("un"), col("uo")).cast("long")
+    batch.join(corpus, Seq("source"))
+      .select(col("new_id"), col("old_id"), col("nn"), col("no"), i.as("i"))
+      .filter(col("nn") > 0 && col("no") > 0 &&
+        col("i") * 5 >= least(col("nn"), col("no")) * 4)
+      .select(col("new_id"), col("old_id"),
+        round(col("i").cast("double") / least(col("nn"), col("no")), 6)
+          .as("cont"))
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("cont"), (-col("old_id")).as("neg"))).as("m"))
+      .select(col("new_id"), col("n_matches"),
+        col("m.cont").as("best_cont"), (-col("m.neg")).as("best_match"))
+  }
+
+  /** Streaming driver for incrementalContainmentStream (update mode,
+    * memory sink), final-state-per-new_id like the dedup runner.
+    */
+  def runIncrementalContainmentOnce(spark: SparkSession, dir: String,
+                                    queryName: String): DataFrame = {
+    val q = incrementalContainmentStream(spark, readDocuments(spark, dir), dir)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy(col("new_id"))
+      .agg(max(struct(col("n_matches"), col("best_cont"),
+        (-col("best_match")).as("neg"))).as("m"))
+      .select(col("new_id"), col("m.n_matches").as("n_matches"),
+        col("m.best_cont").as("best_cont"), (-col("m.neg")).as("best_match"))
+  }
+
   /** Streaming driver for incrementalDedupStream (update mode, memory
     * sink): keeps each new doc's FINAL match row (monotone n_matches /
     * best pair under accumulation) like the other update-mode runners.

@@ -88,8 +88,8 @@ class DedupPipelineSpec extends SparkTestBase {
     val docs = graft.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), toks(r.getString(2))))
-    val batch = docs.filter(_._1 % 10 == 9)
-    val corpus = docs.filter(_._1 % 10 != 9)
+    val batch = docs.filter(_._1 % 7 == 3)
+    val corpus = docs.filter(_._1 % 7 != 3)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val matches = for {
@@ -118,8 +118,11 @@ class DedupPipelineSpec extends SparkTestBase {
       }.toSet
     assert(got == expected)
     assert(got.nonEmpty)
-    // a matched old_id is never itself in the batch
-    got.foreach { case (_, _, _, m, _) => m.foreach(o => assert(o % 10 != 9)) }
+    // cross-boundary matches exist (the %7 split breaks the
+    // generator's mod-10 duplicate alignment) and a matched old_id is
+    // never itself in the batch
+    assert(got.exists(_._2 > 0))
+    got.foreach { case (_, _, _, m, _) => m.foreach(o => assert(o % 7 != 3)) }
   }
 
   test("dedup_incremental: best match agrees with the full LSH pair table") {

@@ -154,6 +154,17 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("stream-static incremental containment == batch containment_incremental (matched subset)") {
+    val streamed = StreamingOps
+      .runIncrementalContainmentOnce(spark, sf, "stream_incr_containment")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val batch = graft.operators.Dedup.containmentIncremental(spark, sf)
+      .filter(col("n_matches") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("streaming anomaly monitor == batch anomaly_days (single and multi-batch)") {
     def batchSet = graft.operators.Temporal.anomalyDays(spark, sf).collect()
       .map(r => (r.getString(0),

@@ -153,7 +153,62 @@ object CorpusAnalytics {
         expr("(1000000 * n_oov_tokens) div n_tokens").as("oov_ppm"))
   }
 
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions — the domain-mixture diagnostic a curation
+    * pipeline runs before weighting sources (a near-zero JSD pair is
+    * redundant corpus; a high-JSD source shifts the mixture).
+    *
+    * Lane discipline (the bigram_lm_score pattern): the only
+    * data-sized pass is the (source, term) count aggregate; every
+    * divergence term is computed on that tiny table with one
+    * deterministic double rounding per (pair, term) into integer
+    * nanonats, then summed as exact longs — order-free, so the value
+    * is engine-independent. One-sided terms (term in A only)
+    * contribute 0.5*p*ln2 via the same formula; absent-in-both terms
+    * contribute exactly 0.
+    *
+    * Scale: the pair x vocab expansion is |S|^2 * V rows AFTER the
+    * corpus-sized aggregate — dimension-tiny here (V is this corpus's
+    * closed vocabulary). With a power-law vocabulary you'd cap V at
+    * the top-k terms + an OOV bucket per source (vocab_coverage's
+    * discipline) before pairing; the plan shape is unchanged.
+    */
+  def sourceDivergence(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // sources x vocab — reused four times below
+    val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
+    val vocab = tf.select(col("term")).distinct()
+    val pairs = tot.select(col("source").as("src_a"), col("t").as("tta"))
+      .crossJoin(broadcast(tot.select(col("source").as("src_b"), col("t").as("ttb"))))
+      .filter(col("src_a") < col("src_b"))
+    val j = pairs.crossJoin(broadcast(vocab))
+      .join(broadcast(tf.select(col("source").as("src_a"), col("term"),
+        col("c").as("ca"))), Seq("src_a", "term"), "left")
+      .join(broadcast(tf.select(col("source").as("src_b"), col("term"),
+        col("c").as("cb"))), Seq("src_b", "term"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val pa = col("ca").cast("double") / col("tta")
+    val pb = col("cb").cast("double") / col("ttb")
+    val termN = round((
+      when(col("ca") > 0,
+        lit(0.5) * pa * log(lit(2.0) * pa / (pa + pb))).otherwise(lit(0.0)) +
+      when(col("cb") > 0,
+        lit(0.5) * pb * log(lit(2.0) * pb / (pa + pb))).otherwise(lit(0.0))
+      ) * lit(1e9)).cast("long")
+    j.select(col("src_a"), col("src_b"), termN.as("term_n"),
+        when(col("ca") > 0 && col("cb") > 0, 1L).otherwise(0L).as("ov"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("ov")).as("vocab_overlap"),
+        sum(col("term_n")).as("jsd_nanonats"))
+      .select(col("src_a"), col("src_b"), col("vocab_overlap"),
+        col("jsd_nanonats"),
+        round(col("jsd_nanonats").cast("double") / 1e9, 6).as("jsd"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "source_divergence" -> (sourceDivergence _),
     "source_overlap" -> (sourceOverlap _),
     "percentile_filter" -> (percentileFilter _),
     "decay_score" -> (decayScore _),
@@ -167,6 +222,46 @@ object CorpusAnalytics {
     "CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 2), i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) ELSE [] END"
 
   val oracleSql: Map[String, String] = Map(
+    // per-(pair, term) nanonat rounding (one double rounding each,
+    // identical op order both engines), exact long sums; totals cast
+    // BIGINT before the double divisions (DuckDB widens sum to HUGEINT)
+    "source_divergence" ->
+      s"""WITH toks AS (
+         | SELECT source, unnest(string_split($normSql, ' ')) AS term
+         | FROM documents),
+         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+         |       FROM toks GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM tf GROUP BY 1),
+         |pairs AS (
+         | SELECT a.source AS src_a, a.t AS tta, b.source AS src_b, b.t AS ttb
+         | FROM tot a JOIN tot b ON a.source < b.source),
+         |j AS (
+         | SELECT p.src_a, p.src_b, p.tta, p.ttb,
+         |  coalesce(fa.c, 0) AS ca, coalesce(fb.c, 0) AS cb
+         | FROM pairs p
+         | CROSS JOIN (SELECT DISTINCT term FROM tf) v
+         | LEFT JOIN tf fa ON fa.source = p.src_a AND fa.term = v.term
+         | LEFT JOIN tf fb ON fb.source = p.src_b AND fb.term = v.term),
+         |terms AS (
+         | SELECT src_a, src_b,
+         |  CAST(round(1e9 * (
+         |   CASE WHEN ca > 0 THEN
+         |    0.5 * (CAST(ca AS DOUBLE) / tta) *
+         |    ln(2.0 * (CAST(ca AS DOUBLE) / tta) /
+         |       (CAST(ca AS DOUBLE) / tta + CAST(cb AS DOUBLE) / ttb))
+         |   ELSE 0 END +
+         |   CASE WHEN cb > 0 THEN
+         |    0.5 * (CAST(cb AS DOUBLE) / ttb) *
+         |    ln(2.0 * (CAST(cb AS DOUBLE) / ttb) /
+         |       (CAST(ca AS DOUBLE) / tta + CAST(cb AS DOUBLE) / ttb))
+         |   ELSE 0 END)) AS BIGINT) AS term_n,
+         |  CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END AS ov
+         | FROM j)
+         |SELECT src_a, src_b, CAST(sum(ov) AS BIGINT) AS vocab_overlap,
+         | CAST(sum(term_n) AS BIGINT) AS jsd_nanonats,
+         | round(CAST(sum(term_n) AS DOUBLE) / 1e9, 6) AS jsd
+         |FROM terms GROUP BY 1, 2""".stripMargin,
+
     "source_overlap" ->
       s"""WITH toks AS (
          | SELECT source, string_split($normSql, ' ') AS w FROM documents),

@@ -809,7 +809,105 @@ object Dedup {
           (col("nu_a") + col("nu_b") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** Exact shared-span extraction across documents — the substring-
+    * level dedup channel (the "exact substring deduplication" of Lee
+    * et al.'s dedup study, re-expressed relationally). Jaccard/LSH see
+    * bag-of-shingle overlap; THIS finds verbatim runs: for every doc
+    * pair sharing at least one 8-token window it reports how many
+    * maximal shared runs exist, the longest run (in tokens), and the
+    * total shared-window mass.
+    *
+    * Plan: positional 8-gram hashes (posexplode of the ShingleHash60
+    * kernel — no gram strings); document-frequency prune keeps only
+    * grams seen in 2..50 docs (df=1 cannot match; df>50 is boilerplate
+    * that would blow the join quadratically — the suffix-array
+    * pipelines drop those same super-common windows); equi-join on the
+    * gram hash; then the classic islands trick — within (pair,
+    * diagonal pa-pb), consecutive positions collapse via
+    * pa - row_number() — one window + one aggregate.
+    *
+    * Scale: postings-list join, linear in surviving postings; the
+    * only quadratic term is per-gram (df <= 50, bounded). The window
+    * partitions on (doc_a, doc_b, diag) — high cardinality, no skew.
+    * At 100 TB the df band is the knob; the plan shape is fixed.
+    */
+  def crossDocSpans(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val toksDf = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(gramHashes(col("toks"), K)))
+      .toDF("doc_id", "pos", "h")
+      .localCheckpoint(true) // shared by the df-prune AND both join sides
+    val keep = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("cd"))
+      .filter(col("cd").between(2, 50)).select(col("h"))
+    val gk = grams.join(keep, Seq("h"))
+    val m = gk.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(gk.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")),
+        Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    m.withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pa") - col("pb")).as("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_spans"),
+        (max(col("run_len")) + lit(K - 1).cast("long")).as("max_span_tokens"),
+        sum(col("run_len")).as("shared_grams"))
+  }
+
+  /** Blocked fuzzy-match census — record-linkage screening by EDIT
+    * distance, the channel none of the token/bit sketches cover
+    * (typo-level variation preserves shingle sets poorly and char
+    * order entirely; Levenshtein sees both). Candidate pairs are
+    * blocked on (source, length-bucket of 16 chars) — near-identical
+    * records land in the same bucket — and each pair is scored by
+    * levenshtein over the 48-char normalized prefix (bounded cost per
+    * pair, the standard linkage trick). Emits a per-source census
+    * (pair volume, close matches at distance <= 24, the minimum
+    * distance seen) so the output hash pins EVERY pair's distance in
+    * aggregate, not just the matches.
+    *
+    * Scale: quadratic only within a (source, bucket) block; block
+    * size is data-bounded (length histogram), and at 100 TB the
+    * blocking key widens (e.g. + simhash band) before block size
+    * grows — the LSH operators here compose as a pre-filter.
+    */
+  def fuzzyMatchCensus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        substring(normText(col("text")), 1, 48).as("pfx"),
+        (col("n_chars") / 16).cast("long").as("lb"))
+      .localCheckpoint(true)
+    val a = base.select(col("source"), col("lb"),
+      col("doc_id").as("doc_a"), col("pfx").as("pfx_a"))
+    val b = base.select(col("source"), col("lb"),
+      col("doc_id").as("doc_b"), col("pfx").as("pfx_b"))
+    val pairs = a.join(b, Seq("source", "lb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"))
+    val perSource = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lb")).as("n_blocks"))
+    perSource.join(
+        pairs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dist") <= 24, 1L).otherwise(0L)).as("n_close"),
+            min(col("dist")).as("min_dist")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_blocks"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"), col("min_dist"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "cross_doc_spans" -> (crossDocSpans _),
+    "fuzzy_match_census" -> (fuzzyMatchCensus _),
     "dedup_exact" -> (dedupExact _),
     "dedup_containment" -> (dedupContainment _),
     "minhash_signature" -> (minhashSignature _),
@@ -936,6 +1034,67 @@ object Dedup {
     .mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // positional 8-gram hashes (raw hash60 — equality-joined only, no
+    // second derivation, so no mod-P reduction needed); df band 2..50;
+    // islands via pos - row_number per (pair, diagonal); counts cast
+    // BIGINT (DuckDB widens sum to HUGEINT)
+    "cross_doc_spans" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |g AS (
+         | SELECT doc_id,
+         |  unnest(CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos,
+         |  unnest(CASE WHEN len(w) >= 8
+         |   THEN list_transform(range(0, len(w) - 7),
+         |     i -> ('0x' || substr(md5(array_to_string(
+         |            w[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')), 1, 15))::BIGINT)
+         |   ELSE [] END) AS h
+         | FROM toks),
+         |keep AS (
+         | SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS cd FROM g GROUP BY 1)
+         | WHERE cd BETWEEN 2 AND 50),
+         |gk AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN keep USING (h)),
+         |m AS (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         | FROM gk a JOIN gk b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |runs AS (
+         | SELECT doc_a, doc_b, count(*) AS run_len
+         | FROM (SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         |        pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+         |                                ORDER BY pa) AS grp
+         |       FROM m)
+         | GROUP BY doc_a, doc_b, diag, grp)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+         | CAST(max(run_len) + 7 AS BIGINT) AS max_span_tokens,
+         | CAST(sum(run_len) AS BIGINT) AS shared_grams
+         |FROM runs GROUP BY 1, 2""".stripMargin,
+
+    // blocked levenshtein over 48-char normalized prefixes; census per
+    // source so the hash pins every pair distance; LEFT JOIN keeps
+    // pairless sources (n_pairs 0, min_dist NULL)
+    "fuzzy_match_census" ->
+      s"""WITH b AS (
+         | SELECT doc_id, source, substr($normSql, 1, 48) AS pfx,
+         |  n_chars // 16 AS lb
+         | FROM documents),
+         |p AS (
+         | SELECT a.source, levenshtein(a.pfx, b2.pfx) AS dist
+         | FROM b a JOIN b b2 ON a.source = b2.source AND a.lb = b2.lb
+         |  AND a.doc_id < b2.doc_id),
+         |ps AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lb) AS BIGINT) AS n_blocks
+         | FROM b GROUP BY 1),
+         |agg AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN dist <= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+         |  CAST(min(dist) AS BIGINT) AS min_dist
+         | FROM p GROUP BY 1)
+         |SELECT ps.source, ps.n_docs, ps.n_blocks,
+         | coalesce(agg.n_pairs, 0) AS n_pairs,
+         | coalesce(agg.n_close, 0) AS n_close, agg.min_dist
+         |FROM ps LEFT JOIN agg USING (source)""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS dup_count

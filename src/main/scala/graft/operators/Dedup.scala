@@ -905,8 +905,54 @@ object Dedup {
         coalesce(col("n_close"), lit(0L)).as("n_close"), col("min_dist"))
   }
 
+  /** Duplicate-span COVERAGE screening for crawl ingest — the
+    * incremental sibling of [[crossDocSpans]], and the shape that
+    * actually runs at 100 TB: instead of enumerating pairs, each new
+    * document is scored by how much of it is covered by 8-token
+    * windows already present anywhere in the corpus (a crawl filter
+    * drops or trims docs above a coverage threshold). Split follows
+    * containment_incremental (doc_id % 7 == 3 stands in for today's
+    * arrivals; the generator's duplicate pairs preserve mod 10, so a
+    * mod-10 split would never cross the batch boundary).
+    *
+    * Plan: ONE tokenize pass shared by both sides (localCheckpoint);
+    * the corpus side collapses to a DISTINCT gram-hash set; the batch
+    * side keeps positions; membership is an equi-join (semi by
+    * construction — the right side is distinct), then covered token
+    * positions are the distinct union of each hit's 8-wide window.
+    * No pair enumeration anywhere — cost is linear in corpus grams +
+    * batch hits. At 100 TB the distinct corpus set partitions by hash
+    * (uniform, no skew) and composes with bloom_prune_join's sketch
+    * screen to skip the shuffle for miss-dominated batches.
+    */
+  def spanCoverageIncremental(s: SparkSession, d: String): DataFrame = {
+    val K = 8
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        gramHashes(col("toks"), K).as("gh"))
+      .localCheckpoint(true) // shared: corpus set, batch grams, batch totals
+    val corpus = base.filter(pmod(col("doc_id"), lit(IncrMod)) =!= IncrRem)
+      .select(explode(col("gh")).as("h")).distinct()
+    val hits = base.filter(pmod(col("doc_id"), lit(IncrMod)) === IncrRem)
+      .select(col("doc_id"), posexplode(col("gh")))
+      .toDF("doc_id", "pos", "h")
+      .join(corpus, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(K - 1))).as("p"))
+    val cov = hits.groupBy(col("doc_id"))
+      .agg(countDistinct(col("p")).as("covered"))
+    base.filter(pmod(col("doc_id"), lit(IncrMod)) === IncrRem)
+      .select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        expr("(1000000 * coalesce(covered, 0)) div n_tokens").as("covered_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cross_doc_spans" -> (crossDocSpans _),
+    "span_coverage_incremental" -> (spanCoverageIncremental _),
     "fuzzy_match_census" -> (fuzzyMatchCensus _),
     "dedup_exact" -> (dedupExact _),
     "dedup_containment" -> (dedupContainment _),
@@ -1068,6 +1114,36 @@ object Dedup {
          | CAST(max(run_len) + 7 AS BIGINT) AS max_span_tokens,
          | CAST(sum(run_len) AS BIGINT) AS shared_grams
          |FROM runs GROUP BY 1, 2""".stripMargin,
+
+    // membership (not pairs): DISTINCT corpus gram set, batch-side
+    // positional grams, covered = distinct union of 8-wide hit windows;
+    // mod-7 split per containment_incremental (dup pairs preserve mod 10)
+    "span_coverage_incremental" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |g AS (
+         | SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  unnest(CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos,
+         |  unnest(CASE WHEN len(w) >= 8
+         |   THEN list_transform(range(0, len(w) - 7),
+         |     i -> ('0x' || substr(md5(array_to_string(
+         |            w[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')), 1, 15))::BIGINT)
+         |   ELSE [] END) AS h
+         | FROM toks),
+         |corpus AS (SELECT DISTINCT h FROM g WHERE doc_id % $IncrMod <> $IncrRem),
+         |hits AS (
+         | SELECT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS p
+         | FROM g JOIN corpus USING (h) WHERE g.doc_id % $IncrMod = $IncrRem),
+         |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS covered
+         |        FROM hits GROUP BY 1),
+         |batch AS (
+         | SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks
+         | WHERE doc_id % $IncrMod = $IncrRem)
+         |SELECT b.doc_id, b.n_tokens,
+         | coalesce(c.covered, 0) AS covered_tokens,
+         | CAST((1000000 * coalesce(c.covered, 0)) // b.n_tokens AS BIGINT)
+         |  AS covered_ppm
+         |FROM batch b LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
     // blocked levenshtein over 48-char normalized prefixes; census per
     // source so the hash pins every pair distance; LEFT JOIN keeps

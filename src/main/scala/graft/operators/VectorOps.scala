@@ -194,7 +194,53 @@ object VectorOps {
           .as("v1"))
   }
 
+  /** Representative (exemplar) selection per embedding cluster — the
+    * coreset step of semantic curation: each label keeps the member
+    * closest to its own centroid (SemDeDup-style "keep one per
+    * semantic cluster"; downstream mixes train on representatives +
+    * weights instead of the full corpus).
+    *
+    * Exact-integer argmin, no centroid division: minimizing
+    * ||x - S/n||^2 over members is minimizing
+    * f(x) = n*<x,x> - 2*<x,S> (S = exact micro-sum vector, n = member
+    * count) — all long arithmetic, headroom to ~1e5 members/label at
+    * 64 dims (|f| <= n * 64 * (5e5)^2 ~ 1.6e12 * n). Ties break on
+    * vec_id via lexicographic min_by struct.
+    *
+    * Scale shape: one explode pass builds the (labels x dims) sum
+    * table (map-side partial agg), which broadcasts back; the argmin
+    * is a min_by hash aggregate on label — one corpus-sized shuffle
+    * total, no window, no pair join. Label skew is bounded by cluster
+    * balance; a hot label salts like salted_event_agg.
+    */
+  def clusterRepresentatives(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("xm"))
+    val sums = e.select(col("label"), posexplode(col("xm")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(sum(col("x")).as("sj"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("sj")))),
+        p => p.getField("sj")).as("sv")) // collect_list is label-bounded (64 dims)
+    val n = e.groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+    def dotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    e.join(broadcast(sums), Seq("label"))
+      .join(broadcast(n), Seq("label"))
+      .select(col("label"), col("vec_id"), col("n_members"),
+        (col("n_members") * dotL(col("xm"), col("xm")) -
+          lit(2L) * dotL(col("xm"), col("sv"))).as("score"))
+      .groupBy(col("label"))
+      .agg(max(col("n_members")).as("n_members"),
+        min_by(struct(col("vec_id"), col("score")),
+          struct(col("score"), col("vec_id"))).as("best"))
+      .select(col("label").cast("long").as("label"), col("n_members"),
+        col("best.vec_id").as("rep_vec_id"), col("best.score").as("rep_score"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "cluster_representatives" -> (clusterRepresentatives _),
     "embedding_standardize" -> (embeddingStandardize _),
     "knn_graph" -> ((s, d) => knnGraph(s, d)),
     "embedding_quantize" -> (embeddingQuantize _),
@@ -203,6 +249,35 @@ object VectorOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact-integer argmin: f(x) = n*<x,x> - 2*<x,S> in pure BIGINT
+    // (list_sum widens to HUGEINT -> cast back); ties on vec_id
+    "cluster_representatives" ->
+      """WITH e AS (
+        | SELECT vec_id, label, list_transform(embedding::DOUBLE[],
+        |   v -> CAST(round(v * 1e6) AS BIGINT)) AS xm
+        | FROM embeddings),
+        |sums AS (
+        | SELECT label, list(sj ORDER BY dim) AS sv FROM (
+        |  SELECT label, dim, CAST(sum(x) AS BIGINT) AS sj
+        |  FROM (SELECT label, unnest(xm) AS x,
+        |        unnest(range(0, len(xm))) AS dim FROM e)
+        |  GROUP BY 1, 2)
+        | GROUP BY label),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+        |      FROM e GROUP BY 1),
+        |scored AS (
+        | SELECT e.label, e.vec_id, n.n_members,
+        |  n.n_members * CAST(list_sum(list_transform(e.xm, v -> v * v)) AS BIGINT)
+        |   - 2 * CAST(list_sum(list_transform(range(0, len(e.xm)),
+        |       i -> e.xm[CAST(i + 1 AS INT)] * sums.sv[CAST(i + 1 AS INT)]))
+        |     AS BIGINT) AS score
+        | FROM e JOIN sums USING (label) JOIN n USING (label))
+        |SELECT CAST(label AS BIGINT) AS label, n_members,
+        | vec_id AS rep_vec_id, score AS rep_score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY label
+        |       ORDER BY score, vec_id) AS rn FROM scored)
+        |WHERE rn = 1""".stripMargin,
+
     // integer-micros lane end-to-end; HUGEINT norm == Spark DECIMAL(38,0)
     "embedding_pca_step" ->
       """WITH e AS (

@@ -411,6 +411,64 @@ object StreamingOps {
         col("m.cont").as("best_cont"), (-col("m.neg")).as("best_match"))
   }
 
+  /** Stream-static duplicate-span coverage twin of
+    * Dedup.spanCoverageIncremental: the corpus side is a STATIC
+    * distinct 8-gram-hash set; arriving docs join it by membership
+    * (no pair enumeration), and covered token positions accumulate as
+    * a per-doc position SET inside a single update-mode aggregation
+    * (collect_set — one stateful operator, so no multi-stateful
+    * restriction; state per doc is bounded by its token count).
+    * Emits matched docs only; the batch operator's zero rows are a
+    * batch-side fill.
+    */
+  def spanCoverageStream(spark: SparkSession, newDocs: DataFrame,
+                         staticDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val K = 8
+    val corpus = graft.Tables.documents(spark, staticDir)
+      .filter(pmod(col("doc_id"), lit(graft.operators.Dedup.IncrMod)) =!=
+        graft.operators.Dedup.IncrRem)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(gramHashes(col("toks"), K)).as("h")).distinct()
+    val batch = newDocs
+      .filter(pmod(col("doc_id"), lit(graft.operators.Dedup.IncrMod)) ===
+        graft.operators.Dedup.IncrRem)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(gramHashes(col("toks"), K)))
+      .toDF("doc_id", "n_tokens", "pos", "h")
+    batch.join(corpus, Seq("h"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(col("pos"), col("pos") + lit(K - 1))).as("p"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(size(collect_set(col("p"))).cast("long").as("covered_tokens"))
+  }
+
+  /** Streaming driver for spanCoverageStream (update mode, memory
+    * sink): final state per doc = max covered count (monotone under
+    * accumulation), ppm derived after.
+    */
+  def runSpanCoverageOnce(spark: SparkSession, dir: String,
+                          queryName: String): DataFrame =
+    runSpanCoverage(spark, readDocuments(spark, dir), dir, queryName)
+
+  def runSpanCoverage(spark: SparkSession, newDocs: DataFrame, dir: String,
+                      queryName: String): DataFrame = {
+    val q = spanCoverageStream(spark, newDocs, dir)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(max(col("covered_tokens")).as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+        expr("(1000000 * covered_tokens) div n_tokens").as("covered_ppm"))
+  }
+
   /** Streaming driver for incrementalContainmentStream (update mode,
     * memory sink), final-state-per-new_id like the dedup runner.
     */

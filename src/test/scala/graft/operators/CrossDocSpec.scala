@@ -68,6 +68,30 @@ class CrossDocSpec extends SparkTestBase {
     assert(got.values.forall { case (ns, mx, sh) => mx >= K && sh >= ns })
   }
 
+  test("span_coverage_incremental equals an in-memory membership replay") {
+    val K = 8
+    val all = docs().map { case (id, text, _) => (id, norm(text).split(" ")) }
+    def gramsOf(w: Array[String]): Seq[(Int, Long)] =
+      if (w.length < K) Seq.empty
+      else (0 to w.length - K).map(i => (i, hash60(w.slice(i, i + K).mkString(" "))))
+    val isBatch = (id: Long) => id % 7 == 3
+    val corpusSet = all.filterNot(d => isBatch(d._1))
+      .flatMap(d => gramsOf(d._2).map(_._2)).toSet
+    val expected = all.filter(d => isBatch(d._1)).map { case (id, w) =>
+      val covered = gramsOf(w)
+        .filter(g => corpusSet.contains(g._2))
+        .flatMap { case (p, _) => p until (p + K) }.distinct.size.toLong
+      id -> ((w.length.toLong, covered,
+        1000000L * covered / w.length))
+    }.toMap
+    val got = Dedup.spanCoverageIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0), "some batch doc must have corpus coverage")
+    // coverage never exceeds the doc
+    assert(got.values.forall { case (n, c, _) => c <= n })
+  }
+
   test("fuzzy_match_census: Spark levenshtein equals textbook DP over all blocked pairs") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

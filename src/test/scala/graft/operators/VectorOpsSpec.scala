@@ -122,4 +122,28 @@ class VectorOpsSpec extends SparkTestBase {
     val norm1 = math.sqrt(got.toSeq.map { case (_, _, v) => v * v }.sum)
     assert(math.abs(norm1 - 1.0) < 1e-3)
   }
+
+  test("cluster_representatives equals an exact integer driver replay") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(round(cast(x as double) * 1e6) as bigint)) as xm")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val expected = vecs.groupBy(_._2).map { case (label, members) =>
+      val n = members.length.toLong
+      val sv = members.map(_._3).transpose.map(_.sum)
+      val best = members.map { case (id, _, xm) =>
+        val xx = xm.map(v => v * v).sum
+        val xs = xm.zip(sv).map { case (a, b) => a * b }.sum
+        (n * xx - 2L * xs, id)
+      }.min
+      label.toLong -> ((n, best._2, best._1))
+    }
+    val got = VectorOps.clusterRepresentatives(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // the representative really is a member of its cluster
+    val membership = vecs.map(v => (v._2.toLong, v._1)).toSet
+    assert(got.forall { case (l, (_, rep, _)) => membership((l, rep)) })
+  }
 }

@@ -165,6 +165,27 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("stream-static span coverage == batch span_coverage_incremental (matched subset)") {
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = asSet(graft.operators.Dedup.spanCoverageIncremental(spark, sf)
+      .filter(col("covered_tokens") > 0))
+    assert(batch.nonEmpty)
+    // single batch
+    val single = asSet(StreamingOps.runSpanCoverageOnce(spark, sf, "span_cov_single"))
+    assert(single == batch)
+    // multi-batch: 4 files, one per trigger — per-doc covered-position
+    // sets accumulate in update-mode state; final rows must still match
+    val dir = "target/stream_spancov_multi"
+    graft.Tables.documents(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(graft.Tables.documents(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val multi = asSet(StreamingOps.runSpanCoverage(spark, src, sf, "span_cov_multi"))
+    assert(multi == batch)
+  }
+
   test("streaming anomaly monitor == batch anomaly_days (single and multi-batch)") {
     def batchSet = graft.operators.Temporal.anomalyDays(spark, sf).collect()
       .map(r => (r.getString(0),

@@ -340,7 +340,72 @@ object TrainPrep {
           .otherwise("test").as("split"))
   }
 
+  /** Naive-Bayes domain attribution — classify every document against
+    * K=4 domain language models and report the confusion census, the
+    * mechanism behind domain-weighted corpus mixing (CCNet-style LM
+    * routing: train one LM per domain, assign each doc to its argmax
+    * domain, then weight domains in the mixture). Domains here are a
+    * stable hash bucket of `source` (a stand-in for a real taxonomy;
+    * K is a model hyperparameter, NOT data-driven — the class count
+    * stays 4 no matter how the corpus grows, so the doc x class
+    * expansion is a constant factor, never a scale term).
+    *
+    * Lane: add-one-smoothed negative log-likelihood per (domain,
+    * term), quantized to integer nanonats in the K x V model table
+    * (bigram_lm_score discipline — two ln calls on integer-valued
+    * doubles, one rounding); per-doc scores are exact long sums of
+    * tf * nll, argmin by (score, domain) struct — engine-independent.
+    *
+    * Plan: ONE corpus tokenize -> (doc, term) tf aggregate (the only
+    * data-sized shuffle, checkpointed for the model + scoring reads);
+    * the model is dimension-tiny and broadcasts; scoring is a
+    * broadcast join + two hash aggregates keyed by doc.
+    */
+  def nbDomainAttribution(s: SparkSession, d: String): DataFrame = {
+    val K = 4
+    val tfc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        pmod(graft.functions.Hash60.hash60(col("source")), lit(K.toLong))
+          .as("dom_true"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("dom_true"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // read by the model build AND the scorer
+    val cnt = tfc.groupBy(col("dom_true").as("dom"), col("term"))
+      .agg(sum(col("tf")).as("c"))
+    val tot = cnt.groupBy(col("dom")).agg(sum(col("c")).as("t"))
+    val vocab = cnt.select(col("term")).distinct()
+    val v = vocab.agg(count(lit(1)).as("v"))
+    val model = tot.crossJoin(vocab).crossJoin(broadcast(v))
+      .join(cnt, Seq("dom", "term"), "left")
+      .select(col("dom"), col("term"),
+        round((log((col("t") + col("v")).cast("double")) -
+          log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double"))) *
+          lit(1e9)).cast("long").as("nll_n"))
+    // WIDE model (one row per term, K nll columns): the score join
+    // keeps the tf row count flat instead of multiplying it by K, and
+    // all K scores ride ONE hash aggregate keyed by doc (measured
+    // 6.5 s -> see PLANS.md; the K-row form paid a 4x exchange).
+    val nllCols = (0 until K).map(k =>
+      sum(when(col("dom") === k, col("nll_n"))).as(s"nll_$k"))
+    val wide = model.groupBy(col("term")).agg(nllCols.head, nllCols.tail: _*)
+    val sCols = (0 until K).map(k =>
+      sum(col("tf") * col(s"nll_$k")).as(s"s_$k"))
+    val scored = tfc.join(broadcast(wide), Seq("term"))
+      .groupBy(col("doc_id"), col("dom_true"))
+      .agg(sCols.head, sCols.tail: _*)
+    // argmin with lowest-domain tie-break: array_position finds the
+    // FIRST index holding the min
+    val arr = array((0 until K).map(k => col(s"s_$k")): _*)
+    scored
+      .select(col("dom_true"),
+        (array_position(arr, array_min(arr)) - 1L).as("dom_pred"))
+      .groupBy(col("dom_true"), col("dom_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "nb_domain_attribution" -> (nbDomainAttribution _),
     "unigram_lm_score" -> (unigramLmScore _),
     "bigram_lm_score" -> (bigramLmScore _),
     "dup_span_detect" -> (dupSpanDetect _),
@@ -356,6 +421,42 @@ object TrainPrep {
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   val oracleSql: Map[String, String] = Map(
+    // K x V model table with per-(domain, term) nanonat NLL (two ln
+    // calls on integer-valued doubles, one rounding — identical both
+    // engines); per-doc scores exact long sums; argmin ties on domain
+    "nb_domain_attribution" ->
+      s"""WITH toks AS (
+         | SELECT doc_id,
+         |  ('0x' || substr(md5(source), 1, 15))::BIGINT % 4 AS dom_true,
+         |  unnest(string_split($normSql, ' ')) AS term
+         | FROM documents),
+         |tfc AS (
+         | SELECT doc_id, dom_true, term, CAST(count(*) AS BIGINT) AS tf
+         | FROM toks GROUP BY 1, 2, 3),
+         |cnt AS (SELECT dom_true AS dom, term, CAST(sum(tf) AS BIGINT) AS c
+         |        FROM tfc GROUP BY 1, 2),
+         |tot AS (SELECT dom, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+         |vocab AS (SELECT DISTINCT term FROM cnt),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |model AS (
+         | SELECT tot.dom, vocab.term,
+         |  CAST(round((ln(CAST(tot.t + vv.v AS DOUBLE))
+         |    - ln(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE))) * 1e9) AS BIGINT)
+         |   AS nll_n
+         | FROM tot CROSS JOIN vocab CROSS JOIN vv
+         | LEFT JOIN cnt ON cnt.dom = tot.dom AND cnt.term = vocab.term),
+         |scored AS (
+         | SELECT tfc.doc_id, tfc.dom_true, model.dom AS dom_cand,
+         |  CAST(sum(tfc.tf * model.nll_n) AS BIGINT) AS score
+         | FROM tfc JOIN model ON model.term = tfc.term
+         | GROUP BY 1, 2, 3),
+         |pred AS (
+         | SELECT doc_id, dom_true, dom_cand AS dom_pred FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score, dom_cand) AS rn FROM scored) WHERE rn = 1)
+         |SELECT dom_true, dom_pred, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pred GROUP BY 1, 2""".stripMargin,
+
     // per-BIGRAM term quantized to integer nanonats in the <=V^2 model
     // table (identical rounding both engines); per-occurrence long sum
     // is exact and order-free; sum cast BIGINT (DuckDB widens)

@@ -212,4 +212,39 @@ class TrainPrepSpec extends SparkTestBase {
     // add-one smoothing: ln(c1+V) > ln(cbg+1) since c1 >= cbg, V >= 1
     got.foreach { case (_, _, nll) => assert(nll > 0) }
   }
+
+  test("nb_domain_attribution: equals NB driver replay; census masses conserve") {
+    def toks(t: String): Array[String] =
+      t.replaceAll("[^a-zA-Z0-9\\s]", " ").replaceAll("\\s+", " ")
+        .trim.toLowerCase.split(" ")
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), hash60(r.getString(1)) % 4, toks(r.getString(2))))
+    val cnt = docs.flatMap { case (_, dm, w) => w.map(t => (dm, t)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tot = cnt.groupBy(_._1._1).map { case (dm, m) => dm -> m.values.sum }
+    val vocab = cnt.keySet.map(_._2)
+    val vocabV = vocab.size.toLong
+    def nllN(dm: Long, t: String): Long = {
+      val term = math.log((tot(dm) + vocabV).toDouble) -
+        math.log((cnt.getOrElse((dm, t), 0L) + 1L).toDouble)
+      BigDecimal(term * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = docs.map { case (_, dmTrue, w) =>
+      val tf = w.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+      val pred = (0L until 4L).map(dm =>
+        (tf.map { case (t, f) => f * nllN(dm, t) }.sum, dm)).min._2
+      (dmTrue, pred)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = TrainPrep.nbDomainAttribution(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // every doc is classified exactly once
+    assert(got.values.sum == docs.length.toLong)
+  }
 }

@@ -269,4 +269,33 @@ class SketchSpec extends SparkTestBase {
       .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).sum }
     assert(mergedRegs == byBucket)
   }
+
+  test("join_size_estimate: AGMS unbiased vs CM overestimate; exact equals replay") {
+    val rows = Sketch.joinSizeEstimate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 4)
+    val exact = rows.head._4
+    // exact join size replay from the raw tables
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val od = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactReplay = ev.map { case (k, f) => f * od.getOrElse(k, 0L) }.sum
+    assert(exact == exactReplay)
+    // CM inner product can never underestimate the true join size
+    rows.foreach { case (_, cm, _, ex, _, _) => assert(cm >= ex) }
+    // cm_min / agms_med2x are consistent with the per-row columns
+    assert(rows.map(_._2).min == rows.head._5)
+    val sorted = rows.map(_._3).sorted
+    assert(sorted(1) + sorted(2) == rows.head._6)
+    // the signed estimator is unbiased: within 30% at this tiny sf
+    // (at sf0.001 CM's bias |E||O|/m is comparable to AGMS's variance,
+    // so no ordering claim here; the sf0.01 oracle pins exact values
+    // and the measured sf0.01 gap is +155% CM vs ~6% AGMS)
+    val agmsMed = rows.head._6 / 2.0
+    assert(math.abs(agmsMed - exact) < 0.3 * exact + 100)
+  }
 }

@@ -173,13 +173,25 @@ object CorpusAnalytics {
     * the top-k terms + an OOV bucket per source (vocab_coverage's
     * discipline) before pairing; the plan shape is unchanged.
     */
-  def sourceDivergence(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
+  def sourceDivergence(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val tfLazy = Tables.documents(s, d)
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // sources x vocab — reused four times below
+    val tf = if (materialize) tfLazy.localCheckpoint(true) else tfLazy // sources x vocab — reused four times below
+    // literal caps make the pairwise expansion PROVABLY bounded (the
+    // PlanGuardSpec BNLJ lint requires a bounding node in every
+    // nested-loop broadcast side): top-256 sources by token mass and
+    // top-4096 terms by corpus count — no-ops on this corpus (20/200
+    // sources, ~31/310 terms), the documented cap discipline at scale
+    val srcW = Window.orderBy(col("t").desc, col("source"))
     val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
-    val vocab = tf.select(col("term")).distinct()
+      .withColumn("srk", row_number().over(srcW))
+      .filter(col("srk") <= 256).drop("srk")
+    val vocW = Window.orderBy(col("cnt").desc, col("term"))
+    val vocab = tf.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
+      .withColumn("vrk", row_number().over(vocW))
+      .filter(col("vrk") <= 4096).select(col("term"))
     val pairs = tot.select(col("source").as("src_a"), col("t").as("tta"))
       .crossJoin(broadcast(tot.select(col("source").as("src_b"), col("t").as("ttb"))))
       .filter(col("src_a") < col("src_b"))
@@ -208,7 +220,7 @@ object CorpusAnalytics {
   }
 
   val queries: Map[String, Relational.Q] = Map(
-    "source_divergence" -> (sourceDivergence _),
+    "source_divergence" -> ((s: SparkSession, d: String) => sourceDivergence(s, d)),
     "source_overlap" -> (sourceOverlap _),
     "percentile_filter" -> (percentileFilter _),
     "decay_score" -> (decayScore _),
@@ -231,7 +243,15 @@ object CorpusAnalytics {
          | FROM documents),
          |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
          |       FROM toks GROUP BY 1, 2),
-         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM tf GROUP BY 1),
+         |tot AS (
+         | SELECT source, t FROM (
+         |  SELECT source, CAST(sum(c) AS BIGINT) AS t,
+         |   row_number() OVER (ORDER BY CAST(sum(c) AS BIGINT) DESC, source) AS srk
+         |  FROM tf GROUP BY 1) WHERE srk <= 256),
+         |voc AS (
+         | SELECT term FROM (
+         |  SELECT term, row_number() OVER (ORDER BY CAST(sum(c) AS BIGINT) DESC, term) AS vrk
+         |  FROM tf GROUP BY 1) WHERE vrk <= 4096),
          |pairs AS (
          | SELECT a.source AS src_a, a.t AS tta, b.source AS src_b, b.t AS ttb
          | FROM tot a JOIN tot b ON a.source < b.source),
@@ -239,7 +259,7 @@ object CorpusAnalytics {
          | SELECT p.src_a, p.src_b, p.tta, p.ttb,
          |  coalesce(fa.c, 0) AS ca, coalesce(fb.c, 0) AS cb
          | FROM pairs p
-         | CROSS JOIN (SELECT DISTINCT term FROM tf) v
+         | CROSS JOIN voc v
          | LEFT JOIN tf fa ON fa.source = p.src_a AND fa.term = v.term
          | LEFT JOIN tf fb ON fb.source = p.src_b AND fb.term = v.term),
          |terms AS (

@@ -831,14 +831,15 @@ object Dedup {
     * partitions on (doc_a, doc_b, diag) — high cardinality, no skew.
     * At 100 TB the df band is the knob; the plan shape is fixed.
     */
-  def crossDocSpans(s: SparkSession, d: String): DataFrame = {
+  def crossDocSpans(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
     val K = 8
     val toksDf = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val grams = toksDf
+    val gramsLazy = toksDf
       .select(col("doc_id"), posexplode(gramHashes(col("toks"), K)))
       .toDF("doc_id", "pos", "h")
-      .localCheckpoint(true) // shared by the df-prune AND both join sides
+    val grams = if (materialize) gramsLazy.localCheckpoint(true) else gramsLazy // shared by the df-prune AND both join sides
     val keep = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("cd"))
       .filter(col("cd").between(2, 50)).select(col("h"))
@@ -877,12 +878,13 @@ object Dedup {
     * blocking key widens (e.g. + simhash band) before block size
     * grows — the LSH operators here compose as a pre-filter.
     */
-  def fuzzyMatchCensus(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  def fuzzyMatchCensus(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val baseLazy = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         substring(normText(col("text")), 1, 48).as("pfx"),
         (col("n_chars") / 16).cast("long").as("lb"))
-      .localCheckpoint(true)
+    val base = if (materialize) baseLazy.localCheckpoint(true) else baseLazy
     val a = base.select(col("source"), col("lb"),
       col("doc_id").as("doc_a"), col("pfx").as("pfx_a"))
     val b = base.select(col("source"), col("lb"),
@@ -925,13 +927,14 @@ object Dedup {
     * (uniform, no skew) and composes with bloom_prune_join's sketch
     * screen to skip the shuffle for miss-dominated batches.
     */
-  def spanCoverageIncremental(s: SparkSession, d: String): DataFrame = {
+  def spanCoverageIncremental(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
     val K = 8
-    val base = Tables.documents(s, d)
+    val baseLazy = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         gramHashes(col("toks"), K).as("gh"))
-      .localCheckpoint(true) // shared: corpus set, batch grams, batch totals
+    val base = if (materialize) baseLazy.localCheckpoint(true) else baseLazy // shared: corpus set, batch grams, batch totals
     val corpus = base.filter(pmod(col("doc_id"), lit(IncrMod)) =!= IncrRem)
       .select(explode(col("gh")).as("h")).distinct()
     val hits = base.filter(pmod(col("doc_id"), lit(IncrMod)) === IncrRem)
@@ -951,9 +954,9 @@ object Dedup {
   }
 
   val queries: Map[String, Relational.Q] = Map(
-    "cross_doc_spans" -> (crossDocSpans _),
-    "span_coverage_incremental" -> (spanCoverageIncremental _),
-    "fuzzy_match_census" -> (fuzzyMatchCensus _),
+    "cross_doc_spans" -> ((s: SparkSession, d: String) => crossDocSpans(s, d)),
+    "span_coverage_incremental" -> ((s: SparkSession, d: String) => spanCoverageIncremental(s, d)),
+    "fuzzy_match_census" -> ((s: SparkSession, d: String) => fuzzyMatchCensus(s, d)),
     "dedup_exact" -> (dedupExact _),
     "dedup_containment" -> (dedupContainment _),
     "minhash_signature" -> (minhashSignature _),

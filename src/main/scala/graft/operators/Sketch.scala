@@ -459,7 +459,8 @@ object Sketch {
     * verification baseline; at 100 TB you run only the sketches:
     * 4096-row register tables, map-side partials, merged in O(m).
     */
-  def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
+  def joinSizeEstimate(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
     def sketch(df: DataFrame, key: Column): DataFrame =
       df.select(key.cast("string").as("k"))
         .select(explode(array((0 until 4).map { i =>
@@ -474,11 +475,11 @@ object Sketch {
     val re = sketch(Tables.events(s, d), col("user_id"))
     val ro = sketch(Tables.orders(s, d), col("o_custkey"))
       .withColumnRenamed("c", "co").withColumnRenamed("cs", "cso")
-    val est = re.join(ro, Seq("row_i", "bucket"))
+    val estLazy = re.join(ro, Seq("row_i", "bucket"))
       .groupBy(col("row_i"))
       .agg(sum(col("c") * col("co")).as("cm_est"),
         sum(col("cs") * col("cso")).as("agms_est"))
-      .localCheckpoint(true) // 4 rows; read by the summary AND the output
+    val est = if (materialize) estLazy.localCheckpoint(true) else estLazy // 4 rows; read by the summary AND the output
     val fe = Tables.events(s, d).groupBy(col("user_id").as("k"))
       .agg(count(lit(1)).as("f"))
     val fo = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
@@ -496,7 +497,7 @@ object Sketch {
   }
 
   val queries: Map[String, Relational.Q] = Map(
-    "join_size_estimate" -> (joinSizeEstimate _),
+    "join_size_estimate" -> ((s: SparkSession, d: String) => joinSizeEstimate(s, d)),
     "heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "token_freq_spectrum" -> (tokenFreqSpectrum _),
     "hll_distinct" -> ((s, d) => hllDistinct(s, d)),

@@ -361,20 +361,30 @@ object TrainPrep {
     * the model is dimension-tiny and broadcasts; scoring is a
     * broadcast join + two hash aggregates keyed by doc.
     */
-  def nbDomainAttribution(s: SparkSession, d: String): DataFrame = {
+  def nbDomainAttribution(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
     val K = 4
-    val tfc = Tables.documents(s, d)
+    val tfcLazy = Tables.documents(s, d)
       .select(col("doc_id"),
         pmod(graft.functions.Hash60.hash60(col("source")), lit(K.toLong))
           .as("dom_true"),
         explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("dom_true"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // read by the model build AND the scorer
+    val tfc = if (materialize) tfcLazy.localCheckpoint(true) else tfcLazy // read by the model build AND the scorer
     val cnt = tfc.groupBy(col("dom_true").as("dom"), col("term"))
       .agg(sum(col("tf")).as("c"))
+    // literal bounds so the model cross-expansion is provably finite
+    // (PlanGuardSpec BNLJ lint): dom is 0..3 by pmod construction,
+    // vocab capped at the top-4096 terms by corpus count (a no-op on
+    // this corpus; the cap-plus-OOV-bucket discipline at scale)
     val tot = cnt.groupBy(col("dom")).agg(sum(col("c")).as("t"))
-    val vocab = cnt.select(col("term")).distinct()
+      .filter(col("dom").between(0, 3))
+    val vocW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cw").desc, col("term"))
+    val vocab = cnt.groupBy(col("term")).agg(sum(col("c")).as("cw"))
+      .withColumn("vrk", row_number().over(vocW))
+      .filter(col("vrk") <= 4096).select(col("term"))
     val v = vocab.agg(count(lit(1)).as("v"))
     val model = tot.crossJoin(vocab).crossJoin(broadcast(v))
       .join(cnt, Seq("dom", "term"), "left")
@@ -405,7 +415,7 @@ object TrainPrep {
   }
 
   val queries: Map[String, Relational.Q] = Map(
-    "nb_domain_attribution" -> (nbDomainAttribution _),
+    "nb_domain_attribution" -> ((s: SparkSession, d: String) => nbDomainAttribution(s, d)),
     "unigram_lm_score" -> (unigramLmScore _),
     "bigram_lm_score" -> (bigramLmScore _),
     "dup_span_detect" -> (dupSpanDetect _),
@@ -435,8 +445,12 @@ object TrainPrep {
          | FROM toks GROUP BY 1, 2, 3),
          |cnt AS (SELECT dom_true AS dom, term, CAST(sum(tf) AS BIGINT) AS c
          |        FROM tfc GROUP BY 1, 2),
-         |tot AS (SELECT dom, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
-         |vocab AS (SELECT DISTINCT term FROM cnt),
+         |tot AS (SELECT dom, CAST(sum(c) AS BIGINT) AS t FROM cnt
+         |        GROUP BY 1 HAVING dom BETWEEN 0 AND 3),
+         |vocab AS (
+         | SELECT term FROM (
+         |  SELECT term, row_number() OVER (ORDER BY CAST(sum(c) AS BIGINT) DESC, term) AS vrk
+         |  FROM cnt GROUP BY 1) WHERE vrk <= 4096),
          |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
          |model AS (
          | SELECT tot.dom, vocab.term,

@@ -26,7 +26,13 @@ class PlanGuardSpec extends SparkTestBase {
     "embedding_outliers" -> ((s, d) => graft.operators.VectorOps.embeddingOutliers(s, d, materialize = false)),
     "hll_distinct" -> ((s, d) => graft.operators.Sketch.hllDistinct(s, d, materialize = false)),
     "cmsketch_eval" -> ((s, d) => graft.operators.Sketch.cmsketchEval(s, d, materialize = false)),
-    "hll_union" -> ((s, d) => graft.operators.Sketch.hllUnion(s, d, materialize = false)))
+    "hll_union" -> ((s, d) => graft.operators.Sketch.hllUnion(s, d, materialize = false)),
+    "cross_doc_spans" -> ((s, d) => graft.operators.Dedup.crossDocSpans(s, d, materialize = false)),
+    "span_coverage_incremental" -> ((s, d) => graft.operators.Dedup.spanCoverageIncremental(s, d, materialize = false)),
+    "fuzzy_match_census" -> ((s, d) => graft.operators.Dedup.fuzzyMatchCensus(s, d, materialize = false)),
+    "source_divergence" -> ((s, d) => graft.operators.CorpusAnalytics.sourceDivergence(s, d, materialize = false)),
+    "nb_domain_attribution" -> ((s, d) => graft.operators.TrainPrep.nbDomainAttribution(s, d, materialize = false)),
+    "join_size_estimate" -> ((s, d) => graft.operators.Sketch.joinSizeEstimate(s, d, materialize = false)))
 
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -179,19 +179,24 @@ object CorpusAnalytics {
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
     val tf = if (materialize) tfLazy.localCheckpoint(true) else tfLazy // sources x vocab — reused four times below
-    // literal caps make the pairwise expansion PROVABLY bounded (the
-    // PlanGuardSpec BNLJ lint requires a bounding node in every
-    // nested-loop broadcast side): top-256 sources by token mass and
-    // top-4096 terms by corpus count — no-ops on this corpus (20/200
-    // sources, ~31/310 terms), the documented cap discipline at scale
-    val srcW = Window.orderBy(col("t").desc, col("source"))
+    // k-bounded caps make the pairwise expansion PROVABLY bounded:
+    // top-256 sources by token mass and top-4096 terms by corpus
+    // count — no-ops on this corpus (20/200 sources, ~31/310 terms),
+    // the documented cap discipline at scale. CollectTopK (k-bounded
+    // partial aggregate), NOT a rank window: a single-partition
+    // window over the vocabulary aggregate would serialize the very
+    // table the cap exists to bound.
+    import graft.functions.TopKAgg.collectTopK
     val tot = tf.groupBy(col("source")).agg(sum(col("c")).as("t"))
-      .withColumn("srk", row_number().over(srcW))
-      .filter(col("srk") <= 256).drop("srk")
-    val vocW = Window.orderBy(col("cnt").desc, col("term"))
+      .agg(collectTopK(struct((lit(0L) - col("t")).as("neg"),
+        col("source")), 256, reverse = true).as("top"))
+      .select(explode(col("top")).as("x"))
+      .select(col("x.source").as("source"), (lit(0L) - col("x.neg")).as("t"))
     val vocab = tf.groupBy(col("term")).agg(sum(col("c")).as("cnt"))
-      .withColumn("vrk", row_number().over(vocW))
-      .filter(col("vrk") <= 4096).select(col("term"))
+      .agg(collectTopK(struct((lit(0L) - col("cnt")).as("neg"),
+        col("term")), 4096, reverse = true).as("top"))
+      .select(explode(col("top")).as("x"))
+      .select(col("x.term").as("term"))
     val pairs = tot.select(col("source").as("src_a"), col("t").as("tta"))
       .crossJoin(broadcast(tot.select(col("source").as("src_b"), col("t").as("ttb"))))
       .filter(col("src_a") < col("src_b"))

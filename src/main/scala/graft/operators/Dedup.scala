@@ -953,7 +953,57 @@ object Dedup {
         expr("(1000000 * coalesce(covered, 0)) div n_tokens").as("covered_ppm"))
   }
 
+  /** Duplicate-span REWRITE — the transform the span detectors feed:
+    * every token position covered by an 8-token window that appears in
+    * MORE THAN ONE document is dropped, and the retained sequence is
+    * emitted as a count + md5 fingerprint (the downstream writer joins
+    * the fingerprint table back to rebuild text; carrying full rewritten
+    * text through the gate would just re-test the tokenizer).
+    * Conservative variant of Lee et al.'s exact-substring dedup: BOTH
+    * copies of a duplicated span are dropped, not all-but-one — no
+    * survivor election, so the rewrite stays embarrassingly parallel
+    * (survivor election is dedup_pipeline's job at the doc level).
+    *
+    * Plan: same postings spine as span coverage (positional gram
+    * hashes -> df>1 gram set -> covered-position union), then an ANTI
+    * join of token positions against covered positions and one per-doc
+    * bounded collect over the survivors. Every join is keyed on
+    * (doc_id, position) or the gram hash — nothing pairwise.
+    */
+  def dupSpanRewrite(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val K = 8
+    val toksLazy = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toksDf = if (materialize) toksLazy.localCheckpoint(true) else toksLazy
+    val grams = toksDf
+      .select(col("doc_id"), posexplode(gramHashes(col("toks"), K)))
+      .toDF("doc_id", "pos", "h")
+    val occ = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("cd"))
+      .filter(col("cd") > 1).select(col("h"))
+    val cov = grams.join(occ, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(K - 1))).as("p"))
+      .distinct()
+    val tokRows = toksDf
+      .select(col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "idx", "tok")
+    val kept = tokRows.join(cov,
+      tokRows("doc_id") === cov("doc_id") && tokRows("idx") === cov("p"),
+      "left_anti")
+    val fp = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ")).as("kept_fp"))
+    toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(fp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_fp"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "dup_span_rewrite" -> ((s: SparkSession, d: String) => dupSpanRewrite(s, d)),
     "cross_doc_spans" -> ((s: SparkSession, d: String) => crossDocSpans(s, d)),
     "span_coverage_incremental" -> ((s: SparkSession, d: String) => spanCoverageIncremental(s, d)),
     "fuzzy_match_census" -> ((s: SparkSession, d: String) => fuzzyMatchCensus(s, d)),
@@ -1117,6 +1167,40 @@ object Dedup {
          | CAST(max(run_len) + 7 AS BIGINT) AS max_span_tokens,
          | CAST(sum(run_len) AS BIGINT) AS shared_grams
          |FROM runs GROUP BY 1, 2""".stripMargin,
+
+    // covered positions from df>1 grams; ANTI join keeps survivors;
+    // fingerprint = md5 of the space-joined retained sequence (NULL
+    // when everything was covered — no kept group survives the join)
+    "dup_span_rewrite" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |g AS (
+         | SELECT doc_id,
+         |  unnest(CASE WHEN len(w) >= 8 THEN range(0, len(w) - 7) ELSE [] END) AS pos,
+         |  unnest(CASE WHEN len(w) >= 8
+         |   THEN list_transform(range(0, len(w) - 7),
+         |     i -> ('0x' || substr(md5(array_to_string(
+         |            w[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')), 1, 15))::BIGINT)
+         |   ELSE [] END) AS h
+         | FROM toks),
+         |occ AS (
+         | SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS cd FROM g GROUP BY 1)
+         | WHERE cd > 1),
+         |cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.pos, g.pos + 8)) AS p
+         |        FROM g JOIN occ USING (h)),
+         |tok_rows AS (SELECT doc_id, unnest(w) AS tok,
+         |             unnest(range(0, len(w))) AS idx FROM toks),
+         |kept AS (
+         | SELECT t.doc_id, t.tok, t.idx FROM tok_rows t
+         | LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.idx
+         | WHERE c.p IS NULL),
+         |fp AS (
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  md5(string_agg(tok, ' ' ORDER BY idx)) AS kept_fp
+         | FROM kept GROUP BY 1),
+         |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT b.doc_id, b.n_tokens, coalesce(f.n_kept, 0) AS n_kept, f.kept_fp
+         |FROM base b LEFT JOIN fp f USING (doc_id)""".stripMargin,
 
     // membership (not pairs): DISTINCT corpus gram set, batch-side
     // positional grams, covered = distinct union of 8-wide hit windows;

@@ -380,11 +380,12 @@ object TrainPrep {
     // this corpus; the cap-plus-OOV-bucket discipline at scale)
     val tot = cnt.groupBy(col("dom")).agg(sum(col("c")).as("t"))
       .filter(col("dom").between(0, 3))
-    val vocW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cw").desc, col("term"))
     val vocab = cnt.groupBy(col("term")).agg(sum(col("c")).as("cw"))
-      .withColumn("vrk", row_number().over(vocW))
-      .filter(col("vrk") <= 4096).select(col("term"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0L) - col("cw")).as("neg"), col("term")), 4096,
+        reverse = true).as("top"))
+      .select(explode(col("top")).as("x"))
+      .select(col("x.term").as("term"))
     val v = vocab.agg(count(lit(1)).as("v"))
     val model = tot.crossJoin(vocab).crossJoin(broadcast(v))
       .join(cnt, Seq("dom", "term"), "left")

@@ -27,6 +27,7 @@ class PlanGuardSpec extends SparkTestBase {
     "hll_distinct" -> ((s, d) => graft.operators.Sketch.hllDistinct(s, d, materialize = false)),
     "cmsketch_eval" -> ((s, d) => graft.operators.Sketch.cmsketchEval(s, d, materialize = false)),
     "hll_union" -> ((s, d) => graft.operators.Sketch.hllUnion(s, d, materialize = false)),
+    "dup_span_rewrite" -> ((s, d) => graft.operators.Dedup.dupSpanRewrite(s, d, materialize = false)),
     "cross_doc_spans" -> ((s, d) => graft.operators.Dedup.crossDocSpans(s, d, materialize = false)),
     "span_coverage_incremental" -> ((s, d) => graft.operators.Dedup.spanCoverageIncremental(s, d, materialize = false)),
     "fuzzy_match_census" -> ((s, d) => graft.operators.Dedup.fuzzyMatchCensus(s, d, materialize = false)),

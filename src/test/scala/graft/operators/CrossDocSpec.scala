@@ -92,6 +92,32 @@ class CrossDocSpec extends SparkTestBase {
     assert(got.values.forall { case (n, c, _) => c <= n })
   }
 
+  test("dup_span_rewrite equals an in-memory rewrite replay") {
+    val K = 8
+    val all = docs().map { case (id, text, _) => (id, norm(text).split(" ")) }
+    def gramsOf(w: Array[String]): Seq[(Int, Long)] =
+      if (w.length < K) Seq.empty
+      else (0 to w.length - K).map(i => (i, hash60(w.slice(i, i + K).mkString(" "))))
+    val df = all.flatMap { case (id, w) => gramsOf(w).map(g => (g._2, id)) }
+      .groupBy(_._1).map { case (h, v) => h -> v.map(_._2).distinct.size }
+    val expected = all.map { case (id, w) =>
+      val covered = gramsOf(w).filter(g => df(g._2) > 1)
+        .flatMap { case (p, _) => p until (p + K) }.toSet
+      val keptToks = w.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      val fp = if (keptToks.isEmpty) null
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(keptToks.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      id -> ((w.length.toLong, keptToks.length.toLong, fp))
+    }.toMap
+    val got = Dedup.dupSpanRewrite(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(got == expected)
+    assert(got.values.exists { case (n, k, _) => k < n },
+      "some doc must actually lose covered spans")
+  }
+
   test("fuzzy_match_census: Spark levenshtein equals textbook DP over all blocked pairs") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -459,21 +459,27 @@ object Sketch {
     * verification baseline; at 100 TB you run only the sketches:
     * 4096-row register tables, map-side partials, merged in O(m).
     */
+  /** CM/AGMS register build for one table side: 4 rows x 1024 buckets,
+    * unsigned count + signed sum per register. Shared by the batch
+    * estimator and the streaming register twin (the same aggregate is
+    * sum-mergeable across stream triggers).
+    */
+  private[graft] def registerSketch(df: DataFrame, key: Column): DataFrame =
+    df.select(key.cast("string").as("k"))
+      .select(explode(array((0 until 4).map { i =>
+        struct(lit(i.toLong).as("row_i"),
+          hash60(concat(lit(s"cm${i}_"), col("k"))).as("h"))
+      }: _*)).as("x"))
+      .select(col("x.row_i").as("row_i"),
+        pmod(col("x.h"), lit(1024L)).as("bucket"),
+        (shiftright(col("x.h"), 10).bitwiseAND(lit(1L)) * 2 - 1).as("sg"))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("c"), sum(col("sg")).as("cs"))
+
   def joinSizeEstimate(s: SparkSession, d: String,
       materialize: Boolean = true): DataFrame = {
-    def sketch(df: DataFrame, key: Column): DataFrame =
-      df.select(key.cast("string").as("k"))
-        .select(explode(array((0 until 4).map { i =>
-          struct(lit(i.toLong).as("row_i"),
-            hash60(concat(lit(s"cm${i}_"), col("k"))).as("h"))
-        }: _*)).as("x"))
-        .select(col("x.row_i").as("row_i"),
-          pmod(col("x.h"), lit(1024L)).as("bucket"),
-          (shiftright(col("x.h"), 10).bitwiseAND(lit(1L)) * 2 - 1).as("sg"))
-        .groupBy(col("row_i"), col("bucket"))
-        .agg(count(lit(1)).as("c"), sum(col("sg")).as("cs"))
-    val re = sketch(Tables.events(s, d), col("user_id"))
-    val ro = sketch(Tables.orders(s, d), col("o_custkey"))
+    val re = registerSketch(Tables.events(s, d), col("user_id"))
+    val ro = registerSketch(Tables.orders(s, d), col("o_custkey"))
       .withColumnRenamed("c", "co").withColumnRenamed("cs", "cso")
     val estLazy = re.join(ro, Seq("row_i", "bucket"))
       .groupBy(col("row_i"))

@@ -411,6 +411,45 @@ object StreamingOps {
         col("m.cont").as("best_cont"), (-col("m.neg")).as("best_match"))
   }
 
+  /** Streaming CM/AGMS register twin of Sketch.joinSizeEstimate's
+    * events side: the register build is a plain keyed aggregation
+    * ((row_i, bucket) -> count + signed sum), which is sum-mergeable
+    * across triggers, so arriving events fold into update-mode state
+    * with no custom state code. The runner reduces the memory sink to
+    * final registers (count is strictly monotone per key, so the row
+    * at max count IS the final state), inner-products them against the
+    * STATIC orders registers, and must equal the batch estimator.
+    */
+  def joinSizeStream(spark: SparkSession, newEvents: DataFrame): DataFrame =
+    graft.operators.Sketch.registerSketch(newEvents, col("user_id"))
+
+  def runJoinSizeOnce(spark: SparkSession, dir: String,
+                      queryName: String): DataFrame =
+    runJoinSize(spark, readEvents(spark, dir), dir, queryName)
+
+  def runJoinSize(spark: SparkSession, newEvents: DataFrame, dir: String,
+                  queryName: String): DataFrame = {
+    val q = joinSizeStream(spark, newEvents)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finalEv = spark.table(queryName)
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(max(col("c")).as("c"),
+        max_by(col("cs"), col("c")).as("cs"))
+    val ro = graft.operators.Sketch
+      .registerSketch(graft.Tables.orders(spark, dir), col("o_custkey"))
+      .withColumnRenamed("c", "co").withColumnRenamed("cs", "cso")
+    finalEv.join(ro, Seq("row_i", "bucket"))
+      .groupBy(col("row_i"))
+      .agg(sum(col("c") * col("co")).as("cm_est"),
+        sum(col("cs") * col("cso")).as("agms_est"))
+  }
+
   /** Stream-static duplicate-span coverage twin of
     * Dedup.spanCoverageIncremental: the corpus side is a STATIC
     * distinct 8-gram-hash set; arriving docs join it by membership

@@ -165,6 +165,25 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming join-size registers == batch estimator (single and multi-batch)") {
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val batch = graft.operators.Sketch.joinSizeEstimate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch.nonEmpty)
+    val single = asMap(StreamingOps.runJoinSizeOnce(spark, sf, "jsz_single"))
+    assert(single == batch)
+    // multi-batch: register state folds across 4 one-file triggers
+    val dir = "target/stream_jsz_multi"
+    graft.Tables.events(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.readStream
+      .schema(graft.Tables.events(spark, sf).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val multi = asMap(StreamingOps.runJoinSize(spark, src, sf, "jsz_multi"))
+    assert(multi == batch)
+  }
+
   test("stream-static span coverage == batch span_coverage_incremental (matched subset)") {
     def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet

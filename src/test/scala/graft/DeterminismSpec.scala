@@ -34,7 +34,15 @@ class DeterminismSpec extends SparkTestBase {
     "market_share",      // DECIMAL(38) ppm share division
     "waiting_supplier_census", // clustered multi-stage blame census
     "embedding_pca_step",// integer-micros vector aggregation + norm
-    "dedup_containment"  // merge-walk set intersections, integer gate
+    "dedup_containment", // merge-walk set intersections, integer gate
+    "cross_doc_spans",   // islands-on-diagonal window runs
+    "span_coverage_incremental", // membership join + position-set union
+    "dup_span_rewrite",  // anti-join survivors + ordered fingerprint
+    "fuzzy_match_census",// blocked levenshtein census
+    "source_divergence", // nanonat JSD integer lane + top-k caps
+    "nb_domain_attribution", // NB argmin over exact long scores
+    "cluster_representatives", // exact-integer argmin per label
+    "join_size_estimate" // CM/AGMS register inner products
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -312,7 +312,11 @@ object Ann {
         .crossJoin(broadcast(truthAgg))
         .select(lit(name).as("method"), lit(3L).as("k"),
           col("n_truth"), col("n_retrieved"), col("n_hits"),
-          floor(col("n_hits") * lit(1000000L) / col("n_truth")).as("recall_ppm"))
+          // n_truth = 0 only on an empty corpus: recall is undefined
+          // there, not a crash (EmptyInputSpec)
+          when(col("n_truth") > 0,
+            floor(col("n_hits") * lit(1000000L) / col("n_truth")))
+            .otherwise(lit(null).cast("long")).as("recall_ppm"))
     }
     scoreOf("lsh", annLshTopk(s, d))
       .unionAll(scoreOf("ivf", annIvfTopk(s, d)))

@@ -496,7 +496,12 @@ object Sketch {
       .agg(min(col("cm_est")).as("cm_min"),
         sort_array(collect_list(col("agms_est"))).as("arr"))
       .select(col("cm_min"),
-        (element_at(col("arr"), 2) + element_at(col("arr"), 3)).as("agms_med2x"))
+        // empty corpus -> empty register join -> arr is []; the output
+        // is empty anyway (est is the cross-join's left side), but the
+        // summary row must still EVALUATE without an array-index error
+        when(size(col("arr")) >= 3,
+          element_at(col("arr"), 2) + element_at(col("arr"), 3))
+          .otherwise(lit(null).cast("long")).as("agms_med2x"))
     est.crossJoin(broadcast(exact)).crossJoin(broadcast(summary))
       .select(col("row_i"), col("cm_est"), col("agms_est"), col("exact"),
         col("cm_min"), col("agms_med2x"))

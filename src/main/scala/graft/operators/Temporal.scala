@@ -303,7 +303,46 @@ object Temporal {
       .agg(count(lit(1)).as("n_sessions"), sum(col("sess_n")).as("total_events"))
   }
 
+  /** Seasonal adjustment of the event stream — the day-of-week
+    * discipline anomaly_days' trailing window cannot see (a quiet
+    * Sunday is NORMAL; a quiet Tuesday is not): per event type, build
+    * the day-of-week profile (mean daily count per weekday, floor
+    * micros — exact integer rational), subtract it from every day,
+    * and report each type's top-5 absolute residuals.
+    *
+    * Determinism: day-of-week is epoch-day mod 7 (no engine calendar
+    * API — week-start conventions differ); the profile mean is a
+    * single floor division of exact longs; residuals are exact micros.
+    * The rank window partitions the POST-AGGREGATE table (types x
+    * days — bounded by the calendar, not the corpus), so the sort is
+    * register-domain work; the only corpus-sized op is the daily
+    * count aggregate.
+    */
+  def seasonalAdjust(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("epoch_day"),
+        col("n"))
+      .withColumn("dow", pmod(col("epoch_day"), lit(7L)))
+    val prof = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("sn"), count(lit(1)).as("cn"))
+      .select(col("event_type"), col("dow"),
+        expr("(1000000 * sn) div cn").as("dow_mean_micros"))
+    val resid = daily.join(prof, Seq("event_type", "dow"))
+      .select(col("event_type"), col("epoch_day"), col("dow"), col("n"),
+        col("dow_mean_micros"),
+        (col("n") * lit(1000000L) - col("dow_mean_micros")).as("resid_micros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(abs(col("resid_micros")).desc, col("epoch_day"))
+    resid.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "seasonal_adjust" -> (seasonalAdjust _),
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
     "interval_band_join" -> (intervalBandJoin _),
@@ -320,6 +359,34 @@ object Temporal {
     .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // dow = epoch-day mod 7 (no calendar API — week-start conventions
+    // differ); profile mean = one floor division of exact longs;
+    // HUGEINT sums cast BIGINT
+    "seasonal_adjust" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |wd AS (
+        | SELECT event_type,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS epoch_day,
+        |  CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT) AS dow,
+        |  n
+        | FROM daily),
+        |prof AS (
+        | SELECT event_type, dow,
+        |  CAST((1000000 * sum(n)) // count(*) AS BIGINT) AS dow_mean_micros
+        | FROM wd GROUP BY 1, 2),
+        |resid AS (
+        | SELECT w.event_type, w.epoch_day, w.dow, w.n, p.dow_mean_micros,
+        |  CAST(w.n * 1000000 - p.dow_mean_micros AS BIGINT) AS resid_micros
+        | FROM wd w JOIN prof p USING (event_type, dow))
+        |SELECT event_type, epoch_day, dow, n, dow_mean_micros, resid_micros,
+        | CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |       ORDER BY abs(resid_micros) DESC, epoch_day) AS rk FROM resid)
+        |WHERE rk <= 5""".stripMargin,
+
     "asof_join" ->
       """WITH ev AS (
         | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -152,6 +152,30 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("seasonal_adjust: equals a driver replay; top-5 per type by |residual|") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), datediff(col("day"), lit("1970-01-01")).cast("long"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val prof = daily.groupBy(d => (d._1, d._2 % 7)).map { case (k, v) =>
+      k -> (1000000L * v.map(_._3).sum) / v.size
+    }
+    val expected = daily.map { case (et, ed, n) =>
+      val m = prof((et, ed % 7))
+      (et, ed, ed % 7, n, m, n * 1000000L - m)
+    }.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (-math.abs(r._6), r._2)).take(5)
+        .zipWithIndex.map { case (r, i) => (r._1, r._2, r._3, r._4, r._5, r._6, i + 1L) }
+        .toSeq
+    }.toSet
+    val got = Temporal.seasonalAdjust(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("session_paths: equals a driver-side sessionize-and-path replay") {
     val evs = graft.Tables.events(spark, sf)
       .select(col("user_id"), col("event_id"),

@@ -341,7 +341,54 @@ object Temporal {
       .filter(col("rk") <= 5)
   }
 
+  /** Hash-split A/B significance test — the experimentation readout:
+    * users split into two arms by a stable content hash (the split a
+    * real assignment service would persist), "conversion" = purchase
+    * count above the population mean (integer cross-multiplication,
+    * scale-invariant like supplier_share's gate), and the 2x2 table
+    * tested with the chi-square statistic computed EXACTLY:
+    * chi2 = n*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), emitted in floor
+    * micro-units plus a significance flag decided by cross-multiplying
+    * against the 3.841459 (p=0.05, df=1) threshold — no float
+    * division anywhere, DECIMAL(38,0) == HUGEINT headroom (exact to
+    * ~1e8 users; past that, scale the counts).
+    *
+    * Shape: one user-keyed aggregate (the only corpus-sized shuffle),
+    * one broadcast scalar for the mean gate, one grouping-free final
+    * aggregate. A null chi2 means a degenerate margin (a whole arm or
+    * outcome class empty) — undefined, not a crash.
+    */
+  def abChi2(s: SparkSession, d: String): DataFrame = {
+    val u = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .select(col("user_id"), col("np"),
+        pmod(graft.functions.Hash60.hash60(col("user_id").cast("string")),
+          lit(2L)).as("arm"))
+    val pop = u.agg(count(lit(1)).as("nu"), sum(col("np")).as("tot"))
+    val conv = u.crossJoin(broadcast(pop))
+      .select(col("arm"), (col("np") * col("nu") > col("tot")).as("conv"))
+    val t = conv.agg(
+      sum(when(col("arm") === 0 && col("conv"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("arm") === 0 && !col("conv"), 1L).otherwise(0L)).as("b"),
+      sum(when(col("arm") === 1 && col("conv"), 1L).otherwise(0L)).as("c"),
+      sum(when(col("arm") === 1 && !col("conv"), 1L).otherwise(0L)).as("d"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val diff = dec(col("a")) * dec(col("d")) - dec(col("b")) * dec(col("c"))
+    val num = dec(lit(1000000L)) *
+      dec(col("a") + col("b") + col("c") + col("d")) * diff * diff
+    val den = dec(col("a") + col("b")) * dec(col("c") + col("d")) *
+      dec(col("a") + col("c")) * dec(col("b") + col("d"))
+    t.select(col("a"), col("b"), col("c"), col("d"),
+      when(den > 0, floor(num / den).cast("long"))
+        .otherwise(lit(null).cast("long")).as("chi2_micro"),
+      when(den > 0, num > dec(lit(3841459L)) * den)
+        .otherwise(lit(null).cast("boolean")).as("significant"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "ab_chi2" -> (abChi2 _),
     "seasonal_adjust" -> (seasonalAdjust _),
     "asof_join" -> (asofJoin _),
     "range_window_count" -> (rangeWindowCount _),
@@ -359,6 +406,39 @@ object Temporal {
     .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // exact chi-square: HUGEINT == Spark DECIMAL(38,0); floor micro
+    // division; significance by cross-multiplication (no float)
+    "ab_chi2" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |    AS arm,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS np
+        | FROM events GROUP BY 1),
+        |pop AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+        |        CAST(sum(np) AS BIGINT) AS tot FROM u),
+        |conv AS (
+        | SELECT u.arm, (u.np * pop.nu > pop.tot) AS conv
+        | FROM u CROSS JOIN pop),
+        |t AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN arm = 0 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN arm = 0 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN arm = 1 AND conv THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN arm = 1 AND NOT conv THEN 1 ELSE 0 END) AS BIGINT) AS d
+        | FROM conv)
+        |SELECT a, b, c, d,
+        | CASE WHEN (a+b)::HUGEINT * (c+d) * (a+c) * (b+d) > 0 THEN
+        |  CAST((1000000::HUGEINT * (a+b+c+d) * (a*d - b*c) * (a*d - b*c))
+        |    // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)) AS BIGINT)
+        | ELSE NULL END AS chi2_micro,
+        | CASE WHEN (a+b)::HUGEINT * (c+d) * (a+c) * (b+d) > 0 THEN
+        |  (1000000::HUGEINT * (a+b+c+d) * (a*d - b*c) * (a*d - b*c)
+        |   > 3841459::HUGEINT * ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d)))
+        | ELSE NULL END AS significant
+        |FROM t""".stripMargin,
+
     // dow = epoch-day mod 7 (no calendar API — week-start conventions
     // differ); profile mean = one floor division of exact longs;
     // HUGEINT sums cast BIGINT

@@ -152,6 +152,39 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("ab_chi2: equals an exact BigInt driver replay; masses partition the user base") {
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val users = graft.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nu = users.length.toLong
+    val tot = users.map(_._2).sum
+    val cells = users.map { case (uid, np) =>
+      (hash60(uid.toString) % 2, np * nu > tot)
+    }
+    val a = cells.count(x => x._1 == 0 && x._2).toLong
+    val b = cells.count(x => x._1 == 0 && !x._2).toLong
+    val c = cells.count(x => x._1 == 1 && x._2).toLong
+    val dd = cells.count(x => x._1 == 1 && !x._2).toLong
+    val num = BigInt(1000000) * BigInt(a + b + c + dd) *
+      BigInt(a * dd - b * c).pow(2)
+    val den = BigInt(a + b) * BigInt(c + dd) * BigInt(a + c) * BigInt(b + dd)
+    val expChi = if (den > 0) (num / den).toLong else -1L
+    val row = Temporal.abChi2(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((a, b, c, dd)))
+    assert(a + b + c + dd == nu)
+    if (den > 0) {
+      assert(row.getLong(4) == expChi)
+      assert(row.getBoolean(5) == (num > BigInt(3841459) * den))
+    } else assert(row.isNullAt(4) && row.isNullAt(5))
+  }
+
   test("seasonal_adjust: equals a driver replay; top-5 per type by |residual|") {
     val daily = graft.Tables.events(spark, sf)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))

@@ -1002,7 +1002,30 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("kept_fp"))
   }
 
+  /** Channel-agreement Venn across three dedup channels — the eval a
+    * curation team runs before trusting any single sketch: every
+    * candidate pair is tagged with the channels that found it
+    * (bit 1 = MinHash-LSH band pairs, bit 2 = set containment,
+    * bit 4 = exact shared spans) and the mask census shows which
+    * channels are redundant and which see pairs nothing else sees.
+    * Pure composition: the three registered operators' pair outputs,
+    * one union, two keyed aggregates.
+    */
+  def dedupChannelOverlap(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val lsh = dedupMinhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("m"))
+    val cont = dedupContainment(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(2L).as("m"))
+    val sp = crossDocSpans(s, d, materialize)
+      .select(col("doc_a"), col("doc_b"), lit(4L).as("m"))
+    lsh.unionByName(cont).unionByName(sp)
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("m")).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "dedup_channel_overlap" -> ((s: SparkSession, d: String) => dedupChannelOverlap(s, d)),
     "dup_span_rewrite" -> ((s: SparkSession, d: String) => dupSpanRewrite(s, d)),
     "cross_doc_spans" -> ((s: SparkSession, d: String) => crossDocSpans(s, d)),
     "span_coverage_incremental" -> ((s: SparkSession, d: String) => spanCoverageIncremental(s, d)),
@@ -1132,7 +1155,7 @@ object Dedup {
     .map(bit => s"(CASE WHEN s$bit > 0 THEN (1::BIGINT << $bit) ELSE 0::BIGINT END)")
     .mkString(" + ")
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     // positional 8-gram hashes (raw hash60 — equality-joined only, no
     // second derivation, so no mod-P reduction needed); df band 2..50;
     // islands via pos - row_number per (pair, diagonal); counts cast
@@ -1649,4 +1672,20 @@ object Dedup {
          |      / (COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END))) AS BIGINT) END AS fp_ppm
          |FROM pr""".stripMargin
   )
+
+  val oracleSql: Map[String, String] = baseOracleSql +
+    // channel-agreement Venn: reuses the three channel oracles verbatim
+    // as subqueries (DuckDB allows WITH inside a parenthesized subquery)
+    ("dedup_channel_overlap" ->
+      s"""WITH lsh AS (SELECT doc_a, doc_b FROM (${baseOracleSql("dedup_minhash_lsh")})),
+         |cont AS (SELECT doc_a, doc_b FROM (${baseOracleSql("dedup_containment")})),
+         |sp AS (SELECT doc_a, doc_b FROM (${baseOracleSql("cross_doc_spans")})),
+         |u AS (
+         | SELECT doc_a, doc_b, 1 AS m FROM lsh
+         | UNION ALL SELECT doc_a, doc_b, 2 FROM cont
+         | UNION ALL SELECT doc_a, doc_b, 4 FROM sp),
+         |mm AS (SELECT doc_a, doc_b, CAST(sum(m) AS BIGINT) AS mask
+         |       FROM u GROUP BY 1, 2)
+         |SELECT mask, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM mm GROUP BY 1""".stripMargin)
 }

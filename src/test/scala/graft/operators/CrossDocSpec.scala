@@ -118,6 +118,17 @@ class CrossDocSpec extends SparkTestBase {
       "some doc must actually lose covered spans")
   }
 
+  test("dedup_channel_overlap: per-channel masses equal the channel operators' pair counts") {
+    val rows = Dedup.dedupChannelOverlap(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty && rows.keySet.forall(m => m >= 1 && m <= 7))
+    def channelMass(bit: Long) =
+      rows.collect { case (m, n) if (m & bit) != 0 => n }.sum
+    assert(channelMass(1) == Dedup.dedupMinhashLsh(spark, sf).count())
+    assert(channelMass(2) == Dedup.dedupContainment(spark, sf).count())
+    assert(channelMass(4) == Dedup.crossDocSpans(spark, sf).count())
+  }
+
   test("fuzzy_match_census: Spark levenshtein equals textbook DP over all blocked pairs") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

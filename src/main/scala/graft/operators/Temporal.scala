@@ -387,7 +387,50 @@ object Temporal {
         .otherwise(lit(null).cast("boolean")).as("significant"))
   }
 
+  /** Mann-Whitney rank-sum test per event type — ab_chi2's
+    * nonparametric sibling: does the VALUE distribution differ between
+    * the two hash-split arms, decided from ranks, not means. The
+    * distributed-rank discipline: never sort the corpus — aggregate to
+    * (type, value) with per-arm counts (the only corpus-sized
+    * shuffle), take a prefix-sum window over the DISTINCT VALUES per
+    * type (bounded by the value domain, register-scale), and derive
+    * midranks in doubled integer units: 2*rank = 2*count_before +
+    * tie_count + 1, so U and the z-squared decision stay on the exact
+    * integer/DECIMAL(38) lane (no tie-variance correction — slightly
+    * conservative, documented). Emits u2 = 2*U(arm 0) and z^2 in
+    * floor micro-units (3*(u2 - n0*n1)^2 / (n0*n1*(n+1))).
+    */
+  def mannwhitneyValue(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"),
+      pmod(graft.functions.Hash60.hash60(col("user_id").cast("string")),
+        lit(2L)).as("arm"),
+      col("value"))
+    val vc = e.groupBy(col("event_type"), col("value"), col("arm"))
+      .agg(count(lit(1)).as("c"))
+    val v = vc.groupBy(col("event_type"), col("value"))
+      .agg(sum(col("c")).as("cv"),
+        sum(when(col("arm") === 0, col("c")).otherwise(0L)).as("c0"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = v.withColumn("before", coalesce(sum(col("cv")).over(w), lit(0L)))
+    val agg = cum.groupBy(col("event_type"))
+      .agg(sum(col("c0")).as("n0"),
+        sum(col("cv") - col("c0")).as("n1"),
+        sum(col("c0") * (lit(2L) * col("before") + col("cv") + 1)).as("r2"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dd = col("r2") - col("n0") * (col("n0") + 1) - col("n0") * col("n1")
+    agg.select(col("event_type"), col("n0"), col("n1"),
+      (col("r2") - col("n0") * (col("n0") + 1)).as("u2"),
+      when(col("n0") > 0 && col("n1") > 0,
+        floor(dec(lit(1000000L)) * dec(lit(3L)) * dec(dd) * dec(dd) /
+          (dec(col("n0")) * dec(col("n1")) *
+            dec(col("n0") + col("n1") + 1))).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z2_micro"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "mannwhitney_value" -> (mannwhitneyValue _),
     "ab_chi2" -> (abChi2 _),
     "seasonal_adjust" -> (seasonalAdjust _),
     "asof_join" -> (asofJoin _),
@@ -406,6 +449,40 @@ object Temporal {
     .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // distributed midranks: (type, value) per-arm counts + prefix sum
+    // over DISTINCT values; doubled-rank units keep everything integer
+    "mannwhitney_value" ->
+      """WITH e AS (
+        | SELECT event_type,
+        |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+        |    AS arm,
+        |  value FROM events),
+        |vc AS (SELECT event_type, value, arm, CAST(count(*) AS BIGINT) AS c
+        |       FROM e GROUP BY 1, 2, 3),
+        |v AS (SELECT event_type, value, CAST(sum(c) AS BIGINT) AS cv,
+        |       CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0
+        |      FROM vc GROUP BY 1, 2),
+        |cum AS (
+        | SELECT event_type, value, cv, c0,
+        |  CAST(coalesce(sum(cv) OVER (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS before
+        | FROM v),
+        |agg AS (
+        | SELECT event_type,
+        |  CAST(sum(c0) AS BIGINT) AS n0,
+        |  CAST(sum(cv - c0) AS BIGINT) AS n1,
+        |  CAST(sum(c0 * (2 * before + cv + 1)) AS BIGINT) AS r2
+        | FROM cum GROUP BY 1)
+        |SELECT event_type, n0, n1,
+        | CAST(r2 - n0 * (n0 + 1) AS BIGINT) AS u2,
+        | CASE WHEN n0 > 0 AND n1 > 0 THEN
+        |  CAST((1000000::HUGEINT * 3
+        |    * (r2 - n0*(n0+1) - n0*n1) * (r2 - n0*(n0+1) - n0*n1))
+        |   // (n0::HUGEINT * n1 * (n0 + n1 + 1)) AS BIGINT)
+        | ELSE NULL END AS z2_micro
+        |FROM agg""".stripMargin,
+
     // exact chi-square: HUGEINT == Spark DECIMAL(38,0); floor micro
     // division; significance by cross-multiplication (no float)
     "ab_chi2" ->

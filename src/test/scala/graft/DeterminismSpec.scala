@@ -42,7 +42,11 @@ class DeterminismSpec extends SparkTestBase {
     "source_divergence", // nanonat JSD integer lane + top-k caps
     "nb_domain_attribution", // NB argmin over exact long scores
     "cluster_representatives", // exact-integer argmin per label
-    "join_size_estimate" // CM/AGMS register inner products
+    "join_size_estimate", // CM/AGMS register inner products
+    "ab_chi2",           // DECIMAL(38) exact chi-square on hash arms
+    "mannwhitney_value", // doubled-midrank integer U statistic
+    "seasonal_adjust",   // epoch-day mod 7 profile, floor-micros means
+    "dedup_channel_overlap" // union of three channels' pair sets
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -184,7 +184,55 @@ object Profile {
           .as("x_mean"))
   }
 
+  /** Pairwise Pearson correlation between the lineitem measures — the
+    * profiling readout behind "are these columns redundant" (a |corr|
+    * near 1 means one measure prices the other; near 0 means both
+    * carry signal). The moment sums (Σx, Σx², Σxy) are EXACT: cents-
+    * scaled longs summed in DECIMAL(38,0) (== DuckDB HUGEINT), one
+    * corpus pass, one grouping-free aggregate — no shuffle at all
+    * beyond the final scalar. Only the LAST step (cov/√vx/√vy)
+    * converts the exact moments to double, with one rounding — the
+    * embedding_pca_step conversion discipline, so the value is
+    * engine-identical. Degenerate variance (constant column) emits
+    * NULL, not a crash.
+    */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = Tables.lineitem(s, d).select(
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("p"),
+      round(col("l_discount") * 100).cast("long").as("d"))
+    val st = m.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("q"))).as("sq"), sum(dec(col("p"))).as("sp"),
+      sum(dec(col("d"))).as("sd"),
+      sum(dec(col("q")) * dec(col("q"))).as("sqq"),
+      sum(dec(col("p")) * dec(col("p"))).as("spp"),
+      sum(dec(col("d")) * dec(col("d"))).as("sdd"),
+      sum(dec(col("q")) * dec(col("p"))).as("sqp"),
+      sum(dec(col("q")) * dec(col("d"))).as("sqd"),
+      sum(dec(col("p")) * dec(col("d"))).as("spd"))
+    def pairRow(name: String, covS: Column, sx: Column, sxx: Column,
+        sy: Column, syy: Column) =
+      st.select(lit(name).as("pair"), col("n"),
+        (dec(col("n")) * covS - sx * sy).as("cov_n"),
+        (dec(col("n")) * sxx - sx * sx).as("vx"),
+        (dec(col("n")) * syy - sy * sy).as("vy"))
+    pairRow("q_p", col("sqp"), col("sq"), col("sqq"), col("sp"), col("spp"))
+      .unionByName(pairRow("q_d", col("sqd"), col("sq"), col("sqq"),
+        col("sd"), col("sdd")))
+      .unionByName(pairRow("p_d", col("spd"), col("sp"), col("spp"),
+        col("sd"), col("sdd")))
+      .select(col("pair"), col("n"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("cov_n").cast("double") /
+            sqrt(col("vx").cast("double")) /
+            sqrt(col("vy").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "corr_matrix" -> (corrMatrix _),
     "table_profile" -> (tableProfile _),
     "integrity_audit" -> (integrityAudit _),
     "skew_detect" -> (skewDetect _)
@@ -208,6 +256,35 @@ object Profile {
        |FROM ev""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact HUGEINT moments (== Spark DECIMAL(38,0)); double + sqrt
+    // only at the last step, one rounding (pca conversion discipline)
+    "corr_matrix" ->
+      """WITH m AS (
+        | SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |        CAST(round(l_discount * 100) AS BIGINT) AS d
+        | FROM lineitem),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(q::HUGEINT) AS sq, sum(p::HUGEINT) AS sp, sum(d::HUGEINT) AS sd,
+        |  sum(q::HUGEINT*q) AS sqq, sum(p::HUGEINT*p) AS spp,
+        |  sum(d::HUGEINT*d) AS sdd, sum(q::HUGEINT*p) AS sqp,
+        |  sum(q::HUGEINT*d) AS sqd, sum(p::HUGEINT*d) AS spd
+        | FROM m),
+        |pairs AS (
+        | SELECT 'q_p' AS pair, n, n*sqp - sq*sp AS cov_n,
+        |        n*sqq - sq*sq AS vx, n*spp - sp*sp AS vy FROM s
+        | UNION ALL SELECT 'q_d', n, n*sqd - sq*sd, n*sqq - sq*sq,
+        |        n*sdd - sd*sd FROM s
+        | UNION ALL SELECT 'p_d', n, n*spd - sp*sd, n*spp - sp*sp,
+        |        n*sdd - sd*sd FROM s)
+        |SELECT pair, n,
+        | CASE WHEN vx > 0 AND vy > 0 THEN
+        |  round(CAST(cov_n AS DOUBLE) / sqrt(CAST(vx AS DOUBLE))
+        |        / sqrt(CAST(vy AS DOUBLE)), 6)
+        | ELSE NULL END AS corr
+        |FROM pairs""".stripMargin,
+
     "table_profile" ->
       (s"""WITH ev AS (
           | SELECT event_id, user_id, event_type, value, props,

@@ -37,6 +37,40 @@ class ProfileSpec extends SparkTestBase {
     assert(prof("ts_us").getDouble(4) == bounds.getLong(1).toDouble)
   }
 
+  test("corr_matrix equals an exact BigInt moment replay; corr in [-1, 1]") {
+    val rows = graft.Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (math.round(r.getDouble(0) * 100),
+        math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 100)))
+    val n = BigInt(rows.length)
+    def mom(f: ((Long, Long, Long)) => (Long, Long)): (BigInt, BigInt, BigInt) = {
+      var sx, sy, sxy = BigInt(0)
+      rows.foreach { r =>
+        val (x, y) = f(r); sx += x; sy += y; sxy += BigInt(x) * y
+      }
+      (sx, sy, sxy)
+    }
+    def sq(f: ((Long, Long, Long)) => Long): BigInt =
+      rows.map(r => { val x = BigInt(f(r)); x * x }).sum
+    def corrOf(fx: ((Long, Long, Long)) => Long,
+               fy: ((Long, Long, Long)) => Long): Double = {
+      val (sx, sy, sxy) = mom(r => (fx(r), fy(r)))
+      val cov = n * sxy - sx * sy
+      val vx = n * sq(fx) - sx * sx
+      val vy = n * sq(fy) - sy * sy
+      val raw = cov.toDouble / math.sqrt(vx.toDouble) / math.sqrt(vy.toDouble)
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Map(
+      "q_p" -> corrOf(_._1, _._2),
+      "q_d" -> corrOf(_._1, _._3),
+      "p_d" -> corrOf(_._2, _._3))
+    val got = Profile.corrMatrix(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == expected)
+    assert(got.values.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   test("profile core: null counting and per-type min/max on a hand frame") {
     import spark.implicits._
     val df = Seq(

@@ -231,8 +231,63 @@ object Profile {
           .otherwise(lit(null).cast("double")).as("corr"))
   }
 
+  /** Distribution-drift census between two corpus snapshots — the
+    * monitor a daily-crawl pipeline runs before letting a new drop into
+    * the training mix ("did the language / source / length mix move?").
+    * Snapshot split is doc_id parity (even = reference, odd = current —
+    * the same stand-in split dedupIncremental uses for batch-vs-corpus).
+    *
+    * Three categorical lanes (lang, source, 200-char length bucket
+    * capped at b9) unpivot to (feature, bucket, cur) rows; ONE
+    * map-side-combining aggregate keyed by (feature, bucket) collapses
+    * the corpus to ~100 count rows, and the per-feature totals join
+    * back broadcast. Per bucket it emits the rate move in ppm and the
+    * bucket's chi-square contribution, both on the exact integer lane
+    * (ab_chi2's discipline): for a 2×K table the per-column term
+    * algebraically reduces to D²/(R·C·n) with D = C·ref_n − R·cur_n,
+    * so chi2_micro = floor(1e6·D²/(R·C·n)) — no expected-count floats,
+    * no ln (PSI was rejected for the oracle lane: libm log is not
+    * correctly-rounded cross-engine). Σ chi2_micro over a feature's
+    * buckets ≈ 1e6 × the textbook statistic with K−1 dof.
+    *
+    * Scale: the only corpus-sized stage is the (feature, bucket) agg —
+    * 3 narrow rows per doc in, ~100 rows out of the exchange. The
+    * DECIMAL(38,0) lane holds while N·n < 1e16 per feature (≈ 1e8
+    * docs); beyond that, shard the census by partition-date and SUM
+    * the count rows before the ratio step (counts are the mergeable
+    * state, exactly like the streaming twin's registers).
+    */
+  def distDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("lang"), col("source"),
+      least(expr("n_chars div 200"), lit(9L)).as("len_b"),
+      (col("doc_id") % 2 === 1).as("cur"))
+    val feat = docs.select(lit("lang").as("feature"), col("lang").as("bucket"), col("cur"))
+      .unionAll(docs.select(lit("source").as("feature"), col("source").as("bucket"), col("cur")))
+      .unionAll(docs.select(lit("len_bucket").as("feature"),
+        concat(lit("b"), col("len_b").cast("string")).as("bucket"), col("cur")))
+    val counts = feat.groupBy(col("feature"), col("bucket")).agg(
+      sum(when(!col("cur"), 1L).otherwise(0L)).as("ref_n"),
+      sum(when(col("cur"), 1L).otherwise(0L)).as("cur_n"))
+    val totals = counts.groupBy(col("feature")).agg(
+      sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val dD = dec(col("cur_tot")) * dec(col("ref_n")) -
+      dec(col("ref_tot")) * dec(col("cur_n"))
+    val den = dec(col("ref_tot")) * dec(col("cur_tot")) *
+      dec(col("ref_n") + col("cur_n"))
+    counts.join(broadcast(totals), Seq("feature"))
+      .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+        (expr("cur_n * 1000000 div cur_tot") -
+          expr("ref_n * 1000000 div ref_tot")).as("delta_ppm"),
+        when(col("ref_tot") > 0 && col("cur_tot") > 0,
+          floor(dec(lit(1000000L)) * dD * dD / den).cast("long"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "corr_matrix" -> (corrMatrix _),
+    "dist_drift" -> (distDrift _),
     "table_profile" -> (tableProfile _),
     "integrity_audit" -> (integrityAudit _),
     "skew_detect" -> (skewDetect _)
@@ -256,6 +311,39 @@ object Profile {
        |FROM ev""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // 2xK chi-square per-bucket term reduced to D^2/(R*C*n) on the
+    // HUGEINT lane (== Spark DECIMAL(38,0)); ppm deltas in floor longs
+    "dist_drift" ->
+      """WITH docs AS (
+        | SELECT lang, source, least(n_chars // 200, 9) AS len_b,
+        |        (doc_id % 2 = 1) AS cur
+        | FROM documents),
+        |feat AS (
+        | SELECT 'lang' AS feature, lang AS bucket, cur FROM docs
+        | UNION ALL SELECT 'source', source, cur FROM docs
+        | UNION ALL SELECT 'len_bucket', 'b' || CAST(len_b AS VARCHAR), cur
+        |  FROM docs),
+        |counts AS (
+        | SELECT feature, bucket,
+        |  CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |  CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+        | FROM feat GROUP BY 1, 2),
+        |tot AS (
+        | SELECT feature, CAST(sum(ref_n) AS BIGINT) AS ref_tot,
+        |        CAST(sum(cur_n) AS BIGINT) AS cur_tot
+        | FROM counts GROUP BY 1)
+        |SELECT c.feature, c.bucket, c.ref_n, c.cur_n,
+        | CAST(c.cur_n * 1000000 // t.cur_tot
+        |      - c.ref_n * 1000000 // t.ref_tot AS BIGINT) AS delta_ppm,
+        | CASE WHEN t.ref_tot > 0 AND t.cur_tot > 0 THEN
+        |  CAST((1000000::HUGEINT
+        |        * (t.cur_tot::HUGEINT * c.ref_n - t.ref_tot::HUGEINT * c.cur_n)
+        |        * (t.cur_tot::HUGEINT * c.ref_n - t.ref_tot::HUGEINT * c.cur_n))
+        |    // (t.ref_tot::HUGEINT * t.cur_tot * (c.ref_n + c.cur_n))
+        |    AS BIGINT)
+        | ELSE NULL END AS chi2_micro
+        |FROM counts c JOIN tot t USING (feature)""".stripMargin,
+
     // exact HUGEINT moments (== Spark DECIMAL(38,0)); double + sqrt
     // only at the last step, one rounding (pca conversion discipline)
     "corr_matrix" ->

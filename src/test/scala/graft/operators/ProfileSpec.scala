@@ -37,6 +37,38 @@ class ProfileSpec extends SparkTestBase {
     assert(prof("ts_us").getDouble(4) == bounds.getLong(1).toDouble)
   }
 
+  test("dist_drift equals a BigInt replay of the 2xK chi-square reduction") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def lanes(r: (Long, String, String, Long)): Seq[(String, String)] = Seq(
+      "lang" -> r._2, "source" -> r._3,
+      "len_bucket" -> ("b" + math.min(r._4 / 200, 9L)))
+    val counts = docs.flatMap(r => lanes(r).map(fb => (fb, r._1 % 2 == 1)))
+      .groupBy(_._1).map { case (fb, xs) =>
+        fb -> (xs.count(!_._2).toLong, xs.count(_._2).toLong)
+      }
+    val tot = counts.toSeq.groupBy(_._1._1).map { case (f, xs) =>
+      f -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+    }
+    val got = Profile.distDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == counts.size)
+    counts.foreach { case ((f, b), (refN, curN)) =>
+      val (refTot, curTot) = tot(f)
+      val d = BigInt(curTot) * refN - BigInt(refTot) * curN
+      val chi2 = BigInt(1000000) * d * d /
+        (BigInt(refTot) * curTot * (refN + curN))
+      val ppm = curN * 1000000L / curTot - refN * 1000000L / refTot
+      assert(got((f, b)) == ((refN, curN, ppm, chi2.toLong)),
+        s"bucket ($f, $b)")
+    }
+    // NB: no "tiny corpus must not drift" pin — at the 50-doc spec
+    // corpus a 2-doc bucket landing all-odd is a legitimate chi2 of
+    // 25, so the only honest invariant here is the exact replay above
+  }
+
   test("corr_matrix equals an exact BigInt moment replay; corr in [-1, 1]") {
     val rows = graft.Tables.lineitem(spark, sf)
       .select("l_quantity", "l_extendedprice", "l_discount").collect()

@@ -121,9 +121,54 @@ object Graph {
   def triangleCount(s: SparkSession, d: String, materialize: Boolean = true): DataFrame =
     triangles(Dedup.lshCandidates(s, d)._1, materialize)
 
+  /** Rounds-bounded k-core peel over an undirected pair set: each
+    * synchronized round recomputes degrees within the surviving
+    * subgraph and drops vertices below `k`; survivors after `rounds`
+    * peels emit with their within-subgraph degree. The true k-core is
+    * the fixpoint; a FIXED round count keeps the oracle replayable as
+    * unrolled CTEs (the pagerank discipline), and GraphSpec pins that
+    * 4 rounds already reach the fixpoint on the spec corpus (round 5
+    * changes nothing). Dedup/quality use: the 2-core separates tight
+    * near-duplicate cliques from chance single-collision pairs — a
+    * pendant doc that LSH-collided once peels away, a clique member
+    * never does.
+    *
+    * Scale shape: the edge table materializes once and each round is
+    * two keyed semi-join-shaped equi-joins plus one groupBy — one
+    * shuffle per superstep, alive-set monotonically shrinking, nothing
+    * corpus-sized broadcast. Peel depth on real similarity graphs is
+    * small (most vertices die in round 1-2); a convergence-driven
+    * variant would iterate until alive-count stabilizes, exactly like
+    * connectedComponents.
+    */
+  private[operators] def kCore(pairs: DataFrame, k: Int, rounds: Int,
+      materialize: Boolean = true): DataFrame = {
+    val und = pairs.select(col("doc_a"), col("doc_b"))
+    val edges0 = und.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(und.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = if (materialize) edges0.localCheckpoint(true) else edges0
+    def aliveDeg(alive: DataFrame): DataFrame = edges
+      .join(alive.select(col("v").as("src")), Seq("src"))
+      .join(alive.select(col("v").as("dst")), Seq("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var alive = edges.select(col("src").as("v")).distinct()
+    for (_ <- 1 to rounds) {
+      val next = aliveDeg(alive).filter(col("deg") >= k)
+        .select(col("src").as("v"))
+      alive = if (materialize) next.localCheckpoint(true) else next
+    }
+    aliveDeg(alive).select(col("src").as("doc_id"), col("deg"))
+  }
+
+  /** 2-core of the MinHash-LSH candidate graph after 4 peel rounds. */
+  def kCoreDocs(s: SparkSession, d: String, k: Int = 2, rounds: Int = 4,
+      materialize: Boolean = true): DataFrame =
+    kCore(Dedup.lshCandidates(s, d)._1, k, rounds, materialize)
+
   val queries: Map[String, Relational.Q] = Map(
     "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d)),
-    "triangle_count" -> ((s, d) => triangleCount(s, d))
+    "triangle_count" -> ((s, d) => triangleCount(s, d)),
+    "k_core" -> ((s, d) => kCoreDocs(s, d))
   )
 
   // one oracle iteration in integer micro-units (// = floor division,
@@ -157,7 +202,32 @@ object Graph {
        | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
        |  AND a.doc_id < b.doc_id)""".stripMargin
 
+  // one synchronized peel round: degrees within the alive subgraph,
+  // survivors are vertices holding >= k (k = 2) neighbors
+  private def peelCte(prev: String, out: String): String =
+    s"""$out AS (
+       | SELECT e.src AS v FROM edges e
+       |  JOIN $prev x ON x.v = e.src
+       |  JOIN $prev y ON y.v = e.dst
+       | GROUP BY e.src HAVING count(*) >= 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "k_core" ->
+      (pairsCtes + ",\n" +
+        s"""edges AS (
+           | SELECT doc_a AS src, doc_b AS dst FROM pairs
+           | UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |a0 AS (SELECT DISTINCT src AS v FROM edges),
+           |${peelCte("a0", "a1")},
+           |${peelCte("a1", "a2")},
+           |${peelCte("a2", "a3")},
+           |${peelCte("a3", "a4")}
+           |SELECT e.src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+           |FROM edges e
+           | JOIN a4 x ON x.v = e.src
+           | JOIN a4 y ON y.v = e.dst
+           |GROUP BY e.src""".stripMargin),
+
     "similarity_pagerank" ->
       (pairsCtes + ",\n" +
         s"""edges AS (

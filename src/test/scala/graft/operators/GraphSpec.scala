@@ -61,4 +61,31 @@ class GraphSpec extends SparkTestBase {
     // must be strictly more central than the teleport floor
     assert(rows.exists(_.getDouble(1) > 0.15 + 1e-6))
   }
+
+  test("kCore peels the pendant chain, keeps the clique; deg is within-core") {
+    import spark.implicits._
+    // triangle {1,2,3} with chain 3-4-5: round 1 drops 5 (deg 1),
+    // round 2 drops the now-pendant 4; the triangle survives at deg 2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.kCore(g, k = 2, rounds = 4, materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // a 4-cycle is its own 2-core: nothing peels even though no
+    // triangle exists — k-core sees density coarser than triangles
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val gotC = Graph.kCore(cyc, k = 2, rounds = 4, materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotC == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("k_core: 4 rounds reach the fixpoint on the corpus graph (round 5 is a no-op)") {
+    val r4 = Graph.kCoreDocs(spark, sf, rounds = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r5 = Graph.kCoreDocs(spark, sf, rounds = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(r4 == r5)
+    // every survivor holds >= k neighbors inside the core by definition
+    assert(r4.forall(_._2 >= 2L))
+  }
 }

@@ -415,7 +415,71 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** DSIR-style importance resampling toward a target domain: re-weight
+    * every document by how much its token mix resembles the target
+    * distribution (domain 0 of the md5(source)%4 split — the same
+    * domain framing nbDomainAttribution trains against), then keep it
+    * with probability proportional to that weight via a deterministic
+    * hash draw. The full DSIR likelihood-ratio exponent needs ln (not
+    * correctly-rounded cross-engine — the HLL lesson), so the score is
+    * the LINEAR contrast: per token, target-ppm minus corpus-ppm rate
+    * (integer floor divisions), per doc the tf-weighted mean of those
+    * contrasts. Positive score = token mix over-represented in the
+    * target; the acceptance weight maps score into [0, 1e6] ppm around
+    * a 50% base rate with a fixed gain of 100 (a tuning constant — on
+    * this synthetic near-uniform corpus scores sit within ±‰, on a
+    * real power-law corpus the gain is fit to the desired budget).
+    *
+    * Exactness: everything before the accept test is long/floor-div
+    * arithmetic. The per-doc mean uses the shift trick
+    * `(sw + dl·1e6) div dl − 1e6` so the numerator is provably
+    * non-negative — Spark `div` truncates toward zero while DuckDB
+    * `//` floors, and they only agree on non-negative operands.
+    *
+    * Shape: one (doc, term) tf aggregate materialized once (it feeds
+    * the vocabulary build AND the scoring join — the persisted-LM
+    * pattern of unigramLmScore); vocabulary aggregate keyed on term;
+    * scoring join keyed on term (vocabulary-sized, never broadcast);
+    * totals are one broadcast scalar row. The accept filter is
+    * per-row, shuffle-free. At 100 TB the vocabulary/totals are built
+    * on the target+sample once and reused across daily drops.
+    */
+  def importanceResample(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        (pmod(graft.functions.Hash60.hash60(col("source")), lit(4L)) === 0L)
+          .as("tgt"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("tgt"),
+        size(col("toks")).cast("long").as("dl"), explode(col("toks")).as("term"))
+    val tf0 = base.groupBy(col("doc_id"), col("tgt"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tf = if (materialize) tf0.localCheckpoint(true) else tf0
+    val vocab = tf.groupBy(col("term")).agg(
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("tc"),
+      sum(col("tf")).as("rc"))
+    val tot = vocab.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val scored = tf.join(vocab, Seq("term")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("dl"),
+        (col("tf") * (expr("tc * 1000000 div tt") - expr("rc * 1000000 div rt")))
+          .as("w"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("w")).as("sw"))
+      .select(col("doc_id"),
+        (expr("(sw + dl * 1000000) div dl") - lit(1000000L)).as("score_ppm"))
+    scored
+      .select(col("doc_id"), col("score_ppm"),
+        least(lit(1000000L),
+          greatest(lit(0L), lit(500000L) + lit(100L) * col("score_ppm")))
+          .as("weight_ppm"))
+      .filter(pmod(graft.functions.Hash60.hash60(
+        concat(lit("rs"), col("doc_id").cast("string"))), lit(1000000L))
+        < col("weight_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "importance_resample" -> ((s: SparkSession, d: String) => importanceResample(s, d)),
     "nb_domain_attribution" -> ((s: SparkSession, d: String) => nbDomainAttribution(s, d)),
     "unigram_lm_score" -> (unigramLmScore _),
     "bigram_lm_score" -> (bigramLmScore _),
@@ -432,6 +496,47 @@ object TrainPrep {
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   val oracleSql: Map[String, String] = Map(
+    // linear token-contrast lane in floor-div ppm; the shifted
+    // `(sw + dl*1e6) // dl` keeps both engines on non-negative
+    // division (Spark div truncates, DuckDB // floors)
+    "importance_resample" ->
+      s"""WITH base AS (
+         | SELECT doc_id,
+         |  (('0x' || substr(md5(source), 1, 15))::BIGINT % 4 = 0) AS tgt,
+         |  string_split($normSql, ' ') AS w
+         | FROM documents),
+         |b2 AS (
+         | SELECT doc_id, tgt, CAST(len(w) AS BIGINT) AS dl,
+         |  unnest(w) AS term
+         | FROM base),
+         |tf AS (
+         | SELECT doc_id, tgt, dl, term, CAST(count(*) AS BIGINT) AS tf
+         | FROM b2 GROUP BY 1, 2, 3, 4),
+         |vocab AS (
+         | SELECT term,
+         |  CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS tc,
+         |  CAST(sum(tf) AS BIGINT) AS rc
+         | FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+         |        CAST(sum(rc) AS BIGINT) AS rt FROM vocab),
+         |sc AS (
+         | SELECT tf.doc_id, tf.dl,
+         |  CAST(sum(tf.tf * (vocab.tc * 1000000 // tot.tt
+         |                    - vocab.rc * 1000000 // tot.rt)) AS BIGINT) AS sw
+         | FROM tf JOIN vocab USING (term) CROSS JOIN tot
+         | GROUP BY 1, 2),
+         |wt AS (
+         | SELECT doc_id,
+         |  CAST((sw + dl * 1000000) // dl - 1000000 AS BIGINT) AS score_ppm
+         | FROM sc)
+         |SELECT doc_id, score_ppm,
+         | CAST(least(1000000, greatest(0, 500000 + 100 * score_ppm))
+         |   AS BIGINT) AS weight_ppm
+         |FROM wt
+         |WHERE ('0x' || substr(md5('rs' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |   % 1000000
+         |  < least(1000000, greatest(0, 500000 + 100 * score_ppm))""".stripMargin,
+
     // K x V model table with per-(domain, term) nanonat NLL (two ln
     // calls on integer-valued doubles, one rounding — identical both
     // engines); per-doc scores exact long sums; argmin ties on domain

@@ -34,7 +34,8 @@ class PlanGuardSpec extends SparkTestBase {
     "source_divergence" -> ((s, d) => graft.operators.CorpusAnalytics.sourceDivergence(s, d, materialize = false)),
     "nb_domain_attribution" -> ((s, d) => graft.operators.TrainPrep.nbDomainAttribution(s, d, materialize = false)),
     "join_size_estimate" -> ((s, d) => graft.operators.Sketch.joinSizeEstimate(s, d, materialize = false)),
-    "k_core" -> ((s, d) => graft.operators.Graph.kCoreDocs(s, d, materialize = false)))
+    "k_core" -> ((s, d) => graft.operators.Graph.kCoreDocs(s, d, materialize = false)),
+    "importance_resample" -> ((s, d) => graft.operators.TrainPrep.importanceResample(s, d, materialize = false)))
 
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

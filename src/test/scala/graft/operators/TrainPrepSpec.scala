@@ -247,4 +247,38 @@ class TrainPrepSpec extends SparkTestBase {
     // every doc is classified exactly once
     assert(got.values.sum == docs.length.toLong)
   }
+
+  test("importance_resample equals a driver-side contrast-lane replay") {
+    import graft.functions.TextFunctions
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (pmod(graft.functions.Hash60.hash60(col("source")), lit(4L)) === 0L)
+          .as("tgt"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getSeq[String](2)))
+    assert(docs.exists(_._2) && docs.exists(!_._2), "both pops present")
+    val tc = scala.collection.mutable.Map.empty[String, Long]
+    val rc = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, tgt, toks) =>
+      toks.foreach { t =>
+        rc(t) = rc.getOrElse(t, 0L) + 1
+        if (tgt) tc(t) = tc.getOrElse(t, 0L) + 1
+      }
+    }
+    val (tt, rt) = (tc.values.sum, rc.values.sum)
+    val expected = docs.flatMap { case (id, _, toks) =>
+      val dl = toks.length.toLong
+      val sw = toks.map(t =>
+        tc.getOrElse(t, 0L) * 1000000L / tt - rc(t) * 1000000L / rt).sum
+      val score = (sw + dl * 1000000L) / dl - 1000000L
+      val w = math.min(1000000L, math.max(0L, 500000L + 100L * score))
+      val draw = graft.functions.Hash60.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString("rs" + id)) % 1000000L
+      if (draw < w) Some(id -> (score, w)) else None
+    }.toMap
+    val got = TrainPrep.importanceResample(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
 }

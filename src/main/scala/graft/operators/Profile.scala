@@ -257,18 +257,31 @@ object Profile {
     * the count rows before the ratio step (counts are the mergeable
     * state, exactly like the streaming twin's registers).
     */
-  def distDrift(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(
-      col("lang"), col("source"),
-      least(expr("n_chars div 200"), lit(9L)).as("len_b"),
+  /** The (feature, bucket) count table the census is built from — ONE
+    * scan of the docs frame (the three lanes explode from an inline
+    * array, not a 3-way self-union that would scan the corpus three
+    * times), one map-side-combining aggregate. Counts are the
+    * mergeable state: the streaming twin runs THIS aggregation in
+    * complete mode and the batch census applies the ratio step on top.
+    */
+  private[graft] def driftCounts(docs: DataFrame): DataFrame = {
+    val lanes = docs.select(
+      explode(array(
+        struct(lit("lang").as("feature"), col("lang").as("bucket")),
+        struct(lit("source").as("feature"), col("source").as("bucket")),
+        struct(lit("len_bucket").as("feature"),
+          concat(lit("b"),
+            least(expr("n_chars div 200"), lit(9L)).cast("string"))
+            .as("bucket")))).as("fb"),
       (col("doc_id") % 2 === 1).as("cur"))
-    val feat = docs.select(lit("lang").as("feature"), col("lang").as("bucket"), col("cur"))
-      .unionAll(docs.select(lit("source").as("feature"), col("source").as("bucket"), col("cur")))
-      .unionAll(docs.select(lit("len_bucket").as("feature"),
-        concat(lit("b"), col("len_b").cast("string")).as("bucket"), col("cur")))
-    val counts = feat.groupBy(col("feature"), col("bucket")).agg(
-      sum(when(!col("cur"), 1L).otherwise(0L)).as("ref_n"),
-      sum(when(col("cur"), 1L).otherwise(0L)).as("cur_n"))
+    lanes.groupBy(col("fb.feature").as("feature"), col("fb.bucket").as("bucket"))
+      .agg(
+        sum(when(!col("cur"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("cur_n"))
+  }
+
+  def distDrift(s: SparkSession, d: String): DataFrame = {
+    val counts = driftCounts(Tables.documents(s, d))
     val totals = counts.groupBy(col("feature")).agg(
       sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"))
     def dec(c: Column) = c.cast("decimal(38,0)")

@@ -693,6 +693,32 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming drift-count monitor — the incremental twin of
+    * operators.Profile.distDrift's count table. The (feature, bucket)
+    * ref/cur counts are plain SUM-mergeable aggregation state (no
+    * custom state machine needed — each micro-batch's partial counts
+    * merge by addition, exactly the batch map-side combine), so the
+    * twin IS the shared lane aggregation run in complete mode over the
+    * landing stream. A monitor reads the latest count table per
+    * trigger and applies the ratio/chi-square step (a ~100-row
+    * computation) outside the stream; StreamingSpec pins the stream's
+    * final count table equal to the batch scan's.
+    */
+  def driftStream(docs: DataFrame): DataFrame =
+    graft.operators.Profile.driftCounts(docs)
+
+  def runDriftOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q: StreamingQuery = driftStream(readDocuments(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming Misra–Gries heavy-hitter sketch — the state-store twin
     * of operators.Sketch.heavyHitters' per-partition pass 1. The token
     * stream shards by content hash (a fixed, small key space — the

@@ -46,7 +46,11 @@ class DeterminismSpec extends SparkTestBase {
     "ab_chi2",           // DECIMAL(38) exact chi-square on hash arms
     "mannwhitney_value", // doubled-midrank integer U statistic
     "seasonal_adjust",   // epoch-day mod 7 profile, floor-micros means
-    "dedup_channel_overlap" // union of three channels' pair sets
+    "dedup_channel_overlap", // union of three channels' pair sets
+    "dist_drift",        // DECIMAL(38) chi-square census on count lanes
+    "k_core",            // iterative peel fixpoint membership
+    "importance_resample", // floor-div contrast lane + hash accept draw
+    "corr_matrix"        // exact decimal moments, one final rounding
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -143,6 +143,20 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming drift counts == the batch lane aggregation") {
+    // sum-mergeable count state: the stream's final complete-mode
+    // table must equal the batch scan's count table exactly
+    val streamed = StreamingOps.runDriftOnce(spark, sf, "stream_drift")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.operators.Profile
+      .driftCounts(graft.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream-static incremental dedup == batch dedup_incremental (matched subset)") {
     val streamed = StreamingOps
       .runIncrementalDedupOnce(spark, sf, "stream_incr_dedup")

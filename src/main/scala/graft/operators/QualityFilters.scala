@@ -328,7 +328,62 @@ object QualityFilters {
           .cast("long").as("boiler_ppm"))
   }
 
+  /** Reliability census of the cheap linear quality classifier against
+    * the rule-based curation gate (repetition + entropy thresholds) —
+    * the eval that answers "can the 4-feature logit replace the
+    * expensive gate at ingest": per predicted-probability decile, how
+    * many docs the gate actually keeps (observed keep rate in ppm) vs
+    * the decile's mean predicted probability. A well-calibrated
+    * classifier puts gate_keep_ppm ≈ mean_prob_micro per bucket; a
+    * decile where they diverge is where the cheap model mis-prices
+    * the gate. Same confusion-census spirit as dedup_eval.
+    *
+    * One scan computes BOTH models' signals per doc (the classifier's
+    * marker/charclass kernels and the gate's run-length/gram/entropy
+    * kernels share the tokenization), then one ≤10-group aggregate.
+    * Cross-engine exactness: prob is rounded to 6 dp first (the
+    * already-pinned quality_classifier value); bucket floor and the
+    * micro conversion operate on that identical double, and the
+    * per-bucket means are integer floor divisions of exact long sums.
+    */
+  def classifierCalibration(s: SparkSession, d: String): DataFrame = {
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+        normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("text"), col("toks"), col("norm"),
+        array_sort(col("toks")).as("stoks"),
+        gramHashes(col("toks"), 3).as("tg"))
+    val n = size(col("toks")).cast("long")
+    val topPpm = ppm(maxRunLength(col("stoks")), n)
+    val ntg = size(col("tg")).cast("long")
+    val triPpm = ppm(ntg - size(array_distinct(col("tg"))).cast("long"), ntg)
+    val ent = entropyOfNorm(col("norm"))
+    val nWords = size(col("toks")).cast("double")
+    val rawStop = graft.functions.MarkerHits
+      .markerHits(col("toks"), TrainPrep.stopWords).cast("double") / nWords
+    val rawPunct = graft.functions.CharStats.punctCount(col("text"))
+      .cast("double") / length(col("text"))
+    val rawCaps = graft.functions.CharStats.upperCount(col("text"))
+      .cast("double") / length(col("text"))
+    val logit = lit(6.0) * rawStop + lit(0.02) * nWords -
+      lit(8.0) * rawPunct - lit(4.0) * rawCaps - lit(1.5)
+    val prob = round(lit(1.0) / (lit(1.0) + exp(-logit)), 6)
+    sig
+      .select(
+        least(floor(prob * 10).cast("long"), lit(9L)).as("bucket"),
+        round(prob * 1000000).cast("long").as("prob_micro"),
+        when(topPpm <= 200000 && triPpm <= 300000 && ent >= 2.7, 1L)
+          .otherwise(0L).as("gate_keep"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("gate_keep")).as("n_gate_keep"),
+        sum(col("prob_micro")).as("sum_prob"))
+      .select(col("bucket"), col("n_docs"),
+        expr("n_gate_keep * 1000000 div n_docs").as("gate_keep_ppm"),
+        expr("sum_prob div n_docs").as("mean_prob_micro"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "classifier_calibration" -> (classifierCalibration _),
     "boilerplate_detect" -> (boilerplateDetect _),
     "repetition_filter" -> (repetitionFilter _),
     "pii_redact" -> (piiRedact _),
@@ -390,6 +445,46 @@ object QualityFilters {
       |   '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g')""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // one doc-level CTE computes both models' signals; the 6dp-rounded
+    // prob is the shared double both engines bucket and micro-scale
+    "classifier_calibration" ->
+      s"""WITH t AS (
+         | SELECT doc_id, text, string_split($normSql, ' ') AS w,
+         |  $normSql AS norm
+         | FROM documents),
+         |sig AS (
+         | SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n,
+         |  list_max(list_transform(list_sort(list_distinct(w)),
+         |    x -> len(list_filter(w, tk -> tk = x)))) AS topc,
+         |  len($trigramSql) AS ntg,
+         |  len(list_distinct($trigramSql)) AS dtg,
+         |  list_transform(range(0, length(norm)),
+         |    i -> substring(norm, CAST(i + 1 AS INT), 1)) AS chars,
+         |  CAST(len(list_filter(w, x -> list_contains(['the','a','and','of','to','in','is','it','on','for'], x))) AS DOUBLE) / len(w) AS raw_stop,
+         |  CAST(len(w) AS DOUBLE) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text) AS raw_punct,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / length(text) AS raw_caps
+         | FROM t),
+         |per AS (
+         | SELECT doc_id,
+         |  CAST(floor(1000000.0 * topc / n) AS BIGINT) AS top_ppm,
+         |  CASE WHEN ntg > 0 THEN CAST(floor(1000000.0 * (ntg - dtg) / ntg) AS BIGINT) ELSE 0 END AS tri_ppm,
+         |  $entropySql AS ent,
+         |  round(1.0 / (1.0 + exp(-(6.0 * raw_stop + 0.02 * n_words
+         |    - 8.0 * raw_punct - 4.0 * raw_caps - 1.5))), 6) AS prob
+         | FROM sig),
+         |b AS (
+         | SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS bucket,
+         |  CAST(round(prob * 1000000) AS BIGINT) AS prob_micro,
+         |  CASE WHEN top_ppm <= 200000 AND tri_ppm <= 300000 AND ent >= 2.7
+         |   THEN 1 ELSE 0 END AS gk
+         | FROM per)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(gk) * 1000000 // count(*) AS BIGINT) AS gate_keep_ppm,
+         | CAST(sum(prob_micro) // count(*) AS BIGINT) AS mean_prob_micro
+         |FROM b GROUP BY 1""".stripMargin,
+
     "boilerplate_detect" ->
       s"""WITH toks AS (
          | SELECT doc_id, source, string_split($normSql, ' ') AS w FROM documents),

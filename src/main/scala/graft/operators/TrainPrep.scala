@@ -17,6 +17,11 @@ import graft.functions.TextFunctions._
   */
 object TrainPrep {
 
+  /** The classifier's stop-word marker list — shared with the
+    * calibration census (QualityFilters.classifierCalibration). */
+  private[graft] val stopWords =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+
   /** Unigram LM negative log-likelihood per document — the CCNet/
     * Gopher-style "perplexity" quality signal, with the LM trained on
     * the corpus itself: avg_nll(d) = ln(T) - (Σ_t tf(d,t)·ln(cnt(t)))/|d|
@@ -231,7 +236,7 @@ object TrainPrep {
     * scan speed at 100 TB.
     */
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "on", "for")
+    val stop = TrainPrep.stopWords
     val toks = col("toks")
     val nWords = size(toks).cast("double")
     val rawStop = graft.functions.MarkerHits.markerHits(toks, stop)

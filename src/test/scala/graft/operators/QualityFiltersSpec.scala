@@ -133,4 +133,32 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(r.count() === graft.Tables.embeddings(spark, sf).count())
     r.unpersist()
   }
+
+  test("classifier_calibration: deciles partition the corpus, means sit in-bucket") {
+    val rows = QualityFilters.classifierCalibration(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == nDocs)
+    rows.foreach { case (bucket, n, keepPpm, meanMicro) =>
+      assert(bucket >= 0 && bucket <= 9 && n > 0)
+      assert(keepPpm >= 0 && keepPpm <= 1000000)
+      // a decile's mean predicted prob lies inside the decile (bucket
+      // 9 also holds prob = 1.0; ±1 covers the floor-div edge)
+      assert(meanMicro >= bucket * 100000 - 1)
+      assert(meanMicro <= (if (bucket == 9) 1000001L else (bucket + 1) * 100000 + 1))
+    }
+    // the per-doc keep flag aggregated independently must agree with
+    // the census total
+    val gateTotal = QualityFilters.repetitionFilter(spark, sf)
+      .join(QualityFilters.charEntropy(spark, sf), "doc_id")
+      .filter(col("top_word_ppm") <= 200000 &&
+        col("dup_trigram_ppm") <= 300000 && col("char_entropy") >= 2.7)
+      .count()
+    val censusKept = rows.map { case (_, n, keepPpm, _) =>
+      // keep_ppm = floor(kept * 1e6 / n) — invert exactly: kept is the
+      // unique integer with floor(kept*1e6/n) = keepPpm
+      (0L to n).find(k => k * 1000000L / n == keepPpm).get
+    }.sum
+    assert(censusKept == gateTotal)
+  }
 }

@@ -212,17 +212,22 @@ object Profile {
       sum(dec(col("q")) * dec(col("p"))).as("sqp"),
       sum(dec(col("q")) * dec(col("d"))).as("sqd"),
       sum(dec(col("p")) * dec(col("d"))).as("spd"))
-    def pairRow(name: String, covS: Column, sx: Column, sxx: Column,
+    // all three pairs explode from the ONE-row moment aggregate — a
+    // 3-way union of pairRow selects instead re-plans the whole scan+
+    // aggregate subtree per branch (measured: 3 parquet scans)
+    def pairStruct(name: String, covS: Column, sx: Column, sxx: Column,
         sy: Column, syy: Column) =
-      st.select(lit(name).as("pair"), col("n"),
+      struct(lit(name).as("pair"), col("n").as("n"),
         (dec(col("n")) * covS - sx * sy).as("cov_n"),
         (dec(col("n")) * sxx - sx * sx).as("vx"),
         (dec(col("n")) * syy - sy * sy).as("vy"))
-    pairRow("q_p", col("sqp"), col("sq"), col("sqq"), col("sp"), col("spp"))
-      .unionByName(pairRow("q_d", col("sqd"), col("sq"), col("sqq"),
-        col("sd"), col("sdd")))
-      .unionByName(pairRow("p_d", col("spd"), col("sp"), col("spp"),
-        col("sd"), col("sdd")))
+    st.select(explode(array(
+        pairStruct("q_p", col("sqp"), col("sq"), col("sqq"), col("sp"), col("spp")),
+        pairStruct("q_d", col("sqd"), col("sq"), col("sqq"), col("sd"), col("sdd")),
+        pairStruct("p_d", col("spd"), col("sp"), col("spp"), col("sd"), col("sdd"))))
+        .as("r"))
+      .select(col("r.pair").as("pair"), col("r.n").as("n"),
+        col("r.cov_n").as("cov_n"), col("r.vx").as("vx"), col("r.vy").as("vy"))
       .select(col("pair"), col("n"),
         when(col("vx") > 0 && col("vy") > 0,
           round(col("cov_n").cast("double") /
@@ -282,14 +287,19 @@ object Profile {
 
   def distDrift(s: SparkSession, d: String): DataFrame = {
     val counts = driftCounts(Tables.documents(s, d))
-    val totals = counts.groupBy(col("feature")).agg(
-      sum(col("ref_n")).as("ref_tot"), sum(col("cur_n")).as("cur_tot"))
+    // per-feature totals as a window over the ~100-row count table —
+    // NOT a second aggregation of the corpus (that plans a second
+    // parquet scan; AQE exchange reuse would probably dedupe it at
+    // runtime, but the single-scan plan shouldn't depend on that)
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
     def dec(c: Column) = c.cast("decimal(38,0)")
     val dD = dec(col("cur_tot")) * dec(col("ref_n")) -
       dec(col("ref_tot")) * dec(col("cur_n"))
     val den = dec(col("ref_tot")) * dec(col("cur_tot")) *
       dec(col("ref_n") + col("cur_n"))
-    counts.join(broadcast(totals), Seq("feature"))
+    counts
+      .withColumn("ref_tot", sum(col("ref_n")).over(wf))
+      .withColumn("cur_tot", sum(col("cur_n")).over(wf))
       .select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
         (expr("cur_n * 1000000 div cur_tot") -
           expr("ref_n * 1000000 div ref_tot")).as("delta_ppm"),

@@ -553,6 +553,66 @@ object StreamingOps {
         col("m.best_est").as("best_est"), (-col("m.neg")).as("best_match"))
   }
 
+  /** Stream-static importance scoring — the streaming twin of
+    * `TrainPrep.importanceResample`: docs land as a stream and score
+    * against the STATIC per-term contrast model (the published batch
+    * artifact a 100 TB run trains once and reuses across daily
+    * drops). Stream side explodes token OCCURRENCES and left-joins
+    * the model keyed on term — Σ over occurrences of contrast ≡ the
+    * batch Σ tf·contrast, so no per-(doc, term) tf stage is needed;
+    * unknown terms (absent from the artifact) contribute 0. ONE
+    * update-mode aggregate folds the per-doc sum; the shift-trick
+    * mean, clamp, and md5 accept draw run as post-aggregate
+    * projections. A document is one parquet row, so all its
+    * occurrences land in one trigger and each doc emits exactly one
+    * final update — the in-stream accept filter is safe.
+    */
+  def importanceStream(spark: SparkSession, newDocs: DataFrame,
+                       staticDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val occ0 = graft.Tables.documents(spark, staticDir)
+      .select(
+        (pmod(graft.functions.Hash60.hash60(col("source")), lit(4L)) === 0L)
+          .as("tgt"),
+        explode(tokens(col("text"))).as("term"))
+    val vocab = occ0.groupBy(col("term")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tc"),
+      count(lit(1)).as("rc"))
+    val tot = vocab.agg(sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+    val model = vocab.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (expr("tc * 1000000 div tt") - expr("rc * 1000000 div rt"))
+          .as("contrast"))
+    val occ = newDocs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+    occ.join(model, Seq("term"), "left")
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(coalesce(col("contrast"), lit(0L))).as("sw"))
+      .select(col("doc_id"),
+        (expr("(sw + dl * 1000000) div dl") - lit(1000000L)).as("score_ppm"))
+      .select(col("doc_id"), col("score_ppm"),
+        least(lit(1000000L),
+          greatest(lit(0L), lit(500000L) + lit(100L) * col("score_ppm")))
+          .as("weight_ppm"))
+      .filter(pmod(graft.functions.Hash60.hash60(
+        concat(lit("rs"), col("doc_id").cast("string"))), lit(1000000L))
+        < col("weight_ppm"))
+  }
+
+  def runImportanceOnce(spark: SparkSession, dir: String,
+                        queryName: String): DataFrame = {
+    val q = importanceStream(spark, readDocuments(spark, dir), dir)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** documents.parquet schema as landed (see Tables.documents). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -157,6 +157,16 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("stream-static importance scoring == batch importance_resample") {
+    // the static contrast model is trained on the same corpus the
+    // stream lands, so scores/weights/accepts must match exactly
+    val streamed = StreamingOps.runImportanceOnce(spark, sf, "stream_importance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.TrainPrep.importanceResample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream-static incremental dedup == batch dedup_incremental (matched subset)") {
     val streamed = StreamingOps
       .runIncrementalDedupOnce(spark, sf, "stream_incr_dedup")

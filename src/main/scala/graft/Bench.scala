@@ -70,6 +70,11 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "0") ""
       else try {
         val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/bench-sf1")
+        // benching the 10x corpus directly (SF_DIR == SF1_DIR) must not
+        // re-derive it into itself — ensure() refuses; skip the stage
+        if (new java.io.File(sfDir).getCanonicalPath ==
+            new java.io.File(sf1Dir).getCanonicalPath)
+          throw new IllegalArgumentException("sfDir == sf1Dir: skip second scale")
         ScaleUp.ensure(spark, sfDir, sf1Dir, 10)
         def timeAt(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t0 = System.nanoTime()

@@ -113,6 +113,16 @@ object ScaleUp {
     * for a different (srcDir, factor) — a stale corpus derived from a
     * different base would silently poison the sf1 bench numbers. */
   def ensure(s: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    // Refuse src == dst: `run` overwrites each table while reading it
+    // from the same path — Spark aborts the write AFTER truncating the
+    // target dir, destroying the corpus (r6 incident: a bench invoked
+    // with SPARK_GRAFT_SF_DIR=target/bench-sf1 self-scaled and emptied
+    // region.parquet before the swallowed abort). Callers (Bench) skip
+    // the scale stage instead of corrupting data.
+    require(
+      new java.io.File(srcDir).getCanonicalPath !=
+        new java.io.File(outDir).getCanonicalPath,
+      s"ScaleUp src == dst ($outDir): refusing to scale a corpus into itself")
     val marker = new java.io.File(s"$outDir/_GRAFT_SCALE_DONE")
     val stamp = s"$srcDir|$factor"
     val current = if (marker.exists())

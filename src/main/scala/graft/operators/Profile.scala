@@ -202,16 +202,21 @@ object Profile {
       round(col("l_quantity") * 100).cast("long").as("q"),
       round(col("l_extendedprice") * 100).cast("long").as("p"),
       round(col("l_discount") * 100).cast("long").as("d"))
+    // per-ROW products always fit a long (|p| <= 1e7 cents squared =
+    // 1e14 << 2^63) — multiply in long and convert ONCE per row for
+    // the decimal SUM buffers (only the running sums can overflow
+    // int64). dec(x)*dec(y) per row instead planned a Decimal multiply
+    // in the hot loop: measured 6.7 -> 4.1 s warm sf1.
     val st = m.agg(
       count(lit(1)).as("n"),
       sum(dec(col("q"))).as("sq"), sum(dec(col("p"))).as("sp"),
       sum(dec(col("d"))).as("sd"),
-      sum(dec(col("q")) * dec(col("q"))).as("sqq"),
-      sum(dec(col("p")) * dec(col("p"))).as("spp"),
-      sum(dec(col("d")) * dec(col("d"))).as("sdd"),
-      sum(dec(col("q")) * dec(col("p"))).as("sqp"),
-      sum(dec(col("q")) * dec(col("d"))).as("sqd"),
-      sum(dec(col("p")) * dec(col("d"))).as("spd"))
+      sum(dec(col("q") * col("q"))).as("sqq"),
+      sum(dec(col("p") * col("p"))).as("spp"),
+      sum(dec(col("d") * col("d"))).as("sdd"),
+      sum(dec(col("q") * col("p"))).as("sqp"),
+      sum(dec(col("q") * col("d"))).as("sqd"),
+      sum(dec(col("p") * col("d"))).as("spd"))
     // all three pairs explode from the ONE-row moment aggregate — a
     // 3-way union of pairRow selects instead re-plans the whole scan+
     // aggregate subtree per branch (measured: 3 parquet scans)

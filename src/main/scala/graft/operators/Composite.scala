@@ -85,7 +85,7 @@ object Composite {
     "panel_pipeline" ->
       """WITH panel AS (
         | SELECT n_name AS nation, weekofyear(o_orderdate) AS week,
-        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS revenue
         | FROM lineitem
         | JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey

@@ -240,12 +240,20 @@ object MultiDim {
     "semi_join_customers" -> (customersWithUrgentOrders _)
   )
 
+  // DECIMAL -> VARCHAR -> DOUBLE everywhere a summed decimal leaves
+  // the oracle as a double: DuckDB's direct DECIMAL->DOUBLE cast
+  // double-rounds (int128 -> double, then / 10^scale — two IEEE
+  // roundings), while Spark's Decimal.toDouble correctly rounds once.
+  // At sf1 magnitudes (~1e11, ulp 1.5e-5) the two paths landed one ulp
+  // apart on rollup_revenue's 'A' subtotal; the string route uses
+  // DuckDB's correctly-rounded fast_float parse, matching Spark
+  // bit-for-bit at any magnitude.
   val oracleSql: Map[String, String] = Map(
     "rollup_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
@@ -253,19 +261,19 @@ object MultiDim {
     "cube_revenue" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         | coalesce(o_orderstatus, 'ALL') AS status,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total_price,
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS total_price,
         | count(*) AS n
         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "pivot_status" ->
       """SELECT o_orderpriority AS priority,
-        | CAST(sum(CASE WHEN o_orderstatus = 'O'
-        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_o,
-        | CAST(sum(CASE WHEN o_orderstatus = 'F'
-        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_f,
-        | CAST(sum(CASE WHEN o_orderstatus = 'P'
-        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS DOUBLE) AS total_p
+        | CAST(CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS VARCHAR) AS DOUBLE) AS total_o,
+        | CAST(CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS VARCHAR) AS DOUBLE) AS total_f,
+        | CAST(CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |   THEN CAST(o_totalprice AS DECIMAL(20,6)) END) AS VARCHAR) AS DOUBLE) AS total_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "salted_event_agg" ->

@@ -658,7 +658,7 @@ object StarJoin {
   val oracleSql: Map[String, String] = Map(
     "star_shipping_priority" ->
       s"""SELECT o_orderkey, o_orderdate::DATE AS orderdate, o_orderpriority,
-         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+         | CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM customer
          | JOIN orders ON c_custkey = o_custkey
          | JOIN lineitem ON l_orderkey = o_orderkey
@@ -671,7 +671,7 @@ object StarJoin {
 
     "star_local_volume" ->
       s"""SELECT n_name,
-         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+         | CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS revenue,
          | count(*) AS n_items
          |FROM region
          | JOIN nation ON n_regionkey = r_regionkey
@@ -702,7 +702,7 @@ object StarJoin {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
         | FROM lineitem GROUP BY 1)
         |SELECT p_brand, count(*) AS n_items,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         | JOIN ps USING (l_partkey)
         | JOIN part ON p_partkey = l_partkey
@@ -727,7 +727,7 @@ object StarJoin {
       s"""WITH rev AS (
          | SELECT l_suppkey,
          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS r_u,
-         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue
+         |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
          | FROM lineitem
          | WHERE l_shipdate >= TIMESTAMP '1998-03-01'
          |  AND l_shipdate < TIMESTAMP '$Cutoff'
@@ -742,7 +742,7 @@ object StarJoin {
       """WITH rev AS (
         | SELECT l_suppkey AS suppkey, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) AS BIGINT) AS value_u,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS value_rev
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS value_rev
         | FROM lineitem GROUP BY 1),
         |tot AS (SELECT CAST(sum(value_u) AS HUGEINT) AS total_u,
         |  CAST(count(*) AS BIGINT) AS n_supp FROM rev)
@@ -774,7 +774,7 @@ object StarJoin {
          |  CAST(count(*) AS BIGINT) AS n
          | FROM c)
          |SELECT c_mktsegment, count(*) AS n_custs,
-         | CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS DOUBLE) AS total_bal
+         | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS total_bal
          |FROM c, st
          |WHERE bal_u * n > total_u
          | AND NOT EXISTS (SELECT 1 FROM orders
@@ -787,7 +787,7 @@ object StarJoin {
     "nation_trade_flows" ->
       s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
          | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+         | CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS revenue,
          | count(*) AS n_items
          |FROM lineitem
          | JOIN supplier ON s_suppkey = l_suppkey
@@ -821,7 +821,7 @@ object StarJoin {
          |  JOIN region ON r_regionkey = nc.n_regionkey
          | WHERE p_type = '$SharePartType' AND r_name = 'AMERICA')
          |SELECT order_year, count(*) AS n_items,
-         | CAST(sum(rev_d) AS DOUBLE) AS total_revenue,
+         | CAST(CAST(sum(rev_d) AS VARCHAR) AS DOUBLE) AS total_revenue,
          | CAST((CAST(sum(CASE WHEN is_target THEN rev_u ELSE 0 END) AS HUGEINT) * 1000000)
          |   // CAST(sum(rev_u) AS HUGEINT) AS BIGINT) AS share_ppm
          |FROM li GROUP BY 1""".stripMargin,
@@ -863,7 +863,7 @@ object StarJoin {
       s"""WITH per_cust AS (
          | SELECT o_custkey,
          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)) AS BIGINT) AS r_u,
-         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS lost_revenue,
+         |  CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS lost_revenue,
          |  count(*) AS n_items
          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          | WHERE o_orderdate >= TIMESTAMP '$ReturnsQStart'
@@ -893,7 +893,7 @@ object StarJoin {
     // branch boundaries; decimal-sum revenue lane
     "disjunctive_revenue" ->
       """SELECT p_brand,
-        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_quantity >= 1 AND l_quantity <= 30
@@ -919,7 +919,7 @@ object StarJoin {
     "promo_share_monthly" ->
       s"""SELECT date_trunc('month', l_shipdate)::DATE AS month,
          | count(*) AS n_items,
-         | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS total_revenue,
+         | CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS VARCHAR) AS DOUBLE) AS total_revenue,
          | CAST((CAST(sum(CASE WHEN p_type = '$SharePartType'
          |    THEN CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)
          |    ELSE 0 END) AS HUGEINT) * 1000000)

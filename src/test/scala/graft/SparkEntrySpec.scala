@@ -24,4 +24,22 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(sql.trim.nonEmpty && sql.toUpperCase.contains("SELECT"), n)
     }
   }
+
+  test("no oracle casts a summed DECIMAL straight to DOUBLE (double-rounding lint)") {
+    // DuckDB's DECIMAL->DOUBLE cast double-rounds (int128 -> double,
+    // then / 10^scale) and landed one ulp off Spark's correctly-
+    // rounded Decimal.toDouble at sf1 magnitudes (rollup_revenue 'A'
+    // subtotal, r6). Any summed-decimal value leaving an oracle as a
+    // double must route DECIMAL -> VARCHAR -> DOUBLE (fast_float
+    // parse, correctly rounded). This lint catches the fragile form
+    // `CAST(sum(...DECIMAL...) AS DOUBLE)` with no VARCHAR hop.
+    val fragile = """CAST\(\s*sum\([^)]*DECIMAL[\s\S]*?\)\s*AS\s+DOUBLE\)""".r
+    val offenders = SparkEntry.oracleSql.collect {
+      case (n, sql)
+          if fragile.findFirstIn(sql).exists(!_.contains("VARCHAR")) =>
+        n
+    }
+    assert(offenders.isEmpty,
+      s"oracles with direct DECIMAL->DOUBLE casts: ${offenders.toSeq.sorted}")
+  }
 }

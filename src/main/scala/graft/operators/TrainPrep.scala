@@ -483,7 +483,55 @@ object TrainPrep {
         < col("weight_ppm"))
   }
 
+  /** HELD-OUT unigram negative log-likelihood — the methodologically
+    * honest twin of unigramLmScore (which trains on the full corpus,
+    * so every scored doc has leaked into its own model): the LM trains
+    * on the EVEN-doc split only and scores the ODD docs, add-one
+    * smoothed over the training vocabulary so out-of-vocabulary
+    * held-out terms get the finite ln(T+V) penalty instead of a
+    * crash. This is the eval a curation pipeline actually runs to
+    * compare LM quality signals.
+    *
+    * Exactness lane: per-term NLL in integer NANONATS — round((ln(T+V)
+    * − ln(c+1))·1e9), two ln calls on integer-valued doubles with ONE
+    * rounding (the bigram_lm_score discipline) — then per-doc exact
+    * long sums over token OCCURRENCES (no per-(doc, term) tf stage;
+    * the occurrence left-join ≡ Σ tf·nll, importanceStream's
+    * identity). Only the final avg divides, with one 6dp rounding.
+    *
+    * Shape: training counts aggregate keyed on term (vocabulary-
+    * sized); scalars T, V, and the OOV penalty ride ONE broadcast
+    * row; the scoring join is keyed on term; the per-doc sum is one
+    * map-side-combining aggregate.
+    */
+  def heldoutNll(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).as("train"),
+        explode(tokens(col("text"))).as("term"))
+    val cnt = base.filter(col("train"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+      .select(col("t"), col("v"),
+        round(log(col("t").cast("double") + col("v")) * 1e9)
+          .cast("long").as("oov_n"))
+    val model = cnt.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round((log(col("t").cast("double") + col("v"))
+          - log(col("c").cast("double") + 1)) * 1e9).cast("long").as("nll_n"))
+    base.filter(!col("train"))
+      .join(model, Seq("term"), "left")
+      .crossJoin(broadcast(tot.select(col("oov_n"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("nll_n"), col("oov_n"))).as("sn"),
+        sum(when(col("nll_n").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("sn").cast("double") / 1e9 / col("n_tokens"), 6)
+          .as("avg_nll"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "heldout_nll" -> (heldoutNll _),
     "importance_resample" -> ((s: SparkSession, d: String) => importanceResample(s, d)),
     "nb_domain_attribution" -> ((s: SparkSession, d: String) => nbDomainAttribution(s, d)),
     "unigram_lm_score" -> (unigramLmScore _),
@@ -501,6 +549,38 @@ object TrainPrep {
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   val oracleSql: Map[String, String] = Map(
+    // even-split LM, add-one smoothing, nanonat per-term NLL (two ln
+    // on integer-valued doubles, one rounding), exact occurrence sums
+    "heldout_nll" ->
+      s"""WITH base AS (
+         | SELECT doc_id, (doc_id % 2 = 0) AS train,
+         |  unnest(string_split($normSql, ' ')) AS term
+         | FROM documents),
+         |cnt AS (
+         | SELECT term, CAST(count(*) AS BIGINT) AS c
+         | FROM base WHERE train GROUP BY 1),
+         |tot AS (
+         | SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v,
+         |  CAST(round(ln(CAST(sum(c) AS DOUBLE) + count(*)) * 1e9) AS BIGINT)
+         |    AS oov_n
+         | FROM cnt),
+         |model AS (
+         | SELECT term,
+         |  CAST(round((ln(CAST(tot.t AS DOUBLE) + tot.v)
+         |    - ln(CAST(cnt.c AS DOUBLE) + 1)) * 1e9) AS BIGINT) AS nll_n
+         | FROM cnt CROSS JOIN tot)
+         |SELECT b.doc_id,
+         | CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(sum(CASE WHEN model.nll_n IS NULL THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS n_oov,
+         | round(CAST(sum(coalesce(model.nll_n, tot.oov_n)) AS DOUBLE)
+         |   / 1e9 / count(*), 6) AS avg_nll
+         |FROM base b
+         | LEFT JOIN model ON model.term = b.term
+         | CROSS JOIN tot
+         |WHERE NOT b.train
+         |GROUP BY 1""".stripMargin,
+
     // linear token-contrast lane in floor-div ppm; the shifted
     // `(sw + dl*1e6) // dl` keeps both engines on non-negative
     // division (Spark div truncates, DuckDB // floors)

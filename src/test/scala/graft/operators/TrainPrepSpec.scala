@@ -248,6 +248,27 @@ class TrainPrepSpec extends SparkTestBase {
     assert(got.values.sum == docs.length.toLong)
   }
 
+  test("heldout_nll: only odd docs scored; nll bounded by the OOV penalty; OOV counted") {
+    import graft.functions.TextFunctions
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val trainToks = docs.filter(_._1 % 2 == 0).flatMap(_._2)
+    val vocab = trainToks.toSet
+    val (t, v) = (trainToks.length.toLong, vocab.size.toLong)
+    val oovNll = math.log((t + v).toDouble) / 1  // per OOV token, in nats
+    val rows = TrainPrep.heldoutNll(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSet == docs.filter(_._1 % 2 == 1).map(_._1).toSet)
+    rows.foreach { case (id, n, nOov, avg) =>
+      // every per-token NLL is in (0, ln(T+V)]: the mean is too
+      assert(avg > 0 && avg <= oovNll + 1e-6, s"doc $id avg_nll $avg")
+      // OOV census equals a direct set check
+      val expOov = docs.find(_._1 == id).get._2.count(!vocab.contains(_))
+      assert(nOov == expOov.toLong && n == docs.find(_._1 == id).get._2.length)
+    }
+  }
+
   test("importance_resample equals a driver-side contrast-lane replay") {
     import graft.functions.TextFunctions
     val docs = graft.Tables.documents(spark, sf)

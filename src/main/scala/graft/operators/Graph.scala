@@ -141,7 +141,7 @@ object Graph {
     * variant would iterate until alive-count stabilizes, exactly like
     * connectedComponents.
     */
-  private[operators] def kCore(pairs: DataFrame, k: Int, rounds: Int,
+  private[graft] def kCore(pairs: DataFrame, k: Int, rounds: Int,
       materialize: Boolean = true): DataFrame = {
     val und = pairs.select(col("doc_a"), col("doc_b"))
     val edges0 = und.select(col("doc_a").as("src"), col("doc_b").as("dst"))

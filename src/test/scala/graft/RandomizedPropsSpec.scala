@@ -122,4 +122,37 @@ class RandomizedPropsSpec extends SparkTestBase {
       if (b == 0.0) assert(o.isEmpty, "x/0 must be null")
     }
   }
+
+  test("kCore == an in-memory peel replay on 8 random graphs") {
+    val rnd = new Random(17)
+    (1 to 8).foreach { trial =>
+      val nV = 4 + rnd.nextInt(16)
+      val edges = (0 until nV * 2).map { _ =>
+        val a = rnd.nextInt(nV).toLong
+        val b = rnd.nextInt(nV).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        // reference: synchronized peel to fixpoint over adjacency sets
+        var adj = edges.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        var changed = true
+        while (changed) {
+          val dead = adj.collect { case (v, ns) if ns.size < 2 => v }.toSet
+          changed = dead.nonEmpty
+          adj = (adj -- dead).view
+            .mapValues(_ -- dead).toMap.filter(_._2.nonEmpty)
+        }
+        val expected = adj.view.mapValues(_.size.toLong).toMap
+        // synchronized peel depth on <= 20 vertices is <= 10 rounds;
+        // materialize=true truncates the per-round lineage (a lazy
+        // 12-round composition re-analyzes a deeply nested plan)
+        val got = operators.Graph.kCore(
+          edges.toDF("doc_a", "doc_b"), k = 2, rounds = 12,
+          materialize = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial: $edges")
+      }
+    }
+  }
 }

@@ -50,7 +50,10 @@ class DeterminismSpec extends SparkTestBase {
     "dist_drift",        // DECIMAL(38) chi-square census on count lanes
     "k_core",            // iterative peel fixpoint membership
     "importance_resample", // floor-div contrast lane + hash accept draw
-    "corr_matrix"        // exact decimal moments, one final rounding
+    "corr_matrix",       // exact decimal moments, one final rounding
+    "lang_id_eval",      // confusion census + floor-div share lanes
+    "vocab_growth",      // first-occurrence min-agg + prefix sums
+    "heldout_nll"        // nanonat model join + exact occurrence sums
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Ann, Cdc, Composite, Corpus, CorpusAnalytics, Dedup, Graph, MultiDim, Multimodal, Profile, QualityFilters, Relational, Sketch, StarJoin, Temporal, TextAnalysis, TrainPrep, VectorOps}
+import graft.operators.{Ann, Cdc, Composite, Corpus, CorpusAnalytics, Dedup, Graph, MultiDim, Multimodal, PartSupp, Profile, QualityFilters, Relational, Sketch, StarJoin, Temporal, TextAnalysis, TrainPrep, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,7 +29,8 @@ object SparkEntry {
       Ann.queries ++ Multimodal.queries ++ Composite.queries ++ Corpus.queries ++
       Temporal.queries ++ MultiDim.queries ++ QualityFilters.queries ++
       TrainPrep.queries ++ Sketch.queries ++ Graph.queries ++ Cdc.queries ++
-      StarJoin.queries ++ Profile.queries ++ CorpusAnalytics.queries ++ VectorOps.queries
+      StarJoin.queries ++ Profile.queries ++ CorpusAnalytics.queries ++ VectorOps.queries ++
+      PartSupp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       Ann.oracleSql ++ Multimodal.oracleSql ++ Composite.oracleSql ++ Corpus.oracleSql ++
       Temporal.oracleSql ++ MultiDim.oracleSql ++ QualityFilters.oracleSql ++
       TrainPrep.oracleSql ++ Sketch.oracleSql ++ Graph.oracleSql ++ Cdc.oracleSql ++
-      StarJoin.oracleSql ++ Profile.oracleSql ++ CorpusAnalytics.oracleSql ++ VectorOps.oracleSql
+      StarJoin.oracleSql ++ Profile.oracleSql ++ CorpusAnalytics.oracleSql ++ VectorOps.oracleSql ++
+      PartSupp.oracleSql
 }

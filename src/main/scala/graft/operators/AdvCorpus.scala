@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+
+/** Adversarial evaluation corpus — VERDICT r6's top-ranked ask.
+  *
+  * Three round-6 readouts proved the driver's synthetic documents
+  * table too uniform to exercise the operators it grades: lang labels
+  * carry no textual signal (lang_id_eval accuracy == the en prior),
+  * the 31-token vocabulary saturates Heaps' curve in decile 0, and
+  * the degenerate vocabulary made every PPJoin posting list useless.
+  * The driver corpus is READ-ONLY, so the fix is a corpus the engine
+  * DERIVES: a deterministic, pure-integer text generator over the
+  * existing documents keys (doc_id, lang) that any engine reproduces
+  * bit-for-bit — the DuckDB oracle carries the same generator as a
+  * CTE, so the strict hash gate still applies end-to-end.
+  *
+  * Generator design (all arithmetic < 2^47, safe under ANSI int64):
+  *  - per word j of doc: a 2-step MINSTD LCG seeded by (doc_id, j);
+  *  - 1-in-5 words is a language MARKER drawn from the same 5-word
+  *    stopword lists the lang-ID heuristic scores (so labels now
+  *    carry real signal; zh markers are CJK codepoints, exercising
+  *    the char-class channel);
+  *  - the rest are Zipf(s≈1) types: a uniform band b in 0..15 and a
+  *    uniform pick inside band [2^b, 2^b+2^b) — P(rank w) ∝ 1/w in
+  *    expectation, ~65k types per language (the power-law vocabulary
+  *    with the long tail the round-6 corpus lacked);
+  *  - the type's surface form maps its hex digits through a
+  *    PER-LANGUAGE 16-letter alphabet (latin langs 'x'-prefixed so no
+  *    surface ever collides with a marker; zh surfaces are pure CJK,
+  *    which the ascii tokenizer honestly cannot see — the char-class
+  *    score is what identifies them, exactly as on a real crawl);
+  *  - a power-law `host` key via the same band trick (8 bands): the
+  *    top host holds ~1/8 of the corpus — the skewed join/group key
+  *    the uniform corpus never produced.
+  *
+  * Scale: generation is a narrow per-row projection over the
+  * documents scan — no shuffle, no state, no RNG service; at 100 TB
+  * it costs one codegen'd pass and the downstream operators see the
+  * realistic frequency structure their scale paths (prefix filters,
+  * salting, AQE skew splits) are built for.
+  */
+object AdvCorpus {
+
+  private val Hex = "0123456789ABCDEF"
+  // 16-letter per-language alphabets (distinct frequency profiles);
+  // zh is 16 CJK codepoints so surfaces exercise the char-class lane
+  private val Alpha = Map(
+    "en" -> "etaonihsrdlcumwf",
+    "es" -> "eaosrnidlctumpbg",
+    "de" -> "enisratdhulcgmob",
+    "fr" -> "esaitnrulodcmpvq",
+    "zh" -> "一二三四五六七八九十百千万上中下")
+  // the exact marker lists the lang-ID heuristic scores
+  // (TextAnalysis.langScores); zh markers are common CJK chars
+  private val Markers = Map(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "了", "是", "不", "在"))
+  private val Langs = Seq("en", "es", "de", "fr", "zh")
+
+  /** Build the per-word expression in either dialect. The arithmetic
+    * core is shared text; only `div`, shift, list-index, hex, and
+    * concat syntax differ — keeping the two generators provably
+    * congruent line-by-line.
+    */
+  private def wordExpr(duck: Boolean): String = {
+    val x = "((doc_id % 1048576) * 69069 + j * 97 + 12345) % 2147483647"
+    val r = s"((($x) * 48271) % 2147483647)"
+    val r2 = s"((($r) * 48271) % 2147483647)"
+    val b = s"(($r2) % 16)"
+    val p =
+      if (duck) s"(CAST(1 AS BIGINT) << CAST($b AS INT))"
+      else s"shiftleft(CAST(1 AS BIGINT), CAST($b AS INT))"
+    val w = s"(($p) + (($r) % ($p)))"
+    val hexW = if (duck) s"to_hex($w)" else s"hex($w)"
+    def marker(lang: String): String = {
+      val lst = Markers(lang).map(m => s"'$m'").mkString(", ")
+      val idx = s"CAST(1 + (($r2) % 5) AS INT)"
+      if (duck) s"([$lst])[$idx]" else s"element_at(array($lst), $idx)"
+    }
+    def surface(lang: String): String = {
+      val t = s"translate($hexW, '$Hex', '${Alpha(lang)}')"
+      if (lang == "zh") t
+      else if (duck) s"('x' || $t)"
+      else s"concat('x', $t)"
+    }
+    val markerCase = Langs.map(l => s"WHEN '$l' THEN ${marker(l)}").mkString(" ")
+    val surfaceCase = Langs.map(l => s"WHEN '$l' THEN ${surface(l)}").mkString(" ")
+    s"""CASE WHEN (($r) % 5) = 0
+       | THEN CASE lang $markerCase END
+       | ELSE CASE lang $surfaceCase END END""".stripMargin
+  }
+
+  private val NwExpr = "CAST(30 + doc_id % 41 AS BIGINT)"
+
+  private def textExpr(duck: Boolean): String =
+    if (duck)
+      s"array_to_string(list_transform(range(0, $NwExpr), j -> ${wordExpr(duck = true)}), ' ')"
+    else
+      s"array_join(transform(sequence(CAST(0 AS BIGINT), $NwExpr - 1), j -> ${wordExpr(duck = false)}), ' ')"
+
+  /** Power-law host: band b in 0..7 uniform, uniform pick in
+    * [2^b, 2^b+2^b) — host 'h1' holds ~1/8 of all docs. */
+  private def hostExpr(duck: Boolean): String = {
+    val hr = "(((doc_id % 1048576) * 48271 + 11) % 2147483647)"
+    val hb = s"($hr % 8)"
+    val hp =
+      if (duck) s"(CAST(1 AS BIGINT) << CAST($hb AS INT))"
+      else s"shiftleft(CAST(1 AS BIGINT), CAST($hb AS INT))"
+    val hid =
+      if (duck) s"(($hp) + (($hr // 8) % ($hp)))"
+      else s"(($hp) + (($hr div 8) % ($hp)))"
+    if (duck) s"('h' || CAST($hid AS VARCHAR))"
+    else s"concat('h', CAST($hid AS STRING))"
+  }
+
+  /** The derived adversarial corpus: (doc_id, lang, host, text). */
+  def advDocuments(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("text", expr(textExpr(duck = false)))
+      .withColumn("host", expr(hostExpr(duck = false)))
+
+  /** The same generator as a DuckDB CTE (named adv_docs). */
+  val AdvDocsCte: String =
+    s"""adv_docs AS (
+       | SELECT doc_id, lang,
+       |  ${textExpr(duck = true)} AS text,
+       |  ${hostExpr(duck = true)} AS host
+       | FROM documents)""".stripMargin
+
+  /** Lang-ID confusion census on the adversarial corpus — the same
+    * heuristic and census as lang_id_eval, now graded against labels
+    * that carry textual signal. Readout: accuracy ≈ 100% vs the 43.6%
+    * majority prior on the driver corpus (the only misses are the
+    * ~0.8^nw zero-marker docs falling to the 'en' tie default).
+    */
+  def advLangIdEval(s: SparkSession, d: String): DataFrame = {
+    val (sEn, sEs, sDe, sFr, sZh) = TextAnalysis.langScores
+    val per = advDocuments(s, d)
+      .select(col("lang").as("lang_true"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(col("lang_true"),
+        TextAnalysis.langPredOf(sEn, sEs, sDe, sFr, sZh).as("lang_pred"))
+    TextAnalysis.confusionCensus(per)
+  }
+
+  /** Heaps-law curve on the power-law corpus — same first-occurrence
+    * decomposition as vocab_growth; the readout is a genuine Heaps
+    * curve (every decile contributes new types) instead of decile-0
+    * saturation.
+    */
+  def advVocabGrowth(s: SparkSession, d: String): DataFrame =
+    CorpusAnalytics.vocabGrowthFrom(
+      advDocuments(s, d).select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** Per-host census over the skewed host key. The aggregation is
+    * associative (count/sum), so Spark's map-side partial aggregation
+    * absorbs the h1 hot key before the exchange — the plan note a
+    * skewed GROUP BY needs (a skewed JOIN instead takes AQE's skew
+    * split or a salt; see functions/Salting.scala).
+    */
+  def advHostStats(s: SparkSession, d: String): DataFrame =
+    advDocuments(s, d)
+      .select(col("host"), tokens(col("text")).as("toks"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+
+  val queries: Map[String, Relational.Q] = Map(
+    "adv_lang_id_eval" -> (advLangIdEval _),
+    "adv_vocab_growth" -> (advVocabGrowth _),
+    "adv_host_stats" -> (advHostStats _)
+  )
+
+  private val normSql =
+    "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
+
+  val oracleSql: Map[String, String] = Map(
+    "adv_lang_id_eval" ->
+      s"""WITH $AdvDocsCte,
+         |t AS (
+         | SELECT lang AS lang_true, text, string_split($normSql, ' ') AS toks
+         | FROM adv_docs),
+         |sc AS (
+         | SELECT lang_true,
+         |  round(CAST(len(list_filter(toks, x -> list_contains(['the','a','and','of','is'], x))) AS DOUBLE) / len(toks), 6) AS s_en,
+         |  round(CAST(len(list_filter(toks, x -> list_contains(['el','la','los','de','que'], x))) AS DOUBLE) / len(toks), 6) AS s_es,
+         |  round(CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS DOUBLE) / len(toks), 6) AS s_de,
+         |  round(CAST(len(list_filter(toks, x -> list_contains(['le','les','et','est','une'], x))) AS DOUBLE) / len(toks), 6) AS s_fr,
+         |  round(CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / length(text), 6) AS s_zh
+         | FROM t),
+         |per AS (
+         | SELECT lang_true,
+         |  CASE WHEN s_zh > 0.05 THEN 'zh'
+         |   WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |   WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |   WHEN s_de >= s_fr THEN 'de'
+         |   ELSE 'fr' END AS lang_pred
+         | FROM sc),
+         |conf AS (
+         | SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+         | FROM per GROUP BY 1, 2)
+         |SELECT lang_true, lang_pred, n,
+         | CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang_true)
+         |   AS BIGINT) AS true_share_ppm,
+         | CAST(n * 1000000 // sum(n) OVER (PARTITION BY lang_pred)
+         |   AS BIGINT) AS pred_share_ppm
+         |FROM conf""".stripMargin,
+
+    "adv_vocab_growth" ->
+      s"""WITH $AdvDocsCte,
+         |docs AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM adv_docs),
+         |bound AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n_ids FROM docs),
+         |fs AS (
+         | SELECT term, CAST(min(doc_id) AS BIGINT) AS first_doc
+         | FROM (SELECT doc_id, unnest(w) AS term FROM docs) GROUP BY term),
+         |nt AS (
+         | SELECT least(first_doc * 10 // n_ids, 9) AS decile,
+         |  CAST(count(*) AS BIGINT) AS new_terms
+         | FROM fs CROSS JOIN bound GROUP BY 1),
+         |tm AS (
+         | SELECT least(doc_id * 10 // n_ids, 9) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_tokens
+         | FROM docs CROSS JOIN bound GROUP BY 1)
+         |SELECT tm.decile, tm.n_docs, tm.n_tokens,
+         | CAST(coalesce(nt.new_terms, 0) AS BIGINT) AS new_terms,
+         | CAST(sum(coalesce(nt.new_terms, 0)) OVER (ORDER BY tm.decile)
+         |   AS BIGINT) AS cum_terms,
+         | CAST(sum(tm.n_tokens) OVER (ORDER BY tm.decile)
+         |   AS BIGINT) AS cum_tokens
+         |FROM tm LEFT JOIN nt USING (decile)""".stripMargin,
+
+    "adv_host_stats" ->
+      s"""WITH $AdvDocsCte
+         |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
+         | CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM adv_docs GROUP BY 1""".stripMargin
+  )
+}

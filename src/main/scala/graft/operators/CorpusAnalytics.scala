@@ -240,9 +240,16 @@ object CorpusAnalytics {
     * ((id·10) div (max+1), exact integers — no dense-id assumption);
     * cumulative sums are windows over the ≤10-row bucket table.
     */
-  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  def vocabGrowth(s: SparkSession, d: String): DataFrame =
+    vocabGrowthFrom(Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** Same curve over any (doc_id, toks) table — reused by the
+    * adversarial power-law corpus (AdvCorpus), where the readout is a
+    * genuine Heaps curve rather than the driver corpus's decile-0
+    * saturation.
+    */
+  private[operators] def vocabGrowthFrom(docs: DataFrame): DataFrame = {
     val bound = docs.agg((max(col("doc_id")) + 1L).as("n_ids"))
     def decile(idName: String) =
       least(expr(s"$idName * 10 div n_ids"), lit(9L)).as("decile")

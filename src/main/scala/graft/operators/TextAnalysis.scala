@@ -72,7 +72,7 @@ object TextAnalysis {
   // per-doc language scores + argmax prediction over materialized
   // `toks`/`text` columns — shared by langId (the per-doc surface)
   // and langIdEval (the confusion census against the lang column)
-  private def langScores: (Column, Column, Column, Column, Column) = {
+  private[operators] def langScores: (Column, Column, Column, Column, Column) = {
     val toks = col("toks") // materialized by the caller (TextFunctions contract)
     val n = size(toks).cast("double")
     // native marker-set count (== the filter/array_contains form,
@@ -87,7 +87,7 @@ object TextAnalysis {
         / length(col("text")), 6))
   }
 
-  private def langPredOf(sEn: Column, sEs: Column, sDe: Column,
+  private[operators] def langPredOf(sEn: Column, sEs: Column, sDe: Column,
       sFr: Column, sZh: Column): Column =
     when(sZh > 0.05, "zh")
       .when(sEn >= greatest(sEs, sDe, sFr), "en")
@@ -129,6 +129,16 @@ object TextAnalysis {
       .select(col("lang").as("lang_true"), col("text"),
         tokens(col("text")).as("toks"))
       .select(col("lang_true"), langPredOf(sEn, sEs, sDe, sFr, sZh).as("lang_pred"))
+    confusionCensus(per)
+  }
+
+  /** Shared confusion-census tail: (lang_true, lang_pred) rows → the
+    * ≤25-row confusion table with exact ppm share lanes (windows run
+    * over the tiny aggregate, never the corpus). Reused by the
+    * adversarial-corpus eval (AdvCorpus), which grades the SAME
+    * heuristic on a corpus whose labels do carry textual signal.
+    */
+  private[operators] def confusionCensus(per: DataFrame): DataFrame = {
     val conf = per.groupBy(col("lang_true"), col("lang_pred"))
       .agg(count(lit(1)).as("n"))
     val wT = org.apache.spark.sql.expressions.Window.partitionBy(col("lang_true"))

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The adversarial derived corpus — pins the three properties VERDICT
+  * r6 asked the eval corpus to gain (lang labels with textual signal,
+  * a power-law vocabulary with a Heaps curve, a skewed key), plus the
+  * generator's determinism.
+  */
+class AdvCorpusSpec extends SparkTestBase {
+
+  test("lang-ID accuracy on the adversarial corpus far exceeds the majority prior") {
+    val conf = AdvCorpus.advLangIdEval(spark, sf)
+      .select(col("lang_true"), col("lang_pred"), col("n"))
+      .collect()
+    val total = conf.map(_.getLong(2)).sum
+    val diag = conf.filter(r => r.getString(0) == r.getString(1)).map(_.getLong(2)).sum
+    val prior = conf.groupBy(_.getString(0)).map(_._2.map(_.getLong(2)).sum).max
+    assert(diag.toDouble / total > 0.95,
+      s"accuracy ${diag.toDouble / total} not above 0.95")
+    assert(diag.toDouble / total > prior.toDouble / total + 0.2,
+      "accuracy does not meaningfully exceed the majority prior")
+  }
+
+  test("vocabulary follows a Heaps curve: every decile contributes new types") {
+    val rows = AdvCorpus.advVocabGrowth(spark, sf)
+      .orderBy(col("decile"))
+      .select(col("new_terms"), col("cum_terms"), col("cum_tokens"))
+      .collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(0) > 0), "a decile contributed zero new types")
+    // sublinear growth: the tail decile still grows but slower than the head
+    assert(rows.last.getLong(0) < rows.head.getLong(0),
+      "new-type rate did not decay (not Heaps-like)")
+    // types are a strict minority of tokens (power-law reuse)
+    assert(rows.last.getLong(1) < rows.last.getLong(2))
+  }
+
+  test("host key is power-law skewed: hot host dominates the median") {
+    val hosts = AdvCorpus.advHostStats(spark, sf)
+      .select(col("n_docs")).collect().map(_.getLong(0)).sorted
+    val max = hosts.last
+    val median = hosts(hosts.length / 2)
+    assert(max >= 10 * median, s"max $max vs median $median not skewed")
+  }
+
+  test("generator is deterministic and surfaces never collide with markers") {
+    val a = AdvCorpus.advDocuments(spark, sf).orderBy(col("doc_id"))
+    val b = AdvCorpus.advDocuments(spark, sf).orderBy(col("doc_id"))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // latin zipf surfaces are 'x'-prefixed, so a marker-frequency count
+    // over NON-marker words must be zero for every latin language
+    val markers = Seq("the", "a", "and", "of", "is", "el", "la", "los", "de",
+      "que", "der", "die", "das", "und", "ist", "le", "les", "et", "est", "une")
+    val bad = a.filter(col("lang") =!= "zh")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(!col("w").startsWith("x") && !col("w").isin(markers: _*))
+      .count()
+    assert(bad == 0, s"$bad non-marker latin words lack the x prefix")
+  }
+}

@@ -64,13 +64,30 @@ object AdvCorpus {
     "zh" -> Seq("的", "了", "是", "不", "在"))
   private val Langs = Seq("en", "es", "de", "fr", "zh")
 
+  /** Quote docs — the containment-positive structure the PPJoin
+    * operator needs: every doc_id ≡ 5 (mod 16) regenerates a short
+    * SLICE of the word stream of doc_id-5 (its "parent"): same seed,
+    * positions joff..joff+nw-1, 12-18 words vs the parent's 30-70.
+    * Rendered in the quote's OWN language, so the pair is a true
+    * containment dup (cont = 1.0, jaccard < 0.5 — invisible to the
+    * Jaccard channels) exactly when the langs coincide (~27% of
+    * quotes), and a hard negative otherwise.
+    */
+  private val IsQuote = "doc_id % 16 = 5 AND doc_id >= 16"
+  private val SidExpr =
+    s"CASE WHEN $IsQuote THEN doc_id - 5 ELSE doc_id END"
+  private val JoffExpr =
+    s"CASE WHEN $IsQuote THEN doc_id % 10 ELSE CAST(0 AS BIGINT) END"
+  private val NwCase =
+    s"CASE WHEN $IsQuote THEN CAST(12 + doc_id % 7 AS BIGINT) ELSE CAST(30 + doc_id % 41 AS BIGINT) END"
+
   /** Build the per-word expression in either dialect. The arithmetic
     * core is shared text; only `div`, shift, list-index, hex, and
     * concat syntax differ — keeping the two generators provably
     * congruent line-by-line.
     */
   private def wordExpr(duck: Boolean): String = {
-    val x = "((doc_id % 1048576) * 69069 + j * 97 + 12345) % 2147483647"
+    val x = "((sid % 1048576) * 69069 + (j + joff) * 97 + 12345) % 2147483647"
     val r = s"((($x) * 48271) % 2147483647)"
     val r2 = s"((($r) * 48271) % 2147483647)"
     val b = s"(($r2) % 16)"
@@ -97,13 +114,11 @@ object AdvCorpus {
        | ELSE CASE lang $surfaceCase END END""".stripMargin
   }
 
-  private val NwExpr = "CAST(30 + doc_id % 41 AS BIGINT)"
-
   private def textExpr(duck: Boolean): String =
     if (duck)
-      s"array_to_string(list_transform(range(0, $NwExpr), j -> ${wordExpr(duck = true)}), ' ')"
+      s"array_to_string(list_transform(range(0, nw), j -> ${wordExpr(duck = true)}), ' ')"
     else
-      s"array_join(transform(sequence(CAST(0 AS BIGINT), $NwExpr - 1), j -> ${wordExpr(duck = false)}), ' ')"
+      s"array_join(transform(sequence(CAST(0 AS BIGINT), nw - 1), j -> ${wordExpr(duck = false)}), ' ')"
 
   /** Power-law host: band b in 0..7 uniform, uniform pick in
     * [2^b, 2^b+2^b) — host 'h1' holds ~1/8 of all docs. */
@@ -123,9 +138,12 @@ object AdvCorpus {
   /** The derived adversarial corpus: (doc_id, lang, host, text). */
   def advDocuments(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"),
+        expr(SidExpr).as("sid"), expr(JoffExpr).as("joff"),
+        expr(NwCase).as("nw"))
       .withColumn("text", expr(textExpr(duck = false)))
       .withColumn("host", expr(hostExpr(duck = false)))
+      .select(col("doc_id"), col("lang"), col("host"), col("text"))
 
   /** The same generator as a DuckDB CTE (named adv_docs). */
   val AdvDocsCte: String =
@@ -133,7 +151,8 @@ object AdvCorpus {
        | SELECT doc_id, lang,
        |  ${textExpr(duck = true)} AS text,
        |  ${hostExpr(duck = true)} AS host
-       | FROM documents)""".stripMargin
+       | FROM (SELECT doc_id, lang, $SidExpr AS sid, $JoffExpr AS joff,
+       |   $NwCase AS nw FROM documents))""".stripMargin
 
   /** Lang-ID confusion census on the adversarial corpus — the same
     * heuristic and census as lang_id_eval, now graded against labels
@@ -175,10 +194,92 @@ object AdvCorpus {
         sum(size(col("toks")).cast("long")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
 
+  /** PPJoin-style prefix-filtered containment join — the scale path
+    * dedup_containment's scaladoc designs and VERDICT r6 item #2 asks
+    * for as code, runnable here because the power-law corpus finally
+    * gives prefix filtering something to prune with (the r6 corpus's
+    * 31-token vocabulary put every token in ~76% of blocks, so the
+    * posting lists covered everything and the filter was measured
+    * useless — docs/PLANS.md).
+    *
+    * Algorithm (exact, global — NO blocking key, unlike the
+    * per-source merge-walk): order each doc's distinct token hashes
+    * by global document frequency ascending (rarest first; ties by
+    * hash — any fixed total order is correct, df-order minimizes
+    * candidates); a pair with containment >= 0.8 of the smaller side
+    * (the 5i >= 4m gate) has at most floor(m/5) of the smaller doc's
+    * m tokens outside the intersection, so its first floor(m/5)+1
+    * tokens in ANY fixed order must hit the other doc — probing every
+    * doc's rare-token prefix against the full posting index therefore
+    * finds every true pair. Candidates are verified with the same
+    * exact merge-walk intersect + integer gate as dedup_containment.
+    *
+    * Scale: candidate volume = sum over prefix entries of df(token) —
+    * prefix tokens are the RAREST per doc, so on any Zipfian corpus
+    * the posting lists probed are the short tail ones; every stage is
+    * an equi-join or a per-doc (≤ doc-length) window; nothing is
+    * quadratic in the corpus. The DuckDB oracle runs the SAME
+    * prefix-filter plan, so the strict gate stays feasible at the 10x
+    * corpus (a brute-force oracle would be 2.5G pairs there).
+    */
+  def advContainmentPpjoin(s: SparkSession, d: String): DataFrame = {
+    val base = advDocuments(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(graft.functions.TextFunctions
+          .gramHashes(col("toks"), 1))).as("uni"))
+      .select(col("doc_id"), col("uni"), size(col("uni")).cast("long").as("nu"))
+      // min-set-size gate: sub-5-type docs make containment vacuous
+      // (the ascii tokenizer collapses pure-CJK docs to one empty
+      // token, which would pair every zh doc with every other at
+      // cont=1.0 — 2775 junk pairs at sf0.01); the standard dedup
+      // practice is a minimum-content gate, applied identically in
+      // the oracle
+      .filter(col("nu") >= 5)
+      .localCheckpoint(true)
+    val postings = base.select(col("doc_id"), col("nu"),
+      explode(col("uni")).as("tok"))
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = postings.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= expr("nu div 5") + 1)
+      .select(col("doc_id").as("p_doc"), col("nu").as("p_nu"), col("tok"))
+    // only the SMALLER side's probe is required for coverage (the
+    // prefix bound is on min(|A|,|B|)), so drop probes against
+    // shorter docs — halves the candidate volume, changes nothing
+    // downstream (both engines apply the same rule)
+    val cand = prefix
+      .join(postings.select(col("doc_id").as("q_doc"),
+        col("nu").as("q_nu"), col("tok")), "tok")
+      .filter(col("p_doc") =!= col("q_doc") && col("p_nu") <= col("q_nu"))
+      .select(least(col("p_doc"), col("q_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("q_doc")).as("doc_b"))
+      .distinct()
+    val av = base.select(col("doc_id").as("doc_a"), col("uni").as("uni_a"),
+      col("nu").as("nu_a"))
+    val bv = base.select(col("doc_id").as("doc_b"), col("uni").as("uni_b"),
+      col("nu").as("nu_b"))
+    cand.join(av, "doc_a").join(bv, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("nu_a"), col("nu_b"),
+        graft.functions.IntersectCount
+          .intersectCount(col("uni_a"), col("uni_b")).cast("long").as("n_shared"))
+      .filter(col("nu_a") > 0 && col("nu_b") > 0 &&
+        col("n_shared") * 5 >= least(col("nu_a"), col("nu_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("nu_a"), col("nu_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("nu_a"), col("nu_b")), 6).as("containment"),
+        round(col("n_shared").cast("double") /
+          (col("nu_a") + col("nu_b") - col("n_shared")), 6).as("jaccard"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "adv_lang_id_eval" -> (advLangIdEval _),
     "adv_vocab_growth" -> (advVocabGrowth _),
-    "adv_host_stats" -> (advHostStats _)
+    "adv_host_stats" -> (advHostStats _),
+    "adv_containment_ppjoin" -> (advContainmentPpjoin _)
   )
 
   private val normSql =
@@ -246,6 +347,47 @@ object AdvCorpus {
          |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
          | CAST(sum(length(text)) AS BIGINT) AS n_chars
-         |FROM adv_docs GROUP BY 1""".stripMargin
+         |FROM adv_docs GROUP BY 1""".stripMargin,
+
+    // the SAME prefix-filter plan as the Spark side (token strings
+    // here, hash60 on the Spark side — counts identical; the df-order
+    // tie-break differs across engines, which changes only the
+    // candidate superset, never the verified output)
+    "adv_containment_ppjoin" ->
+      s"""WITH $AdvDocsCte,
+         |base AS (
+         | SELECT doc_id, uni FROM (
+         |  SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS uni
+         |  FROM adv_docs) WHERE len(uni) >= 5),
+         |post AS (SELECT doc_id, CAST(len(uni) AS BIGINT) AS nu,
+         |         unnest(uni) AS tok FROM base),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |        FROM post GROUP BY 1),
+         |pre AS (
+         | SELECT doc_id AS p_doc, nu AS p_nu, tok
+         | FROM (SELECT post.doc_id, post.nu, post.tok,
+         |         row_number() OVER (PARTITION BY post.doc_id
+         |           ORDER BY dfq.df, post.tok) AS rn
+         |       FROM post JOIN dfq USING (tok))
+         | WHERE rn <= nu // 5 + 1),
+         |cand AS (
+         | SELECT DISTINCT least(pre.p_doc, post.doc_id) AS doc_a,
+         |  greatest(pre.p_doc, post.doc_id) AS doc_b
+         | FROM pre JOIN post ON pre.tok = post.tok
+         |  AND pre.p_doc <> post.doc_id AND pre.p_nu <= post.nu),
+         |v AS (
+         | SELECT doc_a, doc_b,
+         |  CAST(len(x.uni) AS BIGINT) AS nu_a,
+         |  CAST(len(y.uni) AS BIGINT) AS nu_b,
+         |  CAST(len(list_intersect(x.uni, y.uni)) AS BIGINT) AS n_shared
+         | FROM cand
+         |  JOIN base x ON x.doc_id = doc_a
+         |  JOIN base y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, nu_a, nu_b, n_shared,
+         | round(CAST(n_shared AS DOUBLE) / least(nu_a, nu_b), 6) AS containment,
+         | round(CAST(n_shared AS DOUBLE) / (nu_a + nu_b - n_shared), 6) AS jaccard
+         |FROM v
+         |WHERE nu_a > 0 AND nu_b > 0
+         | AND n_shared * 5 >= least(nu_a, nu_b) * 4""".stripMargin
   )
 }

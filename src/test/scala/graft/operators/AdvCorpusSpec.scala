@@ -45,6 +45,38 @@ class AdvCorpusSpec extends SparkTestBase {
     assert(max >= 10 * median, s"max $max vs median $median not skewed")
   }
 
+  test("ppjoin prefix filter is exact: equals the brute-force containment join") {
+    // sf0.01: 500 docs -> 124,750 brute pairs, feasible once in a spec;
+    // the registered operator must emit EXACTLY the brute-force result
+    // (prefix filtering is a candidate pruning, never a semantics change)
+    val d = "/root/testdata/sf0.01"
+    import graft.functions.TextFunctions.{tokens, gramHashes}
+    val base = AdvCorpus.advDocuments(spark, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"))
+      .select(col("doc_id"), col("uni"), size(col("uni")).cast("long").as("nu"))
+      .filter(col("nu") >= 5)
+    val a = base.select(col("doc_id").as("doc_a"), col("uni").as("uni_a"),
+      col("nu").as("nu_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("uni").as("uni_b"),
+      col("nu").as("nu_b"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("nu_a"), col("nu_b"),
+        graft.functions.IntersectCount
+          .intersectCount(col("uni_a"), col("uni_b")).cast("long").as("n_shared"))
+      .filter(col("n_shared") * 5 >= least(col("nu_a"), col("nu_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+    val got = AdvCorpus.advContainmentPpjoin(spark, d)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+    assert(got.exceptAll(brute).count() == 0 && brute.exceptAll(got).count() == 0,
+      "prefix-filtered join diverges from brute force")
+    // and the engineered quote-parent pairs are among the finds
+    val pairs = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.exists(p => p._2 == p._1 + 5),
+      "no quote-parent (doc, doc+5) pair found")
+  }
+
   test("generator is deterministic and surfaces never collide with markers") {
     val a = AdvCorpus.advDocuments(spark, sf).orderBy(col("doc_id"))
     val b = AdvCorpus.advDocuments(spark, sf).orderBy(col("doc_id"))

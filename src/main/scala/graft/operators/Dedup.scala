@@ -907,6 +907,82 @@ object Dedup {
         coalesce(col("n_close"), lit(0L)).as("n_close"), col("min_dist"))
   }
 
+  /** Fuzzy match with the COMPOSED blocking key — the 100 TB fix the
+    * fuzzy_match_census scaladoc designs, shipped as pinned behavior
+    * (VERDICT r6 optional item #8): widen (source, length-bucket)
+    * with a SimHash band over the compared prefix itself, so block
+    * size is bounded by similarity structure rather than metadata
+    * cardinality. Per doc: 60-bit SimHash by bit-majority over the
+    * char 4-grams of the 48-char normalized prefix; 4 bands of 15
+    * bits; candidate pairs must share (source, lb, band) for at least
+    * one band, then levenshtein decides as before. Recall is the
+    * bands+verify trade: prefixes within a few edits differ in a few
+    * grams, so most bands stay identical (guaranteed survival only
+    * for pairs whose bit diffs miss one band; the census pairs this
+    * operator drops are the far ones the distance gate would reject
+    * anyway — the measured n_close retention vs fuzzy_match_census is
+    * the honest readout and is pinned in FuzzyBlockedSpec).
+    *
+    * Scale: everything before the pair join is per-doc, linear; the
+    * pair join is an equi-join on the composed key whose block sizes
+    * no longer grow with per-source volume — the property that keeps
+    * the within-block quadratic bounded at any corpus size.
+    */
+  def fuzzyMatchBlocked(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        substring(normText(col("text")), 1, 48).as("pfx"),
+        (col("n_chars") / 16).cast("long").as("lb"))
+      .localCheckpoint(true)
+    val grams = base
+      .select(col("doc_id"), charShingles(col("pfx"), 4).as("chs"))
+      .select(col("doc_id"), explode(col("chs")).as("g"))
+      .select(col("doc_id"), hash60(col("g")).as("hv"))
+    val bitSums = (0 until 60).map { bit =>
+      sum(shiftright(col("hv"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit")
+    }
+    val fpExpr = (0 until 60).map { bit =>
+      when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fpT = grams.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("simhash"))
+    // left join + coalesce: a sub-4-char prefix has no grams and must
+    // still participate (fingerprint 0), not vanish from the census
+    val sim = base.join(fpT, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("pfx"), col("lb"),
+        coalesce(col("simhash"), lit(0L)).as("simhash"))
+    val bandArr = array((0 until 4).map { b =>
+      shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL))
+    }: _*)
+    val bands = sim.select(col("doc_id"), col("source"), col("pfx"), col("lb"),
+      posexplode(bandArr).as(Seq("bid", "bv")))
+    val a = bands.select(col("source"), col("lb"), col("bid"), col("bv"),
+      col("doc_id").as("doc_a"), col("pfx").as("pfx_a"))
+    val b2 = bands.select(col("source"), col("lb"), col("bid"), col("bv"),
+      col("doc_id").as("doc_b"), col("pfx").as("pfx_b"))
+    val cand = a.join(b2, Seq("source", "lb", "bid", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("pfx_a"), col("pfx_b"))
+      .distinct()
+    val pairs = cand.select(col("source"),
+      levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"))
+    val perSource = bands.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(concat_ws(":", col("lb"), col("bid"), col("bv")))
+          .as("n_blocks"))
+    perSource.join(
+        pairs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dist") <= 24, 1L).otherwise(0L)).as("n_close"),
+            min(col("dist")).as("min_dist")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_blocks"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"), col("min_dist"))
+  }
+
   /** Duplicate-span COVERAGE screening for crawl ingest — the
     * incremental sibling of [[crossDocSpans]], and the shape that
     * actually runs at 100 TB: instead of enumerating pairs, each new
@@ -1030,6 +1106,7 @@ object Dedup {
     "cross_doc_spans" -> ((s: SparkSession, d: String) => crossDocSpans(s, d)),
     "span_coverage_incremental" -> ((s: SparkSession, d: String) => spanCoverageIncremental(s, d)),
     "fuzzy_match_census" -> ((s: SparkSession, d: String) => fuzzyMatchCensus(s, d)),
+    "fuzzy_match_blocked" -> (fuzzyMatchBlocked _),
     "dedup_exact" -> (dedupExact _),
     "dedup_containment" -> (dedupContainment _),
     "minhash_signature" -> (minhashSignature _),
@@ -1280,6 +1357,50 @@ object Dedup {
          | coalesce(agg.n_pairs, 0) AS n_pairs,
          | coalesce(agg.n_close, 0) AS n_close, agg.min_dist
          |FROM ps LEFT JOIN agg USING (source)""".stripMargin,
+
+    // composed-key census: same base as fuzzy_match_census plus a
+    // 60-bit char-4-gram SimHash over the prefix (bit-majority:
+    // 2*ones > n_grams), banded 4 x 15 bits into the blocking key
+    "fuzzy_match_blocked" -> {
+      val fpTerms = (0 until 60).map { bit =>
+        s"(CASE WHEN 2 * coalesce(list_sum(list_transform(hv, h -> (h >> $bit) & 1)), 0) > len(hv) THEN (CAST(1 AS BIGINT) << $bit) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         | SELECT doc_id, source, substr($normSql, 1, 48) AS pfx,
+         |  n_chars // 16 AS lb
+         | FROM documents),
+         |gh AS (
+         | SELECT doc_id, CASE WHEN length(pfx) >= 4
+         |  THEN list_transform(range(0, length(pfx) - 3),
+         |    i -> ('0x' || substr(md5(substr(pfx, CAST(i + 1 AS INT), 4)), 1, 15))::BIGINT)
+         |  ELSE [] END AS hv
+         | FROM b),
+         |fp AS (SELECT doc_id, $fpTerms AS simhash FROM gh),
+         |bands AS (
+         | SELECT b.doc_id, b.source, b.pfx, b.lb, t.bid,
+         |  (fp.simhash >> (15 * t.bid)) & 32767 AS bv
+         | FROM b JOIN fp USING (doc_id)
+         |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS bid) t),
+         |cand AS (
+         | SELECT DISTINCT a.source, a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  a.pfx AS pfx_a, c.pfx AS pfx_b
+         | FROM bands a JOIN bands c ON a.source = c.source AND a.lb = c.lb
+         |  AND a.bid = c.bid AND a.bv = c.bv AND a.doc_id < c.doc_id),
+         |p AS (SELECT source, levenshtein(pfx_a, pfx_b) AS dist FROM cand),
+         |ps AS (
+         | SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT lb || ':' || bid || ':' || bv) AS BIGINT) AS n_blocks
+         | FROM bands GROUP BY 1),
+         |agg AS (
+         | SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN dist <= 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+         |  CAST(min(dist) AS BIGINT) AS min_dist
+         | FROM p GROUP BY 1)
+         |SELECT ps.source, ps.n_docs, ps.n_blocks,
+         | coalesce(agg.n_pairs, 0) AS n_pairs,
+         | coalesce(agg.n_close, 0) AS n_close, agg.min_dist
+         |FROM ps LEFT JOIN agg USING (source)""".stripMargin
+    },
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

@@ -53,7 +53,16 @@ class DeterminismSpec extends SparkTestBase {
     "corr_matrix",       // exact decimal moments, one final rounding
     "lang_id_eval",      // confusion census + floor-div share lanes
     "vocab_growth",      // first-occurrence min-agg + prefix sums
-    "heldout_nll"        // nanonat model join + exact occurrence sums
+    "heldout_nll",       // nanonat model join + exact occurrence sums
+    "min_cost_supplier", // grouped integer-cents min + tie-break rejoin
+    "product_profit",    // multi-fact 1e4 integer lane rollup
+    "excess_inventory",  // nested semi-join, strict integer threshold
+    "adv_lang_id_eval",  // generated corpus + confusion census
+    "adv_vocab_growth",  // generated corpus Heaps curve
+    "adv_containment_ppjoin", // prefix-filter candidates + merge-walk verify
+    "multimodal_bmp_decode",  // real-format parse, per-doc integer stats
+    "multimodal_wav_decode",  // real-format parse, order-sensitive zc
+    "fuzzy_match_blocked"     // composed simhash-band blocking census
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -165,10 +165,62 @@ object Graph {
       materialize: Boolean = true): DataFrame =
     kCore(Dedup.lshCandidates(s, d)._1, k, rounds, materialize)
 
+  /** Rounds-bounded synchronous majority label propagation — community
+    * detection over an undirected pair set. label_0(v) = v; each round
+    * every vertex adopts the most frequent label among its neighbors,
+    * ties broken by SMALLEST label (the deterministic stand-in for the
+    * random tiebreak in Raghavan et al. 2007 — a random break would be
+    * unreplayable cross-engine). Distinct from connected components
+    * (dedup_clusters): CC merges everything reachable, LP keeps densely
+    * intra-connected regions separate even when a thin bridge joins
+    * them — the right granularity for "near-duplicate community" when
+    * one chance LSH collision links two genuinely different cliques.
+    *
+    * Scale shape: the symmetric edge table materializes once; each
+    * round is ONE keyed join (edges to labels, on src) + one
+    * (v, lab) count aggregate + one per-v top-1 pick. The pick runs as
+    * a bounded window ONLY because a vertex's candidate label count is
+    * bounded by its degree — it is a max-by over per-key aggregates,
+    * never a corpus sort. Fixed rounds keep the plan depth static and
+    * the oracle replayable as unrolled CTEs (the pagerank discipline).
+    */
+  private[graft] def labelPropagation(pairs: DataFrame, rounds: Int,
+      materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = pairs.select(col("doc_a"), col("doc_b"))
+    val edges0 = und.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(und.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = if (materialize) edges0.localCheckpoint(true) else edges0
+    var lab = edges.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v"))
+    val pick = Window.partitionBy(col("v"))
+      .orderBy(col("c").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      // every vertex has >= 1 neighbor by construction (it came off the
+      // edge list), so the majority pick covers the whole node set
+      val next = edges
+        .join(lab.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst").as("v"), col("lab")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select(col("v"), col("lab"))
+      lab = if (materialize) next.localCheckpoint(true) else next
+    }
+    lab.select(col("v").as("doc_id"), col("lab").as("community"))
+  }
+
+  /** 3-round majority-LP communities of the MinHash-LSH candidate
+    * graph — one row per graph vertex with its community label.
+    */
+  def communityLabels(s: SparkSession, d: String, rounds: Int = 3,
+      materialize: Boolean = true): DataFrame =
+    labelPropagation(Dedup.lshCandidates(s, d)._1, rounds, materialize)
+
   val queries: Map[String, Relational.Q] = Map(
     "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d)),
     "triangle_count" -> ((s, d) => triangleCount(s, d)),
-    "k_core" -> ((s, d) => kCoreDocs(s, d))
+    "k_core" -> ((s, d) => kCoreDocs(s, d)),
+    "label_propagation" -> ((s, d) => communityLabels(s, d))
   )
 
   // one oracle iteration in integer micro-units (// = floor division,
@@ -211,7 +263,31 @@ object Graph {
        |  JOIN $prev y ON y.v = e.dst
        | GROUP BY e.src HAVING count(*) >= 2)""".stripMargin
 
+  // one synchronous majority-LP round: per-(vertex, neighbor-label)
+  // counts, top-1 by (count DESC, label ASC) — the deterministic
+  // tiebreak the Spark window uses
+  private def lpCte(prev: String, out: String): String =
+    s"""$out AS (
+       | SELECT v, lab FROM (
+       |  SELECT e.dst AS v, l.lab, count(*) AS c,
+       |   row_number() OVER (PARTITION BY e.dst
+       |                      ORDER BY count(*) DESC, l.lab ASC) AS rn
+       |  FROM edges e JOIN $prev l ON l.v = e.src
+       |  GROUP BY e.dst, l.lab)
+       | WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "label_propagation" ->
+      (pairsCtes + ",\n" +
+        s"""edges AS (
+           | SELECT doc_a AS src, doc_b AS dst FROM pairs
+           | UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
+           |${lpCte("l0", "l1")},
+           |${lpCte("l1", "l2")},
+           |${lpCte("l2", "l3")}
+           |SELECT v AS doc_id, lab AS community FROM l3""".stripMargin),
+
     "k_core" ->
       (pairsCtes + ",\n" +
         s"""edges AS (

@@ -88,4 +88,34 @@ class GraphSpec extends SparkTestBase {
     // every survivor holds >= k neighbors inside the core by definition
     assert(r4.forall(_._2 >= 2L))
   }
+
+  test("labelPropagation separates two triangles across a bridge (hand-traced)") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4. Hand trace
+    // (majority, min-label ties): l1 = (2,1,1,3,4,4);
+    // l2 = (1,1,1,4,3,3); l3 = (1,1,1,3,3,3) — the bridge never merges
+    // the cliques (CC would collapse all six into one cluster).
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.labelPropagation(g, rounds = 3, materialize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("label_propagation: one label per graph vertex; intra-community density") {
+    val pairs = Dedup.lshCandidates(spark, sf)._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val lab = Graph.communityLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.keySet == nodes)
+    // LP refines (or equals) connectivity: it never assigns more
+    // communities than vertices and at least one pair agrees
+    val intra = pairs.count(p => lab(p._1) == lab(p._2))
+    assert(intra > 0)
+    // a community label is itself a member's doc_id-rooted label chain;
+    // sanity: labels come from the node set
+    assert(lab.values.toSet.subsetOf(nodes))
+  }
 }

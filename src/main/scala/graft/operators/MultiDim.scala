@@ -226,7 +226,58 @@ object MultiDim {
         round(cume_dist().over(w), 6).as("cume"))
   }
 
+  /** Skyline (Pareto frontier) over part: the parts no other part
+    * dominates under (minimize retail price, maximize size) — "is any
+    * part both cheaper AND at-least-as-big (or as-cheap AND strictly
+    * bigger)?" — the classic multi-criteria catalog query (Börzsönyi
+    * et al., ICDE 2001).
+    *
+    * Shape: NOT the textbook quadratic NOT-EXISTS self-join (O(n²) row
+    * pairs — unrunnable at 100 TB). With one discrete criterion the
+    * skyline factors through the per-size price minimum: a part
+    * survives iff it HOLDS its size's best price AND that price
+    * strictly beats the best price of every STRICTLY larger size. So:
+    * one map-side-combining groupBy collapses the corpus to <= |sizes|
+    * rows (50 here), a running-min window over that BOUNDED table
+    * (descending size) computes "best above", and the surviving
+    * (size, price) frontier — at most |sizes| rows — broadcasts back
+    * to fetch every tied part in one scan. Corpus-sized data crosses
+    * exactly two exchanges: the groupBy partial-agg and the frontier
+    * probe's scan. Ties on (size, best price) are NOT mutually
+    * dominating (no strict criterion) and all survive — the join-back
+    * keeps them, where a row_number pick would silently drop rows.
+    * Prices compare in exact cents (round to long): a raw double
+    * `<` at the frontier boundary would be one-ulp fragile.
+    */
+  def skylineFrontier(s: SparkSession, d: String): DataFrame =
+    skyline(Tables.part(s, d))
+
+  /** Skyline core over any frame with (p_partkey, p_name, p_size,
+    * p_retailprice) — unit-tested on hand frames with dominated rows,
+    * frontier ties, and a single-size corpus (SkylineSpec).
+    */
+  private[operators] def skyline(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = part.select(col("p_partkey"), col("p_name"),
+      col("p_size"), col("p_retailprice"),
+      round(col("p_retailprice") * 100).cast("long").as("pc"))
+    val best = p.groupBy(col("p_size")).agg(min(col("pc")).as("best"))
+    // partition-less window over the post-aggregate <=50-row size
+    // table, never the corpus (the Temporal.scala:206 discipline)
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("above", min(col("best")).over(w))
+      .filter(col("above").isNull || col("best") < col("above"))
+      .select(col("p_size").as("f_size"), col("best"))
+    p.join(broadcast(frontier),
+        col("p_size") === col("f_size") && col("pc") === col("best"))
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+        col("p_retailprice"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "skyline_frontier" -> (skylineFrontier _),
     "length_distribution" -> (lengthDistribution _),
     "group_quantiles" -> (groupQuantiles _),
     "winsorize_prices" -> (winsorizePrices _),
@@ -249,6 +300,20 @@ object MultiDim {
   // DuckDB's correctly-rounded fast_float parse, matching Spark
   // bit-for-bit at any magnitude.
   val oracleSql: Map[String, String] = Map(
+    // independent formulation: dominance NOT EXISTS — but over the
+    // BOUNDED per-size frontier, not the raw quadratic self-join (the
+    // same-size part of dominance is already folded into `best`)
+    "skyline_frontier" ->
+      """WITH p AS (
+        | SELECT p_partkey, p_name, p_size, p_retailprice,
+        |        CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+        | FROM part),
+        |best AS (SELECT p_size, min(pc) AS best FROM p GROUP BY 1)
+        |SELECT t.p_partkey, t.p_name, t.p_size, t.p_retailprice
+        |FROM p t JOIN best b ON t.p_size = b.p_size AND t.pc = b.best
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM best u WHERE u.p_size > t.p_size AND u.best <= t.pc)""".stripMargin,
+
     "rollup_revenue" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         | coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -429,7 +429,64 @@ object Temporal {
         .otherwise(lit(null).cast("long")).as("z2_micro"))
   }
 
+  /** Theil–Sen robust trend per nation over the monthly revenue
+    * series — the median of all pairwise slopes (Sen 1968). Unlike an
+    * OLS slope it shrugs off outlier months (up to ~29% contamination),
+    * which is what a revenue-trend monitor wants when one month holds
+    * a backfill glitch. TheilSenSpec pins exactly that: one 1000×
+    * outlier month leaves the trend untouched.
+    *
+    * Shape: the corpus-sized work is ONE (nation, month) aggregate —
+    * map-side combining, cents-long exact (sum of round(price*100)
+    * longs, order-independent). The pairwise-slope stage runs on that
+    * BOUNDED table (|nations| × |months| ≈ 2k rows here; a pair count
+    * quadratic in MONTHS, never in corpus rows — 100× more orders is
+    * the same pair count), keyed self-join on nation. The median is
+    * explicit two-middle-rank selection, NOT percentile_cont: the two
+    * engines' quantile interpolations differ in the last ulp
+    * (lo + (hi-lo)·f vs (lo+hi)/2), while "value at sorted position k"
+    * is tie-stable and engine-exact, and the 2-element avg is a single
+    * commutative IEEE add. Slopes divide exact cent-longs (< 2^53) by
+    * exact month deltas — one correctly-rounded division per pair on
+    * both engines.
+    */
+  private[operators] def theilSen(rev: DataFrame): DataFrame = {
+    // bounded (nation, m, rc) table feeds three consumers (two join
+    // sides + the month census) — materialize once, never re-derive
+    // the corpus aggregate through lineage
+    val r = rev.localCheckpoint(true)
+    val slopes = r.select(col("nation"), col("m").as("m1"), col("rc").as("r1"))
+      .join(r.select(col("nation"), col("m").as("m2"), col("rc").as("r2")),
+        Seq("nation"))
+      .filter(col("m2") > col("m1"))
+      .select(col("nation"),
+        ((col("r2") - col("r1")).cast("double") /
+          (lit(100.0) * (col("m2") - col("m1")).cast("double"))).as("slope"))
+    val byNation = Window.partitionBy(col("nation"))
+    val ranked = slopes
+      .withColumn("rn", row_number().over(byNation.orderBy(col("slope"))))
+      .withColumn("n", count(lit(1)).over(byNation))
+    val mids = ranked.filter(
+      expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+    mids.groupBy(col("nation"))
+      .agg(max(col("n")).as("n_pairs"), round(avg(col("slope")), 6).as("trend"))
+      .join(r.groupBy(col("nation")).agg(count(lit(1)).as("n_months")),
+        Seq("nation"))
+      .select(col("nation"), col("n_months"), col("n_pairs"), col("trend"))
+  }
+
+  def theilSenTrend(s: SparkSession, d: String): DataFrame =
+    theilSen(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc")))
+
   val queries: Map[String, Relational.Q] = Map(
+    "theil_sen_trend" -> (theilSenTrend _),
     "mannwhitney_value" -> (mannwhitneyValue _),
     "ab_chi2" -> (abChi2 _),
     "seasonal_adjust" -> (seasonalAdjust _),
@@ -449,6 +506,35 @@ object Temporal {
     .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // explicit two-middle-rank median (NOT quantile_cont: interpolation
+    // differs in the last ulp cross-engine); cents-exact revenue lane
+    "theil_sen_trend" ->
+      """WITH rev AS (
+        | SELECT n_name AS nation,
+        |  year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2),
+        |slopes AS (
+        | SELECT a.nation,
+        |  CAST(b.rc - a.rc AS DOUBLE) / (100.0 * (b.m - a.m)) AS slope
+        | FROM rev a JOIN rev b ON a.nation = b.nation AND b.m > a.m),
+        |ranked AS (
+        | SELECT nation, slope,
+        |  row_number() OVER (PARTITION BY nation ORDER BY slope) AS rn,
+        |  count(*) OVER (PARTITION BY nation) AS n
+        | FROM slopes),
+        |mids AS (
+        | SELECT nation, slope, n FROM ranked
+        | WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2),
+        |months AS (SELECT nation, count(*) AS n_months FROM rev GROUP BY 1)
+        |SELECT m.nation, mo.n_months,
+        | CAST(max(m.n) AS BIGINT) AS n_pairs, round(avg(m.slope), 6) AS trend
+        |FROM mids m JOIN months mo ON m.nation = mo.nation
+        |GROUP BY 1, 2""".stripMargin,
+
     // distributed midranks: (type, value) per-arm counts + prefix sum
     // over DISTINCT values; doubled-rank units keep everything integer
     "mannwhitney_value" ->

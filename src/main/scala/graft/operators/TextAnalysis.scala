@@ -199,7 +199,54 @@ object TextAnalysis {
           .cast("long").as("re_fertility_ppm"))
   }
 
+  /** C4-style intra-document dedup: split each doc into consecutive
+    * non-overlapping k-word chunks, keep only the FIRST occurrence of
+    * each repeated chunk, and emit the rewrite as a delta — n_chunks /
+    * n_kept for every doc, the recomposed text ONLY for docs that
+    * actually changed (NULL otherwise). Publishing a delta instead of
+    * re-emitting the whole corpus is the 100 TB form: the unchanged
+    * majority never rewrites, exactly like dup_span_rewrite's
+    * cross-doc channel. (C4 dedupes three-SENTENCE spans; this corpus
+    * has no sentence boundaries, so the unit is a k-word chunk with
+    * k = 2 calibrated to the synthetic vocabulary — at k = 5 the
+    * 31-type corpus produces zero intra-doc repeats and the operator
+    * would be pinned on nothing.)
+    *
+    * Shape: strictly NARROW — one projection with higher-order
+    * functions (transform/slice to chunk, filter + array_position to
+    * keep first occurrences), zero shuffles, zero UDFs; the whole
+    * rewrite stays inside whole-stage codegen and scales embarrassingly
+    * parallel. Per-row cost is O(chunks²) with chunks bounded by doc
+    * length — a first-occurrence map would need per-row state Spark's
+    * HOF lambdas don't carry, and per-doc quadratic-in-length beats a
+    * corpus-wide (doc_id, chunk) groupBy + re-agg shuffle by an
+    * exchange (measured shape, same rationale as multimodal decode's
+    * narrow plumbing).
+    */
+  def intradocDedup(s: SparkSession, d: String, k: Int = 2): DataFrame =
+    intradocRewrite(Tables.documents(s, d), k)
+
+  /** Rewrite core over any (doc_id, text) frame — unit-tested on hand
+    * docs with aligned repeats, a trailing partial chunk, and a
+    * no-repeat passthrough (IntradocDedupSpec).
+    */
+  private[operators] def intradocRewrite(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        split(col("text"), " ").as("w"))
+      .withColumn("chunks", expr(
+        s"transform(sequence(0, int(ceil(size(w) / $k.0)) - 1)," +
+          s" i -> array_join(slice(w, i * $k + 1, $k), ' '))"))
+      .withColumn("kept", expr(
+        "filter(chunks, (c, i) -> array_position(chunks, c) = i + 1)"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        when(size(col("kept")) < size(col("chunks")),
+          expr("array_join(kept, ' ')"))
+          .otherwise(lit(null).cast("string")).as("dedup_text"))
+
   val queries: Map[String, Relational.Q] = Map(
+    "intradoc_dedup" -> ((s, d) => intradocDedup(s, d)),
     "token_count" -> (tokenCount _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
@@ -210,6 +257,29 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // same chunk/first-occurrence algebra on DuckDB lists; list slicing
+    // clamps at the tail exactly like Spark's slice
+    "intradoc_dedup" ->
+      """WITH w AS (
+        | SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        | SELECT doc_id,
+        |  list_transform(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)),
+        |    i -> array_to_string(w[(i*2+1):(i*2+2)], ' ')) AS chunks
+        | FROM w),
+        |k AS (
+        | SELECT doc_id, chunks,
+        |  list_filter(
+        |    list_transform(range(0, len(chunks)),
+        |      i -> CASE WHEN list_position(chunks, chunks[i+1]) = i + 1
+        |           THEN chunks[i+1] ELSE NULL END),
+        |    x -> x IS NOT NULL) AS kept
+        | FROM ch)
+        |SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | CASE WHEN len(kept) < len(chunks)
+        |  THEN array_to_string(kept, ' ') ELSE NULL END AS dedup_text
+        |FROM k""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -450,11 +450,13 @@ object Temporal {
     * exact month deltas — one correctly-rounded division per pair on
     * both engines.
     */
-  private[operators] def theilSen(rev: DataFrame): DataFrame = {
+  private[operators] def theilSen(rev: DataFrame,
+      materialize: Boolean = true): DataFrame = {
     // bounded (nation, m, rc) table feeds three consumers (two join
     // sides + the month census) — materialize once, never re-derive
-    // the corpus aggregate through lineage
-    val r = rev.localCheckpoint(true)
+    // the corpus aggregate through lineage (materialize = false keeps
+    // the composition lazy for the PlanGuardSpec join-shape lint)
+    val r = if (materialize) rev.localCheckpoint(true) else rev
     val slopes = r.select(col("nation"), col("m").as("m1"), col("rc").as("r1"))
       .join(r.select(col("nation"), col("m").as("m2"), col("rc").as("r2")),
         Seq("nation"))
@@ -475,9 +477,11 @@ object Temporal {
       .select(col("nation"), col("n_months"), col("n_pairs"), col("trend"))
   }
 
-  def theilSenTrend(s: SparkSession, d: String): DataFrame =
+  def theilSenTrend(s: SparkSession, d: String,
+      materialize: Boolean = true): DataFrame =
     theilSen(
-      Tables.orders(s, d)
+      materialize = materialize,
+      rev = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
@@ -486,7 +490,7 @@ object Temporal {
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc")))
 
   val queries: Map[String, Relational.Q] = Map(
-    "theil_sen_trend" -> (theilSenTrend _),
+    "theil_sen_trend" -> ((s, d) => theilSenTrend(s, d)),
     "mannwhitney_value" -> (mannwhitneyValue _),
     "ab_chi2" -> (abChi2 _),
     "seasonal_adjust" -> (seasonalAdjust _),

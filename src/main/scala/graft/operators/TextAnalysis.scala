@@ -230,7 +230,7 @@ object TextAnalysis {
     * docs with aligned repeats, a trailing partial chunk, and a
     * no-repeat passthrough (IntradocDedupSpec).
     */
-  private[operators] def intradocRewrite(docs: DataFrame, k: Int): DataFrame =
+  private[graft] def intradocRewrite(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"),
         split(col("text"), " ").as("w"))
       .withColumn("chunks", expr(

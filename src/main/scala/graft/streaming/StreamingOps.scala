@@ -753,6 +753,32 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming intra-document dedup — the ingest-time twin of
+    * operators.TextAnalysis.intradocDedup. The rewrite never looks
+    * outside one document, so the twin IS the batch projection run
+    * over the landing stream: stateless, append mode, zero shuffle,
+    * no watermark. This is the C4-style cleanup applied as a crawl
+    * LANDS rather than as a corpus re-scan — the cheapest point in
+    * the pipeline to do it, since every later stage sees less text.
+    * StreamingSpec pins stream == batch exactly (stats and deltas).
+    */
+  def intradocStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis.intradocRewrite(
+      docs.select(col("doc_id"), col("text")), k = 2)
+
+  /** Streaming driver for intradocStream (append mode, memory sink). */
+  def runIntradocOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q: StreamingQuery = intradocStream(readDocuments(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming drift-count monitor — the incremental twin of
     * operators.Profile.distDrift's count table. The (feature, bucket)
     * ref/cur counts are plain SUM-mergeable aggregation state (no

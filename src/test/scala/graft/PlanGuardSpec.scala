@@ -35,7 +35,9 @@ class PlanGuardSpec extends SparkTestBase {
     "nb_domain_attribution" -> ((s, d) => graft.operators.TrainPrep.nbDomainAttribution(s, d, materialize = false)),
     "join_size_estimate" -> ((s, d) => graft.operators.Sketch.joinSizeEstimate(s, d, materialize = false)),
     "k_core" -> ((s, d) => graft.operators.Graph.kCoreDocs(s, d, materialize = false)),
-    "importance_resample" -> ((s, d) => graft.operators.TrainPrep.importanceResample(s, d, materialize = false)))
+    "importance_resample" -> ((s, d) => graft.operators.TrainPrep.importanceResample(s, d, materialize = false)),
+    "label_propagation" -> ((s, d) => graft.operators.Graph.communityLabels(s, d, materialize = false)),
+    "theil_sen_trend" -> ((s, d) => graft.operators.Temporal.theilSenTrend(s, d, materialize = false)))
 
   test("every registered query plans without a cartesian product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -58,6 +60,24 @@ class PlanGuardSpec extends SparkTestBase {
     val exchanges = flattenPlan(plan).collect { case e: ShuffleExchangeExec => e }
     assert(exchanges.length == 2,
       s"expected 2 exchanges, got ${exchanges.length}:\n$plan")
+  }
+
+  test("skyline_frontier shuffles only bounded tables (2 exchanges, both post-agg)") {
+    // corpus-sized data crosses ONE exchange (the per-size partial
+    // agg); the second is the single-partition window over the <= 50
+    // row size table; the frontier returns by broadcast. A third
+    // shuffle would mean the join-back stopped broadcasting — the
+    // quadratic-dominance smell this operator exists to avoid.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = graft.operators.MultiDim.skylineFrontier(spark, sf)
+      .queryExecution.executedPlan
+    val flat = flattenPlan(plan)
+    val exchanges = flat.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.length == 2,
+      s"expected 2 exchanges, got ${exchanges.length}:\n$plan")
+    assert(flat.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"frontier join-back must broadcast:\n$plan")
   }
 
   test("every broadcast nested-loop join broadcasts a bounded side") {

@@ -155,4 +155,34 @@ class RandomizedPropsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("labelPropagation == an in-memory synchronous replay on 8 random graphs") {
+    val rnd = new Random(23)
+    (1 to 8).foreach { trial =>
+      val nV = 4 + rnd.nextInt(16)
+      val edges = (0 until nV * 2).map { _ =>
+        val a = rnd.nextInt(nV).toLong
+        val b = rnd.nextInt(nV).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap(e => Seq(e, e.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        // reference: synchronous majority with min-label tiebreak —
+        // every vertex updates from the SAME previous-round labels
+        var lab = adj.keys.map(v => v -> v).toMap
+        (1 to 3).foreach { _ =>
+          lab = adj.map { case (v, ns) =>
+            val counts = ns.groupBy(lab).view.mapValues(_.size).toMap
+            val best = counts.values.max
+            v -> counts.collect { case (l, c) if c == best => l }.min
+          }
+        }
+        val got = operators.Graph.labelPropagation(
+          edges.toDF("doc_a", "doc_b"), rounds = 3, materialize = true)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == lab, s"trial $trial: $edges")
+      }
+    }
+  }
 }

@@ -143,6 +143,16 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming intra-doc dedup == the batch rewrite (stats and deltas)") {
+    // stateless per-doc rewrite: the landing stream must produce the
+    // exact batch result, including the NULL-delta rows
+    val streamed = StreamingOps.runIntradocOnce(spark, sf, "stream_intradoc")
+    val batch = graft.operators.TextAnalysis.intradocDedup(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("streaming drift counts == the batch lane aggregation") {
     // sum-mergeable count state: the stream's final complete-mode
     // table must equal the batch scan's count table exactly

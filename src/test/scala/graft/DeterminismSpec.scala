@@ -62,7 +62,11 @@ class DeterminismSpec extends SparkTestBase {
     "adv_containment_ppjoin", // prefix-filter candidates + merge-walk verify
     "multimodal_bmp_decode",  // real-format parse, per-doc integer stats
     "multimodal_wav_decode",  // real-format parse, order-sensitive zc
-    "fuzzy_match_blocked"     // composed simhash-band blocking census
+    "fuzzy_match_blocked",    // composed simhash-band blocking census
+    "label_propagation",      // synchronous majority rounds, min-label ties
+    "skyline_frontier",       // bounded frontier + broadcast tie join-back
+    "theil_sen_trend",        // two-middle-rank median over pair slopes
+    "intradoc_dedup"          // narrow HOF rewrite, chunk-aligned
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -489,7 +489,56 @@ object Temporal {
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc")))
 
+  /** CUSUM change-point detection per event type over the daily count
+    * series — the classic Page (1954) cumulative-sum monitor: where
+    * anomaly_days flags SINGLE outlier days against a trailing window,
+    * CUSUM accumulates small sustained shifts that no single day
+    * would trip. The recurrence C_t = max(0, C_{t-1} + x_t - k) is
+    * not a window aggregate, but it factors exactly as
+    * S_t - min(S_0..S_t) with S the prefix sum of (x_t - k) — two
+    * running windows replace the sequential loop, which is what makes
+    * it distributable at all. Reference rate k = the type's own mean
+    * daily count, kept EXACT by scaling: e_t = n_t·D - T (D days, T
+    * total) is the deviation in D-ths of a count, so every prefix
+    * sum, min, and max below is integer and engine-identical — no
+    * float mean, no rounding boundary. is_peak marks the day(s) where
+    * the cumulative positive drift tops out: the END of the strongest
+    * sustained above-rate run (a mid-series burst peaks at its last
+    * day, not at the corpus end — pinned in CusumSpec).
+    *
+    * Shape: the only corpus-sized stage is the (event_type, epoch-day)
+    * count aggregate (map-side combining); every window runs over that
+    * BOUNDED daily table (|types| × |days|), partitioned by type —
+    * never a corpus sort. Epoch-day is unix_micros div 86400e6, the
+    * seasonal_adjust calendar-free discipline.
+    */
+  def cusumDrift(s: SparkSession, d: String): DataFrame =
+    cusum(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  /** CUSUM core over any (event_type, day, n) daily table —
+    * unit-tested on hand series (step shift, mid-series burst,
+    * constant rate) in CusumSpec.
+    */
+  private[operators] def cusum(daily: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val ordered = byType.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t_total", sum(col("n")).over(byType))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("s_run",
+        sum(col("n") * col("n_days") - col("t_total")).over(ordered))
+      .withColumn("cusum", col("s_run") - min(col("s_run")).over(ordered))
+      .withColumn("peak", max(col("cusum")).over(byType))
+      .select(col("event_type"), col("day"), col("n"), col("cusum"),
+        (col("cusum") > 0 && col("cusum") === col("peak")).as("is_peak"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "cusum_drift" -> (cusumDrift _),
     "theil_sen_trend" -> ((s, d) => theilSenTrend(s, d)),
     "mannwhitney_value" -> (mannwhitneyValue _),
     "ab_chi2" -> (abChi2 _),
@@ -510,6 +559,35 @@ object Temporal {
     .map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    // S_t - min-prefix factorization of the CUSUM recurrence on the
+    // exact n*D - T integer lane; HUGEINT window sums exit as BIGINT
+    "cusum_drift" ->
+      """WITH daily AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |        CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |st AS (
+        | SELECT event_type, day, n,
+        |  sum(n) OVER (PARTITION BY event_type) AS t_total,
+        |  count(*) OVER (PARTITION BY event_type) AS n_days
+        | FROM daily),
+        |cu AS (
+        | SELECT event_type, day, n,
+        |  sum(n * n_days - t_total) OVER (PARTITION BY event_type
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS s_run
+        | FROM st),
+        |cc AS (
+        | SELECT event_type, day, n,
+        |  CAST(s_run - min(s_run) OVER (PARTITION BY event_type
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cusum
+        | FROM cu)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, n, cusum,
+        | (cusum > 0 AND
+        |  cusum = max(cusum) OVER (PARTITION BY event_type)) AS is_peak
+        |FROM cc""".stripMargin,
+
     // explicit two-middle-rank median (NOT quantile_cont: interpolation
     // differs in the last ulp cross-engine); cents-exact revenue lane
     "theil_sen_trend" ->

@@ -313,7 +313,75 @@ object Profile {
           .otherwise(lit(null).cast("long")).as("chi2_micro"))
   }
 
+  /** Interleave the low 16 bits of a long into even bit positions —
+    * the classic Morton spread (4 shift-or-mask rounds), identical
+    * integer ops on both engines. */
+  private def spread16(c: Column): Column = {
+    val a = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val e = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton z-value of two longs' low 16 bits (part key even bits,
+    * supp key odd). Exposed for the spec's bit-loop replay. */
+  private[operators] def zValue(pk: Column, sk: Column): Column =
+    spread16(pk.bitwiseAND(lit(65535L)))
+      .bitwiseOR(shiftleft(spread16(sk.bitwiseAND(lit(65535L))), 1))
+
+  /** Z-order layout census — the data-layout decision behind
+    * multi-dimensional scan skipping at 100 TB: if lineitem is
+    * range-partitioned into files by a SINGLE key (pk_sort lane),
+    * every file's zone map is tight on that key and useless on any
+    * other — a supplier-keyed predicate prunes nothing. Range-
+    * partitioned by the Morton z-value of (partkey, suppkey) (zorder
+    * lane), BOTH keys' per-file min/max spans shrink to ~range/√files,
+    * so zone maps prune on either dimension (the Delta/Iceberg
+    * OPTIMIZE ZORDER rationale, measured here rather than asserted).
+    * The census emits per-(layout, bucket) row counts and both keys'
+    * zone-map bounds for 64 simulated files of each layout;
+    * ZorderSpec turns the skipping claim into numbers (mean suppkey
+    * span under zorder a fraction of the pk_sort lane's full-range
+    * spans).
+    *
+    * Shape: one narrow projection computes z (10 shift/mask ops, all
+    * codegen); the bucket boundaries come from ONE scalar min/max
+    * aggregate broadcast back (never a global sort — the census
+    * simulates range partitioning arithmetically); both layout lanes
+    * explode from the same row inside the same scan, and ONE
+    * (layout, bucket) aggregate emits the 128-row zone-map table.
+    * Everything is exact integer: bucket = (v - lo) * 64 div span.
+    */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.lineitem(s, d).select(
+      col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val rng = rows.agg(
+      min(col("pk")).as("pmin"), max(col("pk")).as("pmax"),
+      min(col("sk")).as("smin"), max(col("sk")).as("smax"))
+    // min-max normalize EACH dimension to the full 16 bits before
+    // interleaving (the Delta OPTIMIZE ZORDER range-id step): raw keys
+    // with asymmetric ranges put one key's bits in all the high Morton
+    // positions and the other dimension stays unbounded per bucket —
+    // caught quantitatively by ZorderSpec on the 10-supplier corpus
+    rows.crossJoin(broadcast(rng))
+      .withColumn("p16", expr("(pk - pmin) * 65536 div (pmax - pmin + 1)"))
+      .withColumn("s16",
+        expr("(sk - smin) * 65536 div (smax - smin + 1)").cast("long"))
+      .withColumn("z", zValue(col("p16"), col("s16")))
+      .select(explode(array(
+        struct(lit("zorder").as("layout"),
+          expr("z div 67108864").as("bucket")),   // z >> 26: 64 files
+        struct(lit("pk_sort").as("layout"),
+          expr("(pk - pmin) * 64 div (pmax - pmin + 1)").as("bucket"))))
+        .as("lb"), col("pk"), col("sk"))
+      .groupBy(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
+        min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "zorder_layout" -> (zorderLayout _),
     "corr_matrix" -> (corrMatrix _),
     "dist_drift" -> (distDrift _),
     "table_profile" -> (tableProfile _),
@@ -339,6 +407,41 @@ object Profile {
        |FROM ev""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // same Morton spread (4 shift-or-mask rounds) and integer range
+    // bucketing; // = floor division == Spark's div (non-negative)
+    "zorder_layout" ->
+      """WITH raw AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |rng AS (SELECT min(pk) AS pmin, max(pk) AS pmax,
+        |               min(sk) AS smin, max(sk) AS smax FROM raw),
+        |base AS (
+        | SELECT pk, sk,
+        |  ((pk - pmin) * 65536 // (pmax - pmin + 1)) & 65535 AS p0,
+        |  ((sk - smin) * 65536 // (smax - smin + 1)) & 65535 AS s0
+        | FROM raw, rng),
+        |r1 AS (SELECT pk, sk,
+        |  (p0 | (p0 << 8)) & 16711935 AS p1,
+        |  (s0 | (s0 << 8)) & 16711935 AS s1 FROM base),
+        |r2 AS (SELECT pk, sk,
+        |  (p1 | (p1 << 4)) & 252645135 AS p2,
+        |  (s1 | (s1 << 4)) & 252645135 AS s2 FROM r1),
+        |r3 AS (SELECT pk, sk,
+        |  (p2 | (p2 << 2)) & 858993459 AS p3,
+        |  (s2 | (s2 << 2)) & 858993459 AS s3 FROM r2),
+        |r4 AS (SELECT pk, sk,
+        |  (p3 | (p3 << 1)) & 1431655765 AS p4,
+        |  (s3 | (s3 << 1)) & 1431655765 AS s4 FROM r3),
+        |zt AS (SELECT pk, sk, p4 | (s4 << 1) AS z FROM r4),
+        |lanes AS (
+        | SELECT 'zorder' AS layout,
+        |  CAST(z // 67108864 AS BIGINT) AS bucket, pk, sk FROM zt
+        | UNION ALL
+        | SELECT 'pk_sort',
+        |  CAST((pk - pmin) * 64 // (pmax - pmin + 1) AS BIGINT),
+        |  pk, sk FROM zt, rng)
+        |SELECT layout, bucket, count(*) AS n,
+        | min(pk) AS pk_min, max(pk) AS pk_max,
+        | min(sk) AS sk_min, max(sk) AS sk_max
+        |FROM lanes GROUP BY 1, 2""".stripMargin,
     // 2xK chi-square per-bucket term reduced to D^2/(R*C*n) on the
     // HUGEINT lane (== Spark DECIMAL(38,0)); ppm deltas in floor longs
     "dist_drift" ->

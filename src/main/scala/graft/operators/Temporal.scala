@@ -513,16 +513,23 @@ object Temporal {
     * seasonal_adjust calendar-free discipline.
     */
   def cusumDrift(s: SparkSession, d: String): DataFrame =
-    cusum(Tables.events(s, d)
-      .groupBy(col("event_type"),
+    cusum(dailyCounts(Tables.events(s, d)))
+
+  /** The (event_type, epoch-day) count table cusum_drift monitors —
+    * plain sum-mergeable aggregation state, shared with the streaming
+    * twin (StreamingOps.cusumStream runs THIS aggregation in complete
+    * mode; the CUSUM window step is a bounded-table computation a
+    * monitor applies per trigger, the driftStream discipline). */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("n")))
+      .agg(count(lit(1)).as("n"))
 
   /** CUSUM core over any (event_type, day, n) daily table —
     * unit-tested on hand series (step shift, mid-series burst,
     * constant rate) in CusumSpec.
     */
-  private[operators] def cusum(daily: DataFrame): DataFrame = {
+  private[graft] def cusum(daily: DataFrame): DataFrame = {
     val byType = Window.partitionBy(col("event_type"))
     val ordered = byType.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

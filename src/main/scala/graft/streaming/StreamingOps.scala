@@ -779,6 +779,30 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming CUSUM monitor state — the incremental twin of
+    * operators.Temporal.cusumDrift's daily count table. Counts are
+    * sum-mergeable across micro-batches (the driftStream discipline),
+    * so the twin IS the shared (event_type, epoch-day) aggregation in
+    * complete mode; a monitor reads the latest table per trigger and
+    * applies the CUSUM window step (a bounded |types| x |days|
+    * computation) outside the stream. StreamingSpec pins both the
+    * final count table AND the composed CUSUM readout equal to batch.
+    */
+  def cusumStream(events: DataFrame): DataFrame =
+    graft.operators.Temporal.dailyCounts(events)
+
+  def runCusumOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val q: StreamingQuery = cusumStream(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming drift-count monitor — the incremental twin of
     * operators.Profile.distDrift's count table. The (feature, bucket)
     * ref/cur counts are plain SUM-mergeable aggregation state (no

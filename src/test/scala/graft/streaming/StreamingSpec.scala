@@ -153,6 +153,22 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming CUSUM daily counts == batch; composed CUSUM readout == cusum_drift") {
+    val streamed = StreamingOps.runCusumOnce(spark, sf, "stream_cusum")
+    val batch = graft.operators.Temporal
+      .dailyCounts(graft.Tables.events(spark, sf))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the monitor's per-trigger readout: CUSUM over the streamed state
+    // table must equal the registered batch operator exactly
+    val composed = graft.operators.Temporal.cusum(streamed).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4))).toSet
+    val full = graft.operators.Temporal.cusumDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4))).toSet
+    assert(composed == full)
+  }
+
   test("streaming drift counts == the batch lane aggregation") {
     // sum-mergeable count state: the stream's final complete-mode
     // table must equal the batch scan's count table exactly

@@ -66,7 +66,9 @@ class DeterminismSpec extends SparkTestBase {
     "label_propagation",      // synchronous majority rounds, min-label ties
     "skyline_frontier",       // bounded frontier + broadcast tie join-back
     "theil_sen_trend",        // two-middle-rank median over pair slopes
-    "intradoc_dedup"          // narrow HOF rewrite, chunk-aligned
+    "intradoc_dedup",         // narrow HOF rewrite, chunk-aligned
+    "cusum_drift",            // prefix-sum min factorization, integer lane
+    "zorder_layout"           // Morton interleave + integer range buckets
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -1100,7 +1100,50 @@ object Dedup {
       .groupBy(col("mask")).agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Survivor election per near-duplicate cluster — the canonical-pick
+    * stage production dedup actually publishes: dedup_clusters' min-id
+    * pick is an ID accident; the curation rule is KEEP THE LONGEST
+    * member (the C4/RefinedWeb practice — near-dup clusters usually
+    * contain one full document plus truncated or boilerplate-wrapped
+    * copies, and min-id happily elects a stub). Election is exact
+    * integer and portable: per-cluster max token count, then min
+    * doc_id among ties — deliberately NOT max_by/arg_max on a struct,
+    * whose tie semantics are engine-defined. Emits the full rewrite
+    * mapping (every clustered doc -> its survivor), which is what a
+    * downstream keep-filter or redirect table joins on.
+    *
+    * Shape: components + a keyed join of the clustered subset against
+    * the per-doc token counts; the election is two aggregates over the
+    * cluster-member table (bounded by the LSH pair graph, far below
+    * corpus size), then one keyed join back. Singleton docs never
+    * enter any stage — at 100 TB the mapping table is proportional to
+    * the DUPLICATED subset, not the corpus.
+    */
+  def dedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(
+      lshCandidates(s, d)._1.select(col("doc_a"), col("doc_b")))
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    survivorElection(
+      labels.select(col("doc").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(toks, Seq("doc_id")))
+  }
+
+  /** Election core over (doc_id, cluster_id, n_tokens) — unit-tested
+    * on hand clusters with ties and stub members (SurvivorSpec). */
+  private[operators] def survivorElection(m: DataFrame): DataFrame = {
+    val best = m.groupBy(col("cluster_id")).agg(max(col("n_tokens")).as("mt"))
+    val surv = m.join(best, Seq("cluster_id"))
+      .filter(col("n_tokens") === col("mt"))
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("survivor_doc"))
+    m.join(surv, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        col("survivor_doc"),
+        (col("doc_id") === col("survivor_doc")).as("is_survivor"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "dedup_survivors" -> (dedupSurvivors _),
     "dedup_channel_overlap" -> ((s: SparkSession, d: String) => dedupChannelOverlap(s, d)),
     "dup_span_rewrite" -> ((s: SparkSession, d: String) => dupSpanRewrite(s, d)),
     "cross_doc_spans" -> ((s: SparkSession, d: String) => crossDocSpans(s, d)),
@@ -1508,6 +1551,27 @@ object Dedup {
          |SELECT comp.doc AS doc_id, comp.cluster_id, sizes.cluster_size,
          | comp.doc = comp.cluster_id AS is_canonical
          |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
+
+    // keep-the-longest election: max token count then min doc_id among
+    // ties — two aggregates, no engine-defined arg_max tie semantics
+    "dedup_survivors" ->
+      s"""$clusterCompCte,
+         |dlen AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+         | FROM documents),
+         |m AS (
+         | SELECT comp.doc AS doc_id, comp.cluster_id, dlen.n_tokens
+         | FROM comp JOIN dlen ON dlen.doc_id = comp.doc),
+         |best AS (SELECT cluster_id, max(n_tokens) AS mt FROM m GROUP BY 1),
+         |surv AS (
+         | SELECT m.cluster_id, min(m.doc_id) AS survivor_doc
+         | FROM m JOIN best ON m.cluster_id = best.cluster_id
+         |  AND m.n_tokens = best.mt
+         | GROUP BY 1)
+         |SELECT m.doc_id, m.cluster_id, m.n_tokens, surv.survivor_doc,
+         | m.doc_id = surv.survivor_doc AS is_survivor
+         |FROM m JOIN surv ON m.cluster_id = surv.cluster_id""".stripMargin,
 
     "dedup_pipeline" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

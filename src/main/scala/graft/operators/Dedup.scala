@@ -1142,7 +1142,66 @@ object Dedup {
         (col("doc_id") === col("survivor_doc")).as("is_survivor"))
   }
 
+  /** Content-defined chunking (the gear/FastCDC discipline, over
+    * normalized tokens): token i ends a chunk when hash60(token) mod
+    * 16 == 0 — a pure function of LOCAL content, so an edit near the
+    * head of a document shifts only the chunks up to the next
+    * boundary and everything after re-synchronizes byte-identically.
+    * Fixed-stride chunking (doc_chunk) loses ALL alignment after an
+    * insertion; this is why backup/dedup systems (LBFS, Venti,
+    * restic) and crawl-level near-dup stores chunk by content, not
+    * offset. No min/max clamp: the boundary rule stays a per-position
+    * predicate (embarrassingly parallel, whole-stage codegen) instead
+    * of a sequential scan; expected chunk length is the divisor (16).
+    *
+    * Emits (doc_id, chunk_text, chunk_hash, n_tokens); every token
+    * lands in exactly one chunk (end-of-doc anchor boundary).
+    */
+  private[operators] def contentChunks(docs: DataFrame): DataFrame = {
+    val D = 16
+    val h60 = graft.functions.Hash60.hash60 _
+    val bp = filter(sequence(lit(1), col("n")), i =>
+      (pmod(h60(element_at(col("w"), i)), lit(D)) === 0) || (i === col("n")))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"), bp.as("bp"))
+      .select(col("doc_id"), col("w"), col("bp"),
+        posexplode(col("bp")).as(Seq("k0", "b")))
+      .select(col("doc_id"), col("b"), col("w"),
+        when(col("k0") === 0, lit(0))
+          .otherwise(element_at(col("bp"), col("k0"))).as("prev"))
+      .select(col("doc_id"),
+        array_join(slice(col("w"), col("prev") + 1, col("b") - col("prev")),
+          " ").as("chunk_text"),
+        (col("b") - col("prev")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("chunk_text"),
+        h60(col("chunk_text")).as("chunk_hash"), col("n_tokens"))
+  }
+
+  /** Corpus-wide duplication spectrum of the content-defined chunks:
+    * per occurrence-count band, how many distinct chunks, how many
+    * appear in more than one document, and the exact token volume a
+    * chunk-level dedup would reclaim (len x (freq - 1), integer).
+    * Shape at 100 TB: the chunk table is ~tokens/16 rows feeding ONE
+    * map-side-combining groupBy on chunk_hash, then a spectrum agg
+    * over the (bounded, distinct-frequency) bands — the
+    * token_freq_spectrum scan discipline at chunk granularity.
+    */
+  def contentChunkDedup(s: SparkSession, d: String): DataFrame =
+    contentChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("chunk_freq"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("n_tokens")).as("len"))
+      .groupBy(col("chunk_freq"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("n_docs") > 1).cast("long")).as("n_multi_doc_chunks"),
+        sum(col("len") * (col("chunk_freq") - 1)).as("dup_tokens"))
+
   val queries: Map[String, Relational.Q] = Map(
+    "content_chunk_dedup" -> (contentChunkDedup _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_channel_overlap" -> ((s: SparkSession, d: String) => dedupChannelOverlap(s, d)),
     "dup_span_rewrite" -> ((s: SparkSession, d: String) => dupSpanRewrite(s, d)),
@@ -1551,6 +1610,47 @@ object Dedup {
          |SELECT comp.doc AS doc_id, comp.cluster_id, sizes.cluster_size,
          | comp.doc = comp.cluster_id AS is_canonical
          |FROM comp JOIN sizes USING (cluster_id)""".stripMargin,
+
+    // gear-style content-defined chunking: boundary when the 60-bit
+    // token hash is 0 mod 16 (plus the end anchor); spectrum exits
+    // cast away DuckDB's HUGEINT sums
+    "content_chunk_dedup" ->
+      s"""WITH t AS (
+         | SELECT doc_id, string_split($normSql, ' ') AS w FROM documents),
+         |b AS (
+         | SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t
+         | WHERE len(w) > 0),
+         |bps AS (
+         | SELECT doc_id, w,
+         |  list_filter(range(1, n + 1), i ->
+         |   ('0x' || substr(md5(w[CAST(i AS INT)]), 1, 15))::BIGINT % 16 = 0
+         |    OR i = n) AS bp
+         | FROM b),
+         |c AS (
+         | SELECT doc_id, w, bp, unnest(range(1, len(bp) + 1)) AS k FROM bps),
+         |ch AS (
+         | SELECT doc_id,
+         |  CASE WHEN k = 1 THEN CAST(0 AS BIGINT)
+         |       ELSE bp[CAST(k - 1 AS INT)] END AS prev,
+         |  bp[CAST(k AS INT)] AS bnd, w
+         | FROM c),
+         |h AS (
+         | SELECT doc_id,
+         |  ('0x' || substr(md5(
+         |    array_to_string(w[CAST(prev + 1 AS INT):CAST(bnd AS INT)], ' ')
+         |   ), 1, 15))::BIGINT AS chunk_hash,
+         |  bnd - prev AS n_tokens
+         | FROM ch),
+         |per AS (
+         | SELECT chunk_hash, CAST(count(*) AS BIGINT) AS chunk_freq,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(n_tokens) AS len
+         | FROM h GROUP BY 1)
+         |SELECT chunk_freq, CAST(count(*) AS BIGINT) AS n_chunks,
+         | CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_multi_doc_chunks,
+         | CAST(sum(len * (chunk_freq - 1)) AS BIGINT) AS dup_tokens
+         |FROM per GROUP BY 1""".stripMargin,
 
     // keep-the-longest election: max token count then min doc_id among
     // ties — two aggregates, no engine-defined arg_max tie semantics

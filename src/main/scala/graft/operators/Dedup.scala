@@ -1157,7 +1157,7 @@ object Dedup {
     * Emits (doc_id, chunk_text, chunk_hash, n_tokens); every token
     * lands in exactly one chunk (end-of-doc anchor boundary).
     */
-  private[operators] def contentChunks(docs: DataFrame): DataFrame = {
+  private[graft] def contentChunks(docs: DataFrame): DataFrame = {
     val D = 16
     val h60 = graft.functions.Hash60.hash60 _
     val bp = filter(sequence(lit(1), col("n")), i =>
@@ -1190,11 +1190,26 @@ object Dedup {
     * token_freq_spectrum scan discipline at chunk granularity.
     */
   def contentChunkDedup(s: SparkSession, d: String): DataFrame =
-    contentChunks(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    chunkSpectrum(chunkPairCounts(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+
+  /** Per-(chunk_hash, doc_id) instance counts — the sum-mergeable lane
+    * the streaming twin carries as state (a micro-batch's partials
+    * merge by addition; Spark's own count-distinct rewrite builds this
+    * same pair grouping internally, so splitting it out costs nothing).
+    */
+  private[graft] def chunkPairCounts(docs: DataFrame): DataFrame =
+    contentChunks(docs)
+      .groupBy(col("chunk_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"), min(col("n_tokens")).as("len"))
+
+  /** Spectrum readout over the pair-count lane (batch and the
+    * streaming monitor's per-trigger readout share this exactly). */
+  private[graft] def chunkSpectrum(pairCounts: DataFrame): DataFrame =
+    pairCounts
       .groupBy(col("chunk_hash"))
-      .agg(count(lit(1)).as("chunk_freq"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("n_tokens")).as("len"))
+      .agg(sum(col("cnt")).as("chunk_freq"),
+        count(lit(1)).as("n_docs"), min(col("len")).as("len"))
       .groupBy(col("chunk_freq"))
       .agg(count(lit(1)).as("n_chunks"),
         sum((col("n_docs") > 1).cast("long")).as("n_multi_doc_chunks"),

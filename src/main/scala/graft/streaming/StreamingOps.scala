@@ -829,6 +829,33 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming content-defined chunk state — the ingest-time twin of
+    * operators.Dedup.contentChunkDedup. Chunking itself is stateless
+    * and strictly narrow (the boundary rule is a per-position
+    * predicate), so the twin IS the shared per-(chunk_hash, doc_id)
+    * count lane: sum-mergeable aggregation state, each micro-batch's
+    * partial counts merging by addition exactly like the batch
+    * map-side combine. The spectrum readout (Dedup.chunkSpectrum)
+    * runs over the latest state table per trigger, outside the
+    * stream; StreamingSpec pins the streamed state AND the composed
+    * readout equal to the batch operator.
+    */
+  def contentChunkStream(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.chunkPairCounts(docs)
+
+  def runContentChunkOnce(spark: SparkSession, dir: String,
+                          queryName: String): DataFrame = {
+    val q: StreamingQuery = contentChunkStream(readDocuments(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming Misra–Gries heavy-hitter sketch — the state-store twin
     * of operators.Sketch.heavyHitters' per-partition pass 1. The token
     * stream shards by content hash (a fixed, small key space — the

@@ -169,6 +169,20 @@ class StreamingSpec extends SparkTestBase {
     assert(composed == full)
   }
 
+  test("streaming chunk pair-counts == batch; composed spectrum readout == content_chunk_dedup") {
+    val streamed = StreamingOps.runContentChunkOnce(spark, sf, "stream_chunks")
+    val batch = graft.operators.Dedup.chunkPairCounts(
+      graft.Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val composed = graft.operators.Dedup.chunkSpectrum(streamed).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = graft.operators.Dedup.contentChunkDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(composed == full)
+  }
+
   test("streaming drift counts == the batch lane aggregation") {
     // sum-mergeable count state: the stream's final complete-mode
     // table must equal the batch scan's count table exactly

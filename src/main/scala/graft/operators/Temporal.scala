@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -489,6 +489,54 @@ object Temporal {
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc")))
 
+  /** Least-squares revenue trend per nation — the parametric twin of
+    * theil_sen_trend (same monthly cents lane, same units: currency
+    * per month) plus the fit-quality number the robust estimator
+    * cannot give (Pearson r of revenue on time). The corpus-sized
+    * stage is the shared (nation, month) cents aggregate; the OLS
+    * moments run over that BOUNDED ~nations x months table with
+    * per-row DECIMAL(38,0) products (rc^2 at 10x data exceeds int64 —
+    * cast BEFORE multiply; cost irrelevant on 2k rows). Exits follow
+    * the corr_matrix discipline: exact integer covariance/variance
+    * lanes, ONE double conversion each, identical expression shape in
+    * the oracle so the 6-dp rounding is bit-equal.
+    */
+  def olsTrend(s: SparkSession, d: String): DataFrame =
+    ols(Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc")))
+
+  /** OLS moment/exit stage over a (nation, m, rc) table — unit-tested
+    * on hand series with closed-form fits (OlsTrendSpec). */
+  private[operators] def ols(rev: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    rev
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("m").cast("long")).as("sx"),
+        sum((col("m") * col("m")).cast("long")).as("sxx"),
+        sum(dec(col("rc"))).as("sy"),
+        sum(dec(col("m")) * dec(col("rc"))).as("sxy"),
+        sum(dec(col("rc")) * dec(col("rc"))).as("syy"))
+      .select(col("nation"), col("n").as("n_months"),
+        (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")).as("cov_n"),
+        (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))).as("vx"),
+        (dec(col("n")) * col("syy") - col("sy") * col("sy")).as("vy"))
+      .select(col("nation"), col("n_months"),
+        when(col("vx") > 0,
+          round(col("cov_n").cast("double") / col("vx").cast("double") / 100.0, 6))
+          .otherwise(lit(null).cast("double")).as("slope"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("cov_n").cast("double") /
+            sqrt(col("vx").cast("double")) /
+            sqrt(col("vy").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("r"))
+  }
+
   /** CUSUM change-point detection per event type over the daily count
     * series — the classic Page (1954) cumulative-sum monitor: where
     * anomaly_days flags SINGLE outlier days against a trailing window,
@@ -547,6 +595,7 @@ object Temporal {
   val queries: Map[String, Relational.Q] = Map(
     "cusum_drift" -> (cusumDrift _),
     "theil_sen_trend" -> ((s, d) => theilSenTrend(s, d)),
+    "ols_trend" -> (olsTrend _),
     "mannwhitney_value" -> (mannwhitneyValue _),
     "ab_chi2" -> (abChi2 _),
     "seasonal_adjust" -> (seasonalAdjust _),
@@ -623,6 +672,42 @@ object Temporal {
         | CAST(max(m.n) AS BIGINT) AS n_pairs, round(avg(m.slope), 6) AS trend
         |FROM mids m JOIN months mo ON m.nation = mo.nation
         |GROUP BY 1, 2""".stripMargin,
+
+    // corr_matrix discipline: exact HUGEINT moment lanes over the
+    // bounded monthly table, double conversion only at the exits with
+    // the identical expression shape
+    "ols_trend" ->
+      """WITH rev AS (
+        | SELECT n_name AS nation,
+        |  year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+        | FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2),
+        |st AS (
+        | SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS sx,
+        |  CAST(sum(m * m) AS BIGINT) AS sxx,
+        |  sum(rc::HUGEINT) AS sy,
+        |  sum(m::HUGEINT * rc) AS sxy,
+        |  sum(rc::HUGEINT * rc) AS syy
+        | FROM rev GROUP BY 1),
+        |mo AS (
+        | SELECT nation, n AS n_months,
+        |  n * sxy - sx * sy AS cov_n,
+        |  n::HUGEINT * sxx - sx::HUGEINT * sx AS vx,
+        |  n * syy - sy * sy AS vy
+        | FROM st)
+        |SELECT nation, n_months,
+        | CASE WHEN vx > 0 THEN
+        |  round(CAST(cov_n AS DOUBLE) / CAST(vx AS DOUBLE) / 100.0, 6)
+        | ELSE NULL END AS slope,
+        | CASE WHEN vx > 0 AND vy > 0 THEN
+        |  round(CAST(cov_n AS DOUBLE) / sqrt(CAST(vx AS DOUBLE))
+        |        / sqrt(CAST(vy AS DOUBLE)), 6)
+        | ELSE NULL END AS r
+        |FROM mo""".stripMargin,
 
     // distributed midranks: (type, value) per-arm counts + prefix sum
     // over DISTINCT values; doubled-rank units keep everything integer

@@ -68,7 +68,11 @@ class DeterminismSpec extends SparkTestBase {
     "theil_sen_trend",        // two-middle-rank median over pair slopes
     "intradoc_dedup",         // narrow HOF rewrite, chunk-aligned
     "cusum_drift",            // prefix-sum min factorization, integer lane
-    "zorder_layout"           // Morton interleave + integer range buckets
+    "zorder_layout",          // Morton interleave + integer range buckets
+    "dedup_survivors",        // max-tokens-then-min-id two-agg election
+    "hybrid_rrf",             // two bounded lane heaps + rank fusion
+    "content_chunk_dedup",    // per-position boundary rule + spectrum
+    "ols_trend"               // exact decimal moments over bounded months
   )
 
   test("query results are invariant to the shuffle partition count") {

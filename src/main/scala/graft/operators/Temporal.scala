@@ -481,13 +481,22 @@ object Temporal {
       materialize: Boolean = true): DataFrame =
     theilSen(
       materialize = materialize,
-      rev = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name").as("nation"),
-          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc")))
+      rev = monthlyRevenueCents(Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d)))
+
+  /** Shared (nation, month) exact-cents revenue lane — the corpus-
+    * sized stage under both trend estimators AND the streaming OLS
+    * twin (the lane is SUM-mergeable: micro-batch partials merge by
+    * addition, so the stream carries it as plain aggregation state).
+    */
+  private[graft] def monthlyRevenueCents(orders: DataFrame,
+      customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc"))
 
   /** Least-squares revenue trend per nation — the parametric twin of
     * theil_sen_trend (same monthly cents lane, same units: currency
@@ -502,17 +511,12 @@ object Temporal {
     * the oracle so the 6-dp rounding is bit-equal.
     */
   def olsTrend(s: SparkSession, d: String): DataFrame =
-    ols(Tables.orders(s, d)
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, d)),
-        col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name").as("nation"),
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rc")))
+    ols(monthlyRevenueCents(Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d)))
 
   /** OLS moment/exit stage over a (nation, m, rc) table — unit-tested
     * on hand series with closed-form fits (OlsTrendSpec). */
-  private[operators] def ols(rev: DataFrame): DataFrame = {
+  private[graft] def ols(rev: DataFrame): DataFrame = {
     def dec(c: Column) = c.cast("decimal(38,0)")
     rev
       .groupBy(col("nation"))

@@ -829,6 +829,57 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Orders landing stream (same layout discipline as readEvents /
+    * readDocuments: directory layout streams the table dir, single-
+    * file layout streams the parent with a name filter so cold-start
+    * landing dirs pick files up incrementally). Schema comes from a
+    * batch footer probe when data exists, falling back to the
+    * canonical generator layout (o_orderdate as NTZ micros).
+    */
+  def readOrders(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(s"$dir/orders.parquet")
+    val schema =
+      if (path.exists()) spark.read.parquet(path.toString).schema
+      else StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampNTZType),
+        StructField("o_orderpriority", StringType)))
+    if (path.isDirectory)
+      spark.readStream.schema(schema).parquet(path.toString)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir)
+  }
+
+  /** Streaming OLS trend state — the incremental twin of
+    * operators.Temporal.olsTrend. The (nation, month) exact-cents
+    * revenue lane is SUM-mergeable aggregation state (dims join
+    * stream-static and broadcast), so the twin IS the shared
+    * monthlyRevenueCents lane in complete mode; the OLS moment/exit
+    * readout (Temporal.ols — a 2k-row computation) runs over the
+    * latest state table per trigger. StreamingSpec pins the streamed
+    * lane AND the composed readout equal to the batch operator.
+    */
+  def olsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.monthlyRevenueCents(
+      readOrders(spark, dir),
+      graft.Tables.customer(spark, dir), graft.Tables.nation(spark, dir))
+
+  def runOlsOnce(spark: SparkSession, dir: String,
+                 queryName: String): DataFrame = {
+    val q: StreamingQuery = olsStream(spark, dir)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming content-defined chunk state — the ingest-time twin of
     * operators.Dedup.contentChunkDedup. Chunking itself is stateless
     * and strictly narrow (the boundary rule is a per-position

@@ -169,6 +169,25 @@ class StreamingSpec extends SparkTestBase {
     assert(composed == full)
   }
 
+  test("streaming monthly revenue lane == batch; composed OLS readout == ols_trend") {
+    val streamed = StreamingOps.runOlsOnce(spark, sf, "stream_ols")
+    val batch = graft.operators.Temporal.monthlyRevenueCents(
+      graft.Tables.orders(spark, sf), graft.Tables.customer(spark, sf),
+      graft.Tables.nation(spark, sf))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    val composed = graft.operators.Temporal.ols(streamed).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val full = graft.operators.Temporal.olsTrend(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(composed == full)
+  }
+
   test("streaming chunk pair-counts == batch; composed spectrum readout == content_chunk_dedup") {
     val streamed = StreamingOps.runContentChunkOnce(spark, sf, "stream_chunks")
     val batch = graft.operators.Dedup.chunkPairCounts(

@@ -1129,6 +1129,32 @@ object Dedup {
         .join(toks, Seq("doc_id")))
   }
 
+  /** The survivor mapping applied as a keep-filter, audited per
+    * language — the number a curation run actually publishes: how
+    * many documents and tokens survive near-dup collapse, per lang.
+    * Docs outside every cluster are kept by definition (left join,
+    * coalesce TRUE), so the join's build side is the mapping table —
+    * proportional to the duplicated subset, never the corpus — and
+    * the census is one exact-integer groupBy on lang.
+    */
+  def dedupKeepStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(dedupSurvivors(s, d).select(col("doc_id"), col("is_survivor")),
+        Seq("doc_id"), "left_outer")
+      .select(col("lang"), col("n_tokens"),
+        coalesce(col("is_survivor"), lit(true)).as("keep"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum((!col("keep")).cast("long")).as("n_dropped"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(lit(0L)))
+          .as("tokens_kept"),
+        sum(when(col("keep"), lit(0L)).otherwise(col("n_tokens")))
+          .as("tokens_dropped"))
+
   /** Election core over (doc_id, cluster_id, n_tokens) — unit-tested
     * on hand clusters with ties and stub members (SurvivorSpec). */
   private[operators] def survivorElection(m: DataFrame): DataFrame = {
@@ -1218,6 +1244,7 @@ object Dedup {
   val queries: Map[String, Relational.Q] = Map(
     "content_chunk_dedup" -> (contentChunkDedup _),
     "dedup_survivors" -> (dedupSurvivors _),
+    "dedup_keep_stats" -> (dedupKeepStats _),
     "dedup_channel_overlap" -> ((s: SparkSession, d: String) => dedupChannelOverlap(s, d)),
     "dup_span_rewrite" -> ((s: SparkSession, d: String) => dupSpanRewrite(s, d)),
     "cross_doc_spans" -> ((s: SparkSession, d: String) => crossDocSpans(s, d)),
@@ -1318,6 +1345,27 @@ object Dedup {
     * `comp(doc, cluster_id)`. Reused by dedup_clusters here and by
     * TrainPrep's leakage-aware train_split oracle.
     */
+  /** Full survivor-election oracle — standalone, so dedup_keep_stats
+    * can nest it as a subquery (the annEvalSql nested-WITH pattern). */
+  private lazy val survivorsSql: String =
+    s"""$clusterCompCte,
+       |dlen AS (
+       | SELECT doc_id,
+       |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |m AS (
+       | SELECT comp.doc AS doc_id, comp.cluster_id, dlen.n_tokens
+       | FROM comp JOIN dlen ON dlen.doc_id = comp.doc),
+       |best AS (SELECT cluster_id, max(n_tokens) AS mt FROM m GROUP BY 1),
+       |surv AS (
+       | SELECT m.cluster_id, min(m.doc_id) AS survivor_doc
+       | FROM m JOIN best ON m.cluster_id = best.cluster_id
+       |  AND m.n_tokens = best.mt
+       | GROUP BY 1)
+       |SELECT m.doc_id, m.cluster_id, m.n_tokens, surv.survivor_doc,
+       | m.doc_id = surv.survivor_doc AS is_survivor
+       |FROM m JOIN surv ON m.cluster_id = surv.cluster_id""".stripMargin
+
   private[operators] val clusterCompCte =
     s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |sig AS (SELECT doc_id, $sigSelect FROM hs),
@@ -1669,24 +1717,31 @@ object Dedup {
 
     // keep-the-longest election: max token count then min doc_id among
     // ties — two aggregates, no engine-defined arg_max tie semantics
-    "dedup_survivors" ->
-      s"""$clusterCompCte,
-         |dlen AS (
-         | SELECT doc_id,
+    "dedup_survivors" -> survivorsSql,
+
+    // survivor mapping applied as a keep-filter census: docs outside
+    // any cluster are kept by definition (left join, coalesce TRUE);
+    // HUGEINT sums cast at the exits
+    "dedup_keep_stats" ->
+      s"""WITH sv AS (
+         | SELECT doc_id, is_survivor FROM ($survivorsSql)),
+         |d AS (
+         | SELECT doc_id, lang,
          |  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_tokens
          | FROM documents),
-         |m AS (
-         | SELECT comp.doc AS doc_id, comp.cluster_id, dlen.n_tokens
-         | FROM comp JOIN dlen ON dlen.doc_id = comp.doc),
-         |best AS (SELECT cluster_id, max(n_tokens) AS mt FROM m GROUP BY 1),
-         |surv AS (
-         | SELECT m.cluster_id, min(m.doc_id) AS survivor_doc
-         | FROM m JOIN best ON m.cluster_id = best.cluster_id
-         |  AND m.n_tokens = best.mt
-         | GROUP BY 1)
-         |SELECT m.doc_id, m.cluster_id, m.n_tokens, surv.survivor_doc,
-         | m.doc_id = surv.survivor_doc AS is_survivor
-         |FROM m JOIN surv ON m.cluster_id = surv.cluster_id""".stripMargin,
+         |j AS (
+         | SELECT d.lang, d.n_tokens,
+         |  coalesce(sv.is_survivor, TRUE) AS keep
+         | FROM d LEFT JOIN sv ON sv.doc_id = d.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+         | CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         | CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+         |  AS tokens_kept,
+         | CAST(sum(CASE WHEN keep THEN 0 ELSE n_tokens END) AS BIGINT)
+         |  AS tokens_dropped
+         |FROM j GROUP BY 1""".stripMargin,
 
     "dedup_pipeline" ->
       s"""${shingleHashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

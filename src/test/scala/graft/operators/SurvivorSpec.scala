@@ -44,4 +44,21 @@ class SurvivorSpec extends SparkTestBase {
       .map(_.getLong(0)).toSet
     assert(rows.map(_._1).toSet == clusterDocs)
   }
+
+  test("dedup_keep_stats: partitions add up; drops == clustered docs minus clusters; totals == corpus") {
+    val stats = Dedup.dedupKeepStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    stats.foreach { case (lang, nDocs, nKept, nDropped, tTot, tKept, tDrop) =>
+      assert(nKept + nDropped == nDocs, s"lang $lang doc partition")
+      assert(tKept + tDrop == tTot, s"lang $lang token partition")
+    }
+    val surv = Dedup.dedupSurvivors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    val expectedDropped = surv.length - surv.map(_._2).distinct.length
+    assert(stats.map(_._4).sum == expectedDropped.toLong,
+      "every cluster keeps exactly one member")
+    val nCorpus = graft.Tables.documents(spark, sf).count()
+    assert(stats.map(_._2).sum == nCorpus)
+  }
 }

@@ -216,11 +216,59 @@ object Graph {
       materialize: Boolean = true): DataFrame =
     labelPropagation(Dedup.lshCandidates(s, d)._1, rounds, materialize)
 
+  /** Resource-allocation link prediction over an undirected pair set:
+    * for every wedge-closed NON-edge (a, b), the RA index
+    * sum_z 1/deg(z) over common neighbors z — the classic
+    * common-neighbor predictor that beats raw counts by discounting
+    * promiscuous middles. Exact integer lane: ra_ppm = sum of
+    * 1000000 div deg(z) (non-negative, so Spark's truncating div and
+    * DuckDB's flooring // agree). The wedge join expands middles
+    * only; middles with deg > 64 are EXCLUDED — principled twice
+    * over: their per-wedge contribution is <= 15625 ppm (negligible
+    * by construction of the index) and they are exactly the hubs
+    * whose deg^2 wedge blow-up kills the join at scale. The existing
+    * edge set is removed with a keyed anti-join.
+    */
+  private[operators] def linkPrediction(pairs: DataFrame,
+      maxDeg: Int = 64, materialize: Boolean = true): DataFrame = {
+    val und = pairs.select(col("doc_a"), col("doc_b"))
+    val edges0 = und.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(und.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = if (materialize) edges0.localCheckpoint(true) else edges0
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val w = edges.as("e1")
+      .join(edges.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("z"), col("e1.dst").as("a"),
+        col("e2.dst").as("b"))
+      .join(deg.select(col("src").as("z"), col("deg")), Seq("z"))
+      .filter(col("deg") <= maxDeg)
+    w.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+      .join(und.select(col("doc_a").as("a"), col("doc_b").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("common_neighbors"), col("ra_ppm"))
+  }
+
+  /** Registered over the mutual-kNN similarity graph, NOT the LSH
+    * near-dup graph: near-dup clusters are cliques by construction,
+    * so every wedge there is already closed and the predictor has
+    * nothing to say (measured: 0 rows at sf0.01). The kNN graph's
+    * mutuality constraint leaves open wedges — the structure link
+    * prediction exists for.
+    */
+  def linkPredictionDocs(s: SparkSession, d: String): DataFrame =
+    linkPrediction(VectorOps.knnGraph(s, d)
+      .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b")))
+
   val queries: Map[String, Relational.Q] = Map(
     "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d)),
     "triangle_count" -> ((s, d) => triangleCount(s, d)),
     "k_core" -> ((s, d) => kCoreDocs(s, d)),
-    "label_propagation" -> ((s, d) => communityLabels(s, d))
+    "label_propagation" -> ((s, d) => communityLabels(s, d)),
+    "link_prediction" -> (linkPredictionDocs _)
   )
 
   // one oracle iteration in integer micro-units (// = floor division,
@@ -303,6 +351,34 @@ object Graph {
            | JOIN a4 x ON x.v = e.src
            | JOIN a4 y ON y.v = e.dst
            |GROUP BY e.src""".stripMargin),
+
+    // RA index on the integer ppm lane over the nested knn_graph
+    // oracle; middle-degree cap mirrored; // == div since every
+    // quantity is non-negative
+    "link_prediction" ->
+      (s"""WITH pairs AS (
+           | SELECT src_id AS doc_a, dst_id AS doc_b
+           | FROM (${VectorOps.oracleSql("knn_graph")})),
+           |edges AS (
+           | SELECT doc_a AS src, doc_b AS dst FROM pairs
+           | UNION ALL SELECT doc_b, doc_a FROM pairs),
+           |deg AS (
+           | SELECT src, CAST(count(*) AS BIGINT) AS deg
+           | FROM edges GROUP BY 1),
+           |w AS (
+           | SELECT e1.src AS z, e1.dst AS a, e2.dst AS b, d.deg
+           | FROM edges e1
+           |  JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+           |  JOIN deg d ON d.src = e1.src
+           | WHERE d.deg <= 64),
+           |sc AS (
+           | SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+           |  CAST(sum(1000000 // deg) AS BIGINT) AS ra_ppm
+           | FROM w GROUP BY 1, 2)
+           |SELECT a AS doc_a, b AS doc_b, common_neighbors, ra_ppm
+           |FROM sc
+           |WHERE NOT EXISTS (
+           | SELECT 1 FROM pairs p WHERE p.doc_a = sc.a AND p.doc_b = sc.b)""".stripMargin),
 
     "similarity_pagerank" ->
       (pairsCtes + ",\n" +

@@ -72,7 +72,9 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_survivors",        // max-tokens-then-min-id two-agg election
     "hybrid_rrf",             // two bounded lane heaps + rank fusion
     "content_chunk_dedup",    // per-position boundary rule + spectrum
-    "ols_trend"               // exact decimal moments over bounded months
+    "ols_trend",              // exact decimal moments over bounded months
+    "dedup_keep_stats",       // survivor mapping applied, integer census
+    "link_prediction"         // wedge join + integer RA ppm lane
   )
 
   test("query results are invariant to the shuffle partition count") {

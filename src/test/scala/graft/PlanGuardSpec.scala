@@ -80,6 +80,22 @@ class PlanGuardSpec extends SparkTestBase {
       s"frontier join-back must broadcast:\n$plan")
   }
 
+  test("hybrid_rrf: lane top-20s are heap aggregates; the only window runs over the fused <= 40-row table") {
+    // the scale claim in code: neither lane may rank the corpus with
+    // a window (that is the corpus-sized sort this operator exists to
+    // avoid); the single WindowExec is the fused-rank row_number over
+    // the <= 40-row full-outer join of the two bounded lane heaps.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = graft.operators.Retrieval.hybridRrf(spark, sf)
+      .queryExecution.executedPlan
+    val flat = flattenPlan(plan)
+    val windows = flat.collect { case w: WindowExec => w }
+    assert(windows.length == 1,
+      s"expected exactly 1 window (the bounded fusion rank), got ${windows.length}:\n$plan")
+    assert(flat.exists(_.nodeName.contains("ObjectHashAggregate")),
+      s"lane top-k must run as bounded-heap aggregates:\n$plan")
+  }
+
   test("every broadcast nested-loop join broadcasts a bounded side") {
     // The other scale-killer: a BNLJ whose broadcast side is an
     // unbounded table scan OOMs the moment the data grows. Legitimate

@@ -550,6 +550,85 @@ object Dedup {
         ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"))
   }
 
+  /** LSH banding-parameter evaluation — the (bands, rows) S-curve
+    * measured, not asserted. dedupEval sweeps the OR-construction
+    * threshold (>= t of 8 sigs matching); the candidate rule an LSH
+    * join ACTUALLY uses is banded — candidate iff some band of r
+    * consecutive sigs matches ENTIRELY — and the (b, r) choice trades
+    * recall against candidate volume along the S-curve
+    * P(cand) = 1 - (1 - s^r)^b. All four splits of 8 sigs are
+    * evaluated against the same exact-Jaccard truth as dedupEval, on
+    * the same 1-in-5 sample: (8,1) is the recall ceiling (any sig
+    * agreement fires), (1,8) the precision ceiling (all must agree),
+    * and the production (4,2) sits on the knee. Pure integer
+    * decisions; the rollup is a 4-row aggregate.
+    */
+  def lshBandEval(s: SparkSession, d: String): DataFrame = {
+    // truth = Jaccard >= 0.5 in SHINGLE-HASH space — the set the
+    // MinHash sigs actually sketch (dedup_eval's unigram truth is a
+    // different, deliberately text-level question; against it the
+    // banded rules were vacuously silent — measured before this truth
+    // channel was chosen). Evaluation universe = pairs sharing >= 1
+    // shingle hash, which is COMPLETE for both sides of the confusion
+    // matrix: J >= 0.5 needs a shared element, and sig_j(A) = sig_j(B)
+    // forces a shared hv because the permutation (a*h+b) mod P is
+    // injective. Every outside pair is therefore a true negative for
+    // every config and is counted arithmetically (n(n-1)/2 - |U|) —
+    // the full matrix without the all-pairs quadratic (124,750 pairs
+    // collapse to 11,533 at sf0.01).
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(gramHashes(col("toks"), 3), h => h % P))).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), col("shs"), size(col("shs")).cast("long").as("ns"))
+    val sig = minhashSigDf(s, d)
+      .filter(col("sig0").isNotNull)
+      .select(col("doc_id"),
+        array((0 until 8).map(j => col(s"sig$j")): _*).as("sig_arr"))
+    val base = docs.join(sig, Seq("doc_id")).localCheckpoint(true)
+    val scal = base.agg(count(lit(1)).as("n"))
+      .select(expr("n * (n - 1) div 2").as("total_pairs"))
+    val edges = base.select(col("doc_id"), explode(col("shs")).as("g"))
+    val u = edges.select(col("g"), col("doc_id").as("doc_a"))
+      .join(edges.select(col("g"), col("doc_id").as("doc_b")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val withSets = u
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("ua"),
+        col("ns").as("na"), col("sig_arr").as("sa")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("ub"),
+        col("ns").as("nb"), col("sig_arr").as("sb")), Seq("doc_b"))
+    val inter = graft.functions.IntersectCount.intersectCount(col("ua"), col("ub"))
+    def sEq(i: Int): Column =
+      element_at(col("sa"), i + 1) === element_at(col("sb"), i + 1)
+    def cand(bands: Int, r: Int): Column =
+      (0 until bands).map(k =>
+        (0 until r).map(j => sEq(k * r + j)).reduce(_ && _)).reduce(_ || _)
+    val configs = array(Seq((8, 1), (4, 2), (2, 4), (1, 8)).map {
+      case (bn, r) => struct(lit(s"b${bn}_r$r").as("config"),
+        cand(bn, r).as("cand"))
+    }: _*)
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * 1e6 / den).cast("long"))
+    withSets
+      .select(explode(configs).as("c"),
+        (lit(3) * inter >= col("na") + col("nb")).as("pos"))
+      .select(col("c.config").as("config"), col("c.cand").as("cand"), col("pos"))
+      .groupBy(col("config"))
+      .agg(count(lit(1)).as("n_u"),
+        sum(when(col("cand") && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("cand") && !col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("cand") && col("pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("cand") && !col("pos"), 1L).otherwise(0L)).as("tn_u"))
+      .crossJoin(broadcast(scal))
+      .select(col("config"), col("tp"), col("fp"), col("fn"),
+        (col("tn_u") + col("total_pairs") - col("n_u")).as("tn"),
+        ppm(col("tp"), col("tp") + col("fp")).as("precision_ppm"),
+        ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"))
+  }
+
   /** Containment-blindness evaluation — dedupEval's third panel: on
     * the same 1-in-5 sample, how well does MinHash signature agreement
     * (a JACCARD estimator) detect CONTAINMENT-positive pairs
@@ -1245,6 +1324,7 @@ object Dedup {
     "content_chunk_dedup" -> (contentChunkDedup _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_keep_stats" -> (dedupKeepStats _),
+    "lsh_band_eval" -> (lshBandEval _),
     "dedup_channel_overlap" -> ((s: SparkSession, d: String) => dedupChannelOverlap(s, d)),
     "dup_span_rewrite" -> ((s: SparkSession, d: String) => dupSpanRewrite(s, d)),
     "cross_doc_spans" -> ((s: SparkSession, d: String) => crossDocSpans(s, d)),
@@ -1903,6 +1983,64 @@ object Dedup {
          | CASE WHEN tp + fn > 0
          |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fn)) AS BIGINT) END AS recall_ppm
          |FROM agg""".stripMargin,
+
+    // banded candidate rule per (b, r) split of the 8 sigs, same
+    // exact-Jaccard truth and sample as dedup_eval
+    "lsh_band_eval" -> {
+      def candSql(bands: Int, r: Int): String =
+        (0 until bands).map { k =>
+          (0 until r).map(j =>
+            s"a.sig_arr[${k * r + j + 1}] = b.sig_arr[${k * r + j + 1}]")
+            .mkString("(", " AND ", ")")
+        }.mkString("(", " OR ", ")")
+      def arm(bands: Int, r: Int): String =
+        s"""SELECT 'b${bands}_r$r' AS config, CAST(count(*) AS BIGINT) AS n_u,
+           | CAST(sum(CASE WHEN c_b${bands}_r$r AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           | CAST(sum(CASE WHEN c_b${bands}_r$r AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           | CAST(sum(CASE WHEN NOT c_b${bands}_r$r AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           | CAST(sum(CASE WHEN NOT c_b${bands}_r$r AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn_u
+           |FROM p""".stripMargin
+      s"""$shingleHashCte,
+         |sig AS (SELECT doc_id, $sigSelect FROM hs),
+         |sa AS (
+         | SELECT doc_id, [sig0,sig1,sig2,sig3,sig4,sig5,sig6,sig7] AS sig_arr
+         | FROM sig WHERE sig0 IS NOT NULL),
+         |shsets AS (
+         | SELECT doc_id, list_distinct(hv) AS shs FROM hs
+         | WHERE len(hv) > 0),
+         |base AS (
+         | SELECT s.doc_id, u.shs, CAST(len(u.shs) AS BIGINT) AS ns, s.sig_arr
+         | FROM sa s JOIN shsets u ON u.doc_id = s.doc_id),
+         |scal AS (
+         | SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS total_pairs
+         | FROM base),
+         |e AS (SELECT doc_id, unnest(shs) AS g FROM base),
+         |u AS (
+         | SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         | FROM e x JOIN e y ON x.g = y.g AND x.doc_id < y.doc_id),
+         |p AS (
+         | SELECT
+         |  ${candSql(8, 1)} AS c_b8_r1,
+         |  ${candSql(4, 2)} AS c_b4_r2,
+         |  ${candSql(2, 4)} AS c_b2_r4,
+         |  ${candSql(1, 8)} AS c_b1_r8,
+         |  3 * len(list_intersect(a.shs, b.shs)) >= a.ns + b.ns AS pos
+         | FROM u
+         |  JOIN base a ON a.doc_id = u.doc_a
+         |  JOIN base b ON b.doc_id = u.doc_b),
+         |agg AS (
+         | ${arm(8, 1)}
+         | UNION ALL ${arm(4, 2)}
+         | UNION ALL ${arm(2, 4)}
+         | UNION ALL ${arm(1, 8)})
+         |SELECT config, tp, fp, fn,
+         | tn_u + scal.total_pairs - n_u AS tn,
+         | CASE WHEN tp + fp > 0
+         |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fp)) AS BIGINT) END AS precision_ppm,
+         | CASE WHEN tp + fn > 0
+         |  THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6 / (tp + fn)) AS BIGINT) END AS recall_ppm
+         |FROM agg CROSS JOIN scal""".stripMargin
+    },
 
     // truth = the dedup_containment gate (5i >= 4min); asym_* isolates
     // containment-positives that are NOT jaccard-positive

@@ -74,7 +74,8 @@ class DeterminismSpec extends SparkTestBase {
     "content_chunk_dedup",    // per-position boundary rule + spectrum
     "ols_trend",              // exact decimal moments over bounded months
     "dedup_keep_stats",       // survivor mapping applied, integer census
-    "link_prediction"         // wedge join + integer RA ppm lane
+    "link_prediction",        // wedge join + integer RA ppm lane
+    "lsh_band_eval"           // complete pair universe + integer matrix
   )
 
   test("query results are invariant to the shuffle partition count") {

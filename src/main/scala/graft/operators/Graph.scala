@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Graph analytics over the document-similarity graph — the iterative-
@@ -263,12 +264,49 @@ object Graph {
     linkPrediction(VectorOps.knnGraph(s, d)
       .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b")))
 
+  /** Degree census with exact integer CCDF for BOTH similarity
+    * graphs — the profile every wedge-expanding operator's cost
+    * model rests on (triangle_count's degree orientation,
+    * link_prediction's deg <= 64 middle cap, k_core's peel volume all
+    * assume a specific hub structure; this measures it). Per graph
+    * and degree: vertex count and ccdf_ppm = share of vertices with
+    * degree >= d, exact (n_ge * 1e6 div n_total). The corpus-sized
+    * work is the two degree aggregates; the CCDF windows run over the
+    * BOUNDED distinct-degree tables.
+    */
+  private[operators] def degreeCensusOf(pairs: DataFrame,
+      name: String): DataFrame = {
+    val und = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = und.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(und.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val hist = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+    val ge = Window.orderBy(col("deg").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("n_ge", sum(col("n_vertices")).over(ge))
+      .withColumn("n_total", sum(col("n_vertices")).over(all))
+      .select(lit(name).as("graph"), col("deg"), col("n_vertices"),
+        expr("n_ge * 1000000 div n_total").as("ccdf_ppm"))
+  }
+
+  def degreeCensus(s: SparkSession, d: String): DataFrame =
+    degreeCensusOf(Dedup.lshCandidates(s, d)._1, "lsh")
+      .unionByName(degreeCensusOf(
+        VectorOps.knnGraph(s, d)
+          .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b")),
+        "knn"))
+
   val queries: Map[String, Relational.Q] = Map(
     "similarity_pagerank" -> ((s, d) => similarityPagerank(s, d)),
     "triangle_count" -> ((s, d) => triangleCount(s, d)),
     "k_core" -> ((s, d) => kCoreDocs(s, d)),
     "label_propagation" -> ((s, d) => communityLabels(s, d)),
-    "link_prediction" -> (linkPredictionDocs _)
+    "link_prediction" -> (linkPredictionDocs _),
+    "degree_census" -> (degreeCensus _)
   )
 
   // one oracle iteration in integer micro-units (// = floor division,
@@ -351,6 +389,31 @@ object Graph {
            | JOIN a4 x ON x.v = e.src
            | JOIN a4 y ON y.v = e.dst
            |GROUP BY e.src""".stripMargin),
+
+    // per-graph degree histogram + exact CCDF over the bounded
+    // distinct-degree table; knn side nests the knn_graph oracle
+    "degree_census" ->
+      (pairsCtes + ",\n" +
+        s"""kg AS (
+           | SELECT src_id AS doc_a, dst_id AS doc_b
+           | FROM (${VectorOps.oracleSql("knn_graph")})),
+           |census AS (
+           | SELECT 'lsh' AS graph, doc_a, doc_b FROM pairs
+           | UNION ALL SELECT 'knn', doc_a, doc_b FROM kg),
+           |edges AS (
+           | SELECT graph, doc_a AS src FROM census
+           | UNION ALL SELECT graph, doc_b FROM census),
+           |degs AS (
+           | SELECT graph, src, CAST(count(*) AS BIGINT) AS deg
+           | FROM edges GROUP BY 1, 2),
+           |hist AS (
+           | SELECT graph, deg, CAST(count(*) AS BIGINT) AS n_vertices
+           | FROM degs GROUP BY 1, 2)
+           |SELECT graph, deg, n_vertices,
+           | CAST(sum(n_vertices) OVER (PARTITION BY graph ORDER BY deg DESC
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000
+           |  // sum(n_vertices) OVER (PARTITION BY graph) AS BIGINT) AS ccdf_ppm
+           |FROM hist""".stripMargin),
 
     // RA index on the integer ppm lane over the nested knn_graph
     // oracle; middle-degree cap mirrored; // == div since every

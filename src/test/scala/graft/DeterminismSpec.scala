@@ -75,7 +75,8 @@ class DeterminismSpec extends SparkTestBase {
     "ols_trend",              // exact decimal moments over bounded months
     "dedup_keep_stats",       // survivor mapping applied, integer census
     "link_prediction",        // wedge join + integer RA ppm lane
-    "lsh_band_eval"           // complete pair universe + integer matrix
+    "lsh_band_eval",          // complete pair universe + integer matrix
+    "degree_census"           // degree aggregates + bounded ccdf window
   )
 
   test("query results are invariant to the shuffle partition count") {

@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // plan. Heap is the bench variance knob, not the plan.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   "-XX:+UseParallelGC",
+  // 190 registered queries x 2 scales each compile distinct generated
+  // classes; at the default 240m the JIT code cache can fill late in a
+  // full bench run, silently disabling compilation so late-position
+  // queries measure 3-5x their plan cost with BOTH min-of-2 runs slow
+  // (the r7 importance_resample/repetition_filter driver-bench
+  // signature: no code change, position-dependent, unreproducible in
+  // a short JVM). 512m keeps the whole registry compiled.
+  "-XX:ReservedCodeCacheSize=512m",
 )

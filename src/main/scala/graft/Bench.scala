@@ -36,17 +36,30 @@ object Bench {
     // on a driver GC, so across a 124-query sequence they pile up,
     // shrink the effective heap, and made late queries measure 3-6x
     // their true cost (basket_pairs 12 s quiet vs 74 s late-in-bench).
-    // Explicit unpersist makes each query's timing independent of its
-    // position in the run order.
+    // BLOCKING unpersist, and OUTSIDE the timer (r8, the
+    // importance_resample/repetition_filter incident): with
+    // blocking=false a heavyweight predecessor's multi-GB eviction ran
+    // asynchronously DURING the successor's timed runs — both min-of-2
+    // runs absorbed it, so the successor read 3-4.6x its plan cost
+    // whenever Map iteration order (which reshuffles as the registry
+    // grows) seated it after a heavy query. Measured: importance_
+    // resample 2.4-2.9 s clean, 4.6 s when timed right after
+    // basket_pairs under the async drain. The System.gc() hint lets
+    // ContextCleaner reclaim shuffle files between queries too —
+    // cleanup cost now lands between timers, never inside one.
     def drainCaches(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
     }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => return -1.0 }
-      finally drainCaches()
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      drainCaches()
+      if (ok) dt else -1.0
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t1 = timeOnce(fn)
@@ -78,10 +91,14 @@ object Bench {
         ScaleUp.ensure(spark, sfDir, sf1Dir, 10)
         def timeAt(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
           val t0 = System.nanoTime()
-          // toRdd.count(): full evaluation, see timeOnce
-          try { fn(spark, sf1Dir).queryExecution.toRdd.count() } catch { case _: Throwable => return -1.0 }
-          finally drainCaches()
-          (System.nanoTime() - t0) / 1e9
+          // toRdd.count(): full evaluation; blocking drain outside the
+          // timer — see timeOnce
+          val ok =
+            try { fn(spark, sf1Dir).queryExecution.toRdd.count(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          drainCaches()
+          if (ok) dt else -1.0
         }
         // paired re-run for the expensive queries only: single-run sf1
         // numbers drift 3-4x with ambient load on a shared box; min-of-2

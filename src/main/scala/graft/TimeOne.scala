@@ -30,9 +30,15 @@ object TimeOne {
         val c = fn(spark, dir).queryExecution.toRdd.count()
         println(f"[time] $n run$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
         // see Bench.drainCaches: leftover localCheckpoint blocks make
-        // later runs measure heap pressure, not the plan
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        // later runs measure heap pressure, not the plan. BLOCKING,
+        // after the timer is read: an async drain runs during the NEXT
+        // timed window and charges this query's cleanup to it (the r8
+        // importance_resample incident)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         spark.sharedState.cacheManager.clearCache()
+        System.gc()
+        // optional settle window for ContextCleaner's async thread
+        sys.env.get("SPARK_GRAFT_SETTLE_MS").foreach(ms => Thread.sleep(ms.toLong))
       }
     }
     spark.stop()

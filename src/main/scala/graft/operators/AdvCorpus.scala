@@ -158,6 +158,21 @@ object AdvCorpus {
     s"${fs.map(_.length()).sum}|${if (fs.isEmpty) 0L else fs.map(_.lastModified()).max}"
   }
 
+  /** Fingerprint of the GENERATOR itself — the full Spark-dialect
+    * derivation expressions hashed, so any future edit to Alpha /
+    * Markers / wordExpr / hostExpr / the quote-slice cases invalidates
+    * the disk cache automatically instead of silently serving text
+    * derived by the old code (the stale-cache hazard ADVICE r7
+    * flagged: Bench would measure the old corpus and Verify would fail
+    * confusingly until target/adv_cache was hand-deleted). */
+  private lazy val genFingerprint: String = {
+    val src = Seq(textExpr(duck = false), hostExpr(duck = false),
+      SidExpr, JoffExpr, NwCase).mkString(" ")
+    val dig = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(src.getBytes("UTF-8"))
+    dig.take(12).map("%02x".format(_)).mkString
+  }
+
   /** The derived adversarial corpus, cached ON DISK per source dir —
     * four registered queries consume it, and at the 10x corpus the
     * generator projection alone costs ~4 s per query (docs/PLANS.md
@@ -180,21 +195,35 @@ object AdvCorpus {
     require(src.getPath != dst.getPath,
       s"adv cache dst == src ($dst): refusing to derive a corpus into itself")
     val marker = new java.io.File(dst, "_GRAFT_ADV_DONE")
-    val stamp = s"${src.getPath}|${srcFingerprint(d)}"
+    val stamp = s"${src.getPath}|${srcFingerprint(d)}|$genFingerprint"
+    // Cross-JVM safety (ADVICE r7): Verify (nohup) and Bench run as
+    // separate JVMs, so a JVM-local monitor can't serialize the
+    // delete+rename publish against another process's in-flight scan.
+    // An OS-level FileLock on a sidecar lockfile covers both JVMs; the
+    // in-JVM monitor still serializes threads sharing one process
+    // (FileLock is per-process, double-acquire would throw).
     cacheLock.synchronized {
-      val current = if (marker.exists())
-        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      else ""
-      if (current != stamp) {
-        val tmp = new java.io.File(dst.getParentFile, dst.getName + ".tmp")
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-        deriveAdvDocuments(s, d).write.mode("overwrite").parquet(tmp.getPath)
-        java.nio.file.Files.write(new java.io.File(tmp, "_GRAFT_ADV_DONE").toPath,
-          stamp.getBytes("UTF-8"))
-        org.apache.commons.io.FileUtils.deleteQuietly(dst)
-        if (!tmp.renameTo(dst))
-          throw new java.io.IOException(s"adv cache publish failed: $tmp -> $dst")
-      }
+      dst.getParentFile.mkdirs()
+      val lockCh = java.nio.channels.FileChannel.open(
+        new java.io.File(dst.getParentFile, dst.getName + ".lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val osLock = lockCh.lock()
+      try {
+        val current = if (marker.exists())
+          new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        else ""
+        if (current != stamp) {
+          val tmp = new java.io.File(dst.getParentFile, dst.getName + ".tmp")
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          deriveAdvDocuments(s, d).write.mode("overwrite").parquet(tmp.getPath)
+          java.nio.file.Files.write(new java.io.File(tmp, "_GRAFT_ADV_DONE").toPath,
+            stamp.getBytes("UTF-8"))
+          org.apache.commons.io.FileUtils.deleteQuietly(dst)
+          if (!tmp.renameTo(dst))
+            throw new java.io.IOException(s"adv cache publish failed: $tmp -> $dst")
+        }
+      } finally { osLock.release(); lockCh.close() }
     }
     s.read.parquet(dst.getPath)
   }

@@ -557,8 +557,11 @@ object Dedup {
     * consecutive sigs matches ENTIRELY — and the (b, r) choice trades
     * recall against candidate volume along the S-curve
     * P(cand) = 1 - (1 - s^r)^b. All four splits of 8 sigs are
-    * evaluated against the same exact-Jaccard truth as dedupEval, on
-    * the same 1-in-5 sample: (8,1) is the recall ceiling (any sig
+    * evaluated over the FULL corpus against SHINGLE-HASH-space Jaccard
+    * truth — deliberately different from dedupEval's 1-in-5-sampled
+    * unigram truth (the inner comment records why; the banded rules
+    * were vacuously silent against text-level truth): (8,1) is the
+    * recall ceiling (any sig
     * agreement fires), (1,8) the precision ceiling (all must agree),
     * and the production (4,2) sits on the knee. Pure integer
     * decisions; the rollup is a 4-row aggregate.

@@ -65,7 +65,11 @@ object Retrieval {
       Tables.embeddings(s, d)
         .select(col("vec_id").as("doc_id"), col("embedding").as("v"))
         .select(col("doc_id"),
-          round(dot(col("v"), qv) / (norm2(col("v")) * norm2(qv)), 6).as("cos")),
+          // safeDiv, not `/`: a zero-norm embedding would yield NaN,
+          // which Spark sorts last but DuckDB sorts first under
+          // ORDER BY cos DESC — the same guard VectorOps.knnGraph uses
+          round(graft.functions.Cleaning.safeDiv(
+            dot(col("v"), qv), norm2(col("v")) * norm2(qv)), 6).as("cos")),
       col("cos"), "sem_rank")
     val rrf =
       coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.tokens
@@ -360,11 +360,161 @@ object AdvCorpus {
           (col("nu_a") + col("nu_b") - col("n_shared")), 6).as("jaccard"))
   }
 
+  /** The four (bands, rows) splits evaluated, and per split the list
+    * of sig_arr index ranges forming each band — shared by the Spark
+    * and DuckDB band-key generators so the two plans stay congruent
+    * by construction. */
+  private val BandConfigs: Seq[(String, Int, Int)] =
+    Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) => (s"b${b}_r$r", b, r) }
+
+  /** Dense-corpus LSH banding evaluation — `lsh_band_eval` without the
+    * share-a-shingle universe (VERDICT r7 "Next round" #2). On a corpus
+    * that densifies, |U| = pairs sharing >= 1 shingle grows
+    * super-linearly (it IS the (8,1) candidate set plus every
+    * one-shared-shingle pair); this form never builds it. Instead the
+    * confusion matrix is assembled from its two non-trivial parts:
+    *
+    *  - TRUTH positives (shingle-hash Jaccard >= 0.5) via a PPJoin
+    *    prefix filter in hv space — adv_containment_ppjoin's machinery
+    *    with the Jaccard bound: for J(A,B) >= 1/2 the smaller side m
+    *    has >= ceil(2m/3) tokens in the intersection, so its first
+    *    floor(m/3)+1 tokens in ANY fixed global order (df asc, hv asc
+    *    here) must hit the other doc. Probing only the smaller side's
+    *    prefix against the full posting index is therefore complete;
+    *    candidates are verified with the exact merge-walk intersect.
+    *  - BAND candidates per (b, r) config via the production band-key
+    *    equi-join (group on the concatenated band signature — exactly
+    *    the join an LSH dedup at 100 TB runs), NOT via filtering a
+    *    pair universe. Candidate volume is each config's own honest
+    *    LSH candidate volume, Zipf-tail bounded like any bucketed join.
+    *
+    * Every band candidate outside the verified truth set is an FP by
+    * construction (the prefix filter is complete for positives), so
+    * tp = |C ∩ P|, fp = |C| - tp, fn = |P| - tp, and tn is arithmetic
+    * from n(n-1)/2. n_cand is emitted per config — the measured
+    * candidate-volume story the S-curve trades against recall.
+    *
+    * The DuckDB oracle runs the SAME dense plan (prefix filter + band
+    * join) — the df-order tie-break could differ across engines but
+    * only widens the verified-superset, never the output (same note as
+    * adv_containment_ppjoin).
+    */
+  def advLshBandDense(s: SparkSession, d: String): DataFrame =
+    bandEvalDense(advDocuments(s, d))
+
+  /** The dense plan over the DRIVER documents table — the corpus that
+    * is actually dense (31-token vocab => share-a-shingle |U| is 9% of
+    * all pairs at sf0.01, and lsh_band_eval is the registry's #1 cost:
+    * 26 s sf1 / 512 s sf10). Its tp/fp/fn/tn/precision/recall rows
+    * must EQUAL lsh_band_eval's exactly — two independent plans (pair
+    * universe vs prefix-truth + band-join), one matrix — so the two
+    * queries cross-pin each other through the strict oracle gate. */
+  def lshBandEvalDense(s: SparkSession, d: String): DataFrame =
+    bandEvalDense(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  private def bandEvalDense(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.gramHashes
+    val P = Dedup.P
+    // shs materialized + checkpointed BEFORE the 8 sig transforms:
+    // CollapseProject would otherwise re-inline the md5 shingle chain
+    // into every signature expression (the minhashSigDf lesson —
+    // measured 25x there)
+    val shsDf = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(gramHashes(col("toks"), 3), h => h % P))).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .localCheckpoint(true)
+    val sigArr = array((0 until 8).map { j =>
+      val a = 2 * j + 3
+      val b = 101 * j + 7
+      array_min(transform(col("shs"), h => (h * a + b) % P))
+    }: _*)
+    val base = shsDf
+      .select(col("doc_id"), col("shs"),
+        size(col("shs")).cast("long").as("ns"), sigArr.as("sig_arr"))
+      .localCheckpoint(true)
+    val scal = base.agg(count(lit(1)).as("n"))
+      .select(expr("n * (n - 1) div 2").as("total_pairs"))
+    // truth lane: prefix-filtered Jaccard >= 0.5 candidates, verified
+    val postings = base.select(col("doc_id"), col("ns"),
+      explode(col("shs")).as("hv"))
+    val dfreq = postings.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("hv"))
+    val prefix = postings.join(dfreq, "hv")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= expr("ns div 3") + 1)
+      .select(col("doc_id").as("p_doc"), col("ns").as("p_nu"), col("hv"))
+    val candP = prefix
+      .join(postings.select(col("doc_id").as("q_doc"),
+        col("ns").as("q_nu"), col("hv")), "hv")
+      .filter(col("p_doc") =!= col("q_doc") && col("p_nu") <= col("q_nu"))
+      .select(least(col("p_doc"), col("q_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("q_doc")).as("doc_b"))
+      .distinct()
+    val pos = candP
+      .join(base.select(col("doc_id").as("doc_a"), col("shs").as("ua"),
+        col("ns").as("na")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("shs").as("ub"),
+        col("ns").as("nb")), "doc_b")
+      .filter(lit(3) * graft.functions.IntersectCount
+        .intersectCount(col("ua"), col("ub")) >= col("na") + col("nb"))
+      .select(col("doc_a"), col("doc_b"))
+    val np = pos.agg(count(lit(1)).as("n_pos"))
+    // candidate lane: the production band-key equi-join, all configs
+    // in one exploded pass; key = band sigs joined with '_' (decimal
+    // int64 rendering is identical across engines)
+    val bandEntries = BandConfigs.flatMap { case (cfg, bn, r) =>
+      (0 until bn).map { k =>
+        struct(lit(cfg).as("config"), lit(k).as("bid"),
+          concat_ws("_", (0 until r).map(j =>
+            element_at(col("sig_arr"), k * r + j + 1)): _*).as("bkey"))
+      }
+    }
+    val bands = base
+      .select(col("doc_id"), explode(array(bandEntries: _*)).as("b"))
+      .select(col("doc_id"), col("b.config").as("config"),
+        col("b.bid").as("bid"), col("b.bkey").as("bkey"))
+    val cands = bands.as("x")
+      .join(bands.as("y"), Seq("config", "bid", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("config"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .distinct()
+    val tf = cands
+      .join(pos.withColumn("p", lit(true)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("config"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("tp"))
+    def ppm(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * 1e6 / den).cast("long"))
+    val cfgs = {
+      val sess = docs.sparkSession
+      import sess.implicits._
+      BandConfigs.map(_._1).toDF("config")
+    }
+    cfgs.join(tf, Seq("config"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(scal))
+      .select(col("config"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        col("n_pos"), col("total_pairs"))
+      .select(col("config"), col("n_cand"), col("tp"),
+        (col("n_cand") - col("tp")).as("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("total_pairs") - col("n_pos") - (col("n_cand") - col("tp"))).as("tn"),
+        ppm(col("tp"), col("n_cand")).as("precision_ppm"),
+        ppm(col("tp"), col("n_pos")).as("recall_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "adv_lang_id_eval" -> (advLangIdEval _),
     "adv_vocab_growth" -> (advVocabGrowth _),
     "adv_host_stats" -> (advHostStats _),
-    "adv_containment_ppjoin" -> (advContainmentPpjoin _)
+    "adv_containment_ppjoin" -> (advContainmentPpjoin _),
+    "adv_lsh_band_dense" -> (advLshBandDense _),
+    "lsh_band_eval_dense" -> (lshBandEvalDense _)
   )
 
   private val normSql =
@@ -473,6 +623,108 @@ object AdvCorpus {
          | round(CAST(n_shared AS DOUBLE) / (nu_a + nu_b - n_shared), 6) AS jaccard
          |FROM v
          |WHERE nu_a > 0 AND nu_b > 0
-         | AND n_shared * 5 >= least(nu_a, nu_b) * 4""".stripMargin
+         | AND n_shared * 5 >= least(nu_a, nu_b) * 4""".stripMargin,
+
+    // the SAME dense plan as the Spark side: prefix-filtered truth +
+    // band-key equi-join candidates, tn arithmetic — never the
+    // share-a-shingle universe (infeasible on a dense corpus in
+    // either engine)
+    "adv_lsh_band_dense" -> bandEvalDenseSql(s"WITH $AdvDocsCte,", "adv_docs"),
+    // driver corpus: must reproduce lsh_band_eval's matrix exactly
+    "lsh_band_eval_dense" -> bandEvalDenseSql("WITH", "documents")
   )
+
+  /** The dense band-eval plan as DuckDB SQL over any (doc_id, text)
+    * relation — code-generated from the same BandConfigs table as the
+    * Spark side. */
+  private def bandEvalDenseSql(cteHeader: String, rel: String): String = {
+      val p = graft.operators.Dedup.P
+      val sigSel = (0 until 8).map { j =>
+        val a = 2 * j + 3
+        val b = 101 * j + 7
+        s"list_min(list_transform(hv, h -> (h * $a + $b) % $p)) AS sig$j"
+      }.mkString(",\n ")
+      val entries = BandConfigs.flatMap { case (cfg, bn, r) =>
+        (0 until bn).map { k =>
+          val key = (0 until r)
+            .map(j => s"CAST(sig_arr[${k * r + j + 1}] AS VARCHAR)")
+            .mkString(" || '_' || ")
+          (cfg, k, key)
+        }
+      }
+      val cfgList = BandConfigs.map(c => s"'${c._1}'").mkString(", ")
+      s"""$cteHeader
+         |toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM $rel),
+         |sh AS (
+         | SELECT doc_id, CASE WHEN len(w) >= 3
+         |  THEN list_transform(range(0, len(w) - 2),
+         |        i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+         |  ELSE [] END AS shingles FROM toks),
+         |hs AS (
+         | SELECT doc_id, list_transform(shingles,
+         |   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS hv FROM sh
+         | WHERE len(shingles) > 0),
+         |sig AS (SELECT doc_id, $sigSel FROM hs),
+         |base AS (
+         | SELECT hs.doc_id, list_sort(list_distinct(hv)) AS shs,
+         |  CAST(len(list_distinct(hv)) AS BIGINT) AS ns,
+         |  [sig0,sig1,sig2,sig3,sig4,sig5,sig6,sig7] AS sig_arr
+         | FROM hs JOIN sig ON sig.doc_id = hs.doc_id),
+         |scal AS (
+         | SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS total_pairs
+         | FROM base),
+         |post AS (SELECT doc_id, ns, unnest(shs) AS hv FROM base),
+         |dfq AS (SELECT hv, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+         |pre AS (
+         | SELECT doc_id AS p_doc, ns AS p_nu, hv
+         | FROM (SELECT post.doc_id, post.ns, post.hv,
+         |         row_number() OVER (PARTITION BY post.doc_id
+         |           ORDER BY dfq.df, post.hv) AS rn
+         |       FROM post JOIN dfq USING (hv))
+         | WHERE rn <= ns // 3 + 1),
+         |candp AS (
+         | SELECT DISTINCT least(pre.p_doc, post.doc_id) AS doc_a,
+         |  greatest(pre.p_doc, post.doc_id) AS doc_b
+         | FROM pre JOIN post ON pre.hv = post.hv
+         |  AND pre.p_doc <> post.doc_id AND pre.p_nu <= post.ns),
+         |pos AS (
+         | SELECT doc_a, doc_b FROM candp
+         |  JOIN base a ON a.doc_id = doc_a
+         |  JOIN base b ON b.doc_id = doc_b
+         | WHERE 3 * len(list_intersect(a.shs, b.shs)) >= a.ns + b.ns),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pos FROM pos),
+         |bands AS (
+         | SELECT doc_id,
+         |  unnest([${entries.map(e => s"'${e._1}'").mkString(", ")}]) AS config,
+         |  unnest([${entries.map(_._2).mkString(", ")}]) AS bid,
+         |  unnest([${entries.map(_._3).mkString(",\n   ")}]) AS bkey
+         | FROM base),
+         |cb AS (
+         | SELECT DISTINCT a.config, a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM bands a JOIN bands b ON a.config = b.config
+         |  AND a.bid = b.bid AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |tf AS (
+         | SELECT cb.config, CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(sum(CASE WHEN pos.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tp
+         | FROM cb LEFT JOIN pos
+         |  ON pos.doc_a = cb.doc_a AND pos.doc_b = cb.doc_b
+         | GROUP BY 1),
+         |cfg AS (SELECT unnest([$cfgList]) AS config)
+         |SELECT cfg.config,
+         | coalesce(tf.n_cand, 0) AS n_cand,
+         | coalesce(tf.tp, 0) AS tp,
+         | coalesce(tf.n_cand, 0) - coalesce(tf.tp, 0) AS fp,
+         | np.n_pos - coalesce(tf.tp, 0) AS fn,
+         | scal.total_pairs - np.n_pos
+         |   - (coalesce(tf.n_cand, 0) - coalesce(tf.tp, 0)) AS tn,
+         | CASE WHEN coalesce(tf.n_cand, 0) > 0
+         |  THEN CAST(floor(CAST(coalesce(tf.tp, 0) AS DOUBLE) * 1e6
+         |    / coalesce(tf.n_cand, 0)) AS BIGINT) END AS precision_ppm,
+         | CASE WHEN np.n_pos > 0
+         |  THEN CAST(floor(CAST(coalesce(tf.tp, 0) AS DOUBLE) * 1e6
+         |    / np.n_pos) AS BIGINT) END AS recall_ppm
+         |FROM cfg LEFT JOIN tf USING (config)
+         | CROSS JOIN np CROSS JOIN scal""".stripMargin
+  }
 }

@@ -81,4 +81,41 @@ class BandEvalSpec extends SparkTestBase {
     assert(rows("b4_r2")._2 * 5 < rows("b8_r1")._2,
       s"b4_r2 fp ${rows("b4_r2")._2} should be <20% of b8_r1 ${rows("b8_r1")._2}")
   }
+
+  /** Cross-plan pin: the dense plan (prefix-filtered truth + band-key
+    * equi-join, NO pair universe) must produce the exact confusion
+    * matrix the universe plan produces — two independent algorithms,
+    * one answer. This is the 100 TB escape for lsh_band_eval (measured
+    * 25.3 -> 9.0 s at sf1, 511.9 -> 114.5 s at sf10, docs/PLANS.md r8).
+    */
+  test("dense plan == universe plan, driver corpus, both scales here") {
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      val uni = Dedup.lshBandEval(spark, d).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val dense = AdvCorpus.lshBandEvalDense(spark, d).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(dense == uni, s"matrix mismatch at $d")
+    }
+  }
+
+  /** n_cand is each config's honest LSH-join candidate volume: it must
+    * equal tp + fp, nest along the OR-construction, and sit far below
+    * the pair universe the old plan evaluates. */
+  test("dense n_cand: consistency, nesting, and volume on sf0.01") {
+    val rows = AdvCorpus.lshBandEvalDense(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.foreach { case (cfg, (nCand, tp, fp)) =>
+      assert(nCand == tp + fp, s"$cfg n_cand != tp + fp") }
+    val order = Seq("b1_r8", "b2_r4", "b4_r2", "b8_r1")
+    order.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(rows(lo)._1 <= rows(hi)._1, s"n_cand nesting $lo vs $hi")
+    }
+    // the pair universe at sf0.01 is 11,533 pairs (docs/PLANS.md); the
+    // dense plan's worst config evaluates well under 10% of it
+    assert(rows("b8_r1")._1 < 1200, s"b8_r1 n_cand ${rows("b8_r1")._1}")
+  }
 }

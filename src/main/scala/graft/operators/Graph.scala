@@ -78,7 +78,7 @@ object Graph {
 
   def similarityPagerank(s: SparkSession, d: String, iters: Int = 3,
       materialize: Boolean = true): DataFrame =
-    pagerank(Tables.documents(s, d), Dedup.lshCandidates(s, d)._1, iters, materialize)
+    pagerank(Tables.documents(s, d), Dedup.lshPairsCached(s, d), iters, materialize)
 
   /** Triangle enumeration core over an undirected pair set (`pairs`:
     * doc_a, doc_b, one row per edge). Degree orientation: every edge
@@ -120,7 +120,7 @@ object Graph {
     * chance collision). Nodes in no triangle are absent (count 0).
     */
   def triangleCount(s: SparkSession, d: String, materialize: Boolean = true): DataFrame =
-    triangles(Dedup.lshCandidates(s, d)._1, materialize)
+    triangles(Dedup.lshPairsCached(s, d), materialize)
 
   /** Rounds-bounded k-core peel over an undirected pair set: each
     * synchronized round recomputes degrees within the surviving
@@ -164,7 +164,7 @@ object Graph {
   /** 2-core of the MinHash-LSH candidate graph after 4 peel rounds. */
   def kCoreDocs(s: SparkSession, d: String, k: Int = 2, rounds: Int = 4,
       materialize: Boolean = true): DataFrame =
-    kCore(Dedup.lshCandidates(s, d)._1, k, rounds, materialize)
+    kCore(Dedup.lshPairsCached(s, d), k, rounds, materialize)
 
   /** Rounds-bounded synchronous majority label propagation — community
     * detection over an undirected pair set. label_0(v) = v; each round
@@ -215,7 +215,7 @@ object Graph {
     */
   def communityLabels(s: SparkSession, d: String, rounds: Int = 3,
       materialize: Boolean = true): DataFrame =
-    labelPropagation(Dedup.lshCandidates(s, d)._1, rounds, materialize)
+    labelPropagation(Dedup.lshPairsCached(s, d), rounds, materialize)
 
   /** Resource-allocation link prediction over an undirected pair set:
     * for every wedge-closed NON-edge (a, b), the RA index
@@ -261,7 +261,7 @@ object Graph {
     * prediction exists for.
     */
   def linkPredictionDocs(s: SparkSession, d: String): DataFrame =
-    linkPrediction(VectorOps.knnGraph(s, d)
+    linkPrediction(VectorOps.knnGraphCached(s, d)
       .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b")))
 
   /** Degree census with exact integer CCDF for BOTH similarity
@@ -294,9 +294,9 @@ object Graph {
   }
 
   def degreeCensus(s: SparkSession, d: String): DataFrame =
-    degreeCensusOf(Dedup.lshCandidates(s, d)._1, "lsh")
+    degreeCensusOf(Dedup.lshPairsCached(s, d), "lsh")
       .unionByName(degreeCensusOf(
-        VectorOps.knnGraph(s, d)
+        VectorOps.knnGraphCached(s, d)
           .select(col("src_id").as("doc_a"), col("dst_id").as("doc_b")),
         "knn"))
 

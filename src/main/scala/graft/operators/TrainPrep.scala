@@ -330,7 +330,7 @@ object TrainPrep {
     */
   def trainSplit(s: SparkSession, d: String): DataFrame = {
     val labels = Dedup.connectedComponents(
-      Dedup.lshCandidates(s, d)._1.select(col("doc_a"), col("doc_b")))
+      Dedup.lshPairsCached(s, d).select(col("doc_a"), col("doc_b")))
       .select(col("doc").as("doc_id"), col("lbl"))
     val bucket = pmod(
       graft.functions.Hash60.hash60(

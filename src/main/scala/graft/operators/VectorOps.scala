@@ -44,6 +44,23 @@ object VectorOps {
         round((col("xm").cast("double") - col("mean_m")) / col("std_m"), 6).as("z"))
   }
 
+  /** The mutual-kNN graph as a DISK-MATERIALIZED lane (LaneCache) —
+    * consumed by link_prediction and degree_census; the lane-defining
+    * knn_graph query still computes live so the build cost stays
+    * measured. Fingerprint = the defining cosine expression's SQL + k
+    * + the sample/blocking recipe, so an edit to any of them rebuilds
+    * the cache. */
+  private[operators] def knnGraphCached(s: SparkSession, d: String,
+      k: Int = 3): DataFrame = {
+    val cosSql = round(safeDiv(dot(col("va"), col("vb")),
+      col("na") * col("nb")), 6).toString
+    val genFp = LaneCache.fp(cosSql, s"k=$k",
+      "pmod(vec_id,5)=0 sample; label block; mutual top-k (neg,bid)")
+    LaneCache.cached(s, d, s"knn_graph_k$k", genFp, Seq("embeddings")) {
+      knnGraph(s, d, k)
+    }
+  }
+
   /** Mutual-kNN graph over a deterministic 1-in-5 sample of the
     * embeddings, blocked by label: an edge (src, dst) exists iff each
     * endpoint is in the other's label-local top-k by cosine. Emitted

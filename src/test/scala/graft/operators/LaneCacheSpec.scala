@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** LaneCache invalidation contract: reuse on an identical stamp,
+  * rebuild on a generator-fingerprint change, rebuild on a source-table
+  * change, and the src != dst refusal. The derive thunk's call count is
+  * the observable — a stale-cache bug shows as a missing rebuild, a
+  * thrash bug as an extra one.
+  */
+class LaneCacheSpec extends SparkTestBase {
+
+  private def tmpSrc(name: String): String = {
+    val dir = new java.io.File(s"target/lanecache_spec/$name").getCanonicalFile
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(new java.io.File(dir, "documents.parquet").getPath)
+    dir.getPath
+  }
+
+  test("same stamp reuses; changed genFp or source rebuilds") {
+    val src = tmpSrc("inval")
+    val root = "target/lanecache_spec/cache_inval"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    var builds = 0
+    def lane(fp: String) =
+      LaneCache.cached(spark, src, "spec_lane", fp, Seq("documents"), root) {
+        builds += 1
+        spark.read.parquet(new java.io.File(src, "documents.parquet").getPath)
+          .select(col("doc_id"), upper(col("text")).as("t"))
+      }
+    assert(lane("v1").count() == 3 && builds == 1, "first touch derives")
+    assert(lane("v1").count() == 3 && builds == 1, "same stamp reuses")
+    assert(lane("v2").count() == 3 && builds == 2, "genFp change rebuilds")
+    assert(lane("v2").count() == 3 && builds == 2)
+    // touch the source table: newer mtime must invalidate even with the
+    // same genFp (the rebuilt-corpus-under-same-path hazard)
+    val f = new java.io.File(src, "documents.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    f.setLastModified(f.lastModified() + 60000)
+    assert(lane("v2").count() == 3 && builds == 3, "source change rebuilds")
+  }
+
+  test("a torn publish never hides behind a valid marker") {
+    val src = tmpSrc("torn")
+    val root = "target/lanecache_spec/cache_torn"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def lane() =
+      LaneCache.cached(spark, src, "torn_lane", "v1", Seq("documents"), root) {
+        spark.read.parquet(new java.io.File(src, "documents.parquet").getPath)
+      }
+    lane().count()
+    // simulate a kill that left data but destroyed the marker — the
+    // next call must re-derive, not serve the unmarked directory
+    val marker = new java.io.File(s"$root/torn_lane__" +
+      new java.io.File(src).getCanonicalPath.stripPrefix("/")
+        .replaceAll("[^A-Za-z0-9._-]", "_") + "/_GRAFT_LANE_DONE")
+    assert(marker.exists(), s"marker expected at $marker")
+    assert(marker.delete())
+    assert(lane().count() == 3, "re-derives cleanly without a marker")
+    assert(marker.exists(), "marker restored by the re-publish")
+  }
+
+  // note: the src != dst require in LaneCache.cached is defense-in-
+  // depth that the key scheme makes unreachable (the cache key embeds
+  // the mangled source path, so dst can never equal src) — kept in the
+  // code per the r6 ScaleUp-incident discipline, not spec-exercised.
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{AdvCorpus, Ann, Cdc, Composite, Corpus, CorpusAnalytics, Dedup, Graph, MultiDim, Multimodal, PartSupp, Profile, QualityFilters, Relational, Retrieval, Sketch, StarJoin, Temporal, TextAnalysis, TrainPrep, VectorOps}
+import graft.operators.{AdvAnn, AdvCorpus, Ann, Cdc, Composite, Corpus, CorpusAnalytics, Dedup, Graph, MultiDim, Multimodal, PartSupp, Profile, QualityFilters, Relational, Retrieval, Sketch, StarJoin, Temporal, TextAnalysis, TrainPrep, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,7 @@ object SparkEntry {
       Temporal.queries ++ MultiDim.queries ++ QualityFilters.queries ++
       TrainPrep.queries ++ Sketch.queries ++ Graph.queries ++ Cdc.queries ++
       StarJoin.queries ++ Profile.queries ++ CorpusAnalytics.queries ++ VectorOps.queries ++
-      PartSupp.queries ++ AdvCorpus.queries ++ Retrieval.queries
+      PartSupp.queries ++ AdvCorpus.queries ++ Retrieval.queries ++ AdvAnn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,5 @@ object SparkEntry {
       Temporal.oracleSql ++ MultiDim.oracleSql ++ QualityFilters.oracleSql ++
       TrainPrep.oracleSql ++ Sketch.oracleSql ++ Graph.oracleSql ++ Cdc.oracleSql ++
       StarJoin.oracleSql ++ Profile.oracleSql ++ CorpusAnalytics.oracleSql ++ VectorOps.oracleSql ++
-      PartSupp.oracleSql ++ AdvCorpus.oracleSql ++ Retrieval.oracleSql
+      PartSupp.oracleSql ++ AdvCorpus.oracleSql ++ Retrieval.oracleSql ++ AdvAnn.oracleSql
 }

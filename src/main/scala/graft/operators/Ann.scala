@@ -42,7 +42,7 @@ object Ann {
   private def planeLit(j: Int): Column = typedlit(planes(j))
 
   /** Bucket id = sum_j (v . plane_j > 0) << j. */
-  private def bucketCol(v: Column): Column =
+  private[operators] def bucketCol(v: Column): Column =
     (0 until NPlanes).map { j =>
       when(dot(v, planeLit(j)) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -336,7 +336,7 @@ object Ann {
   private def planeSql(j: Int): String =
     planes(j).map(_.toString).mkString("[", ", ", "]")
 
-  private val bucketSql = (0 until NPlanes).map { j =>
+  private[operators] val bucketSql = (0 until NPlanes).map { j =>
     s"(CASE WHEN list_dot_product(v, ${planeSql(j)}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
 

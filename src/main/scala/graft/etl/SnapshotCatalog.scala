@@ -1,7 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
 
 /** Atomic MULTI-TABLE snapshot commits — the missing piece between
@@ -14,88 +14,109 @@ import java.nio.charset.StandardCharsets
   *
   * Layout (all paths under one catalog dir):
   * {{{
-  *   <table>/v=<n>/ (parquet)    immutable per-table version dirs
-  *   _manifests/m=<k>.json       manifest k: every table -> version
-  *   _latest                     tiny pointer file holding k
+  *   <table>/u=<nonce>/ (parquet)  immutable table-version dirs
+  *   _manifests/m=<k>.json         manifest k: table -> version dir
   * }}}
   *
-  * Commit protocol (single writer, any number of readers):
-  *  1. write each changed table's NEW v-dir (never touching a served
-  *     one — versions are immutable once a manifest names them);
-  *  2. write manifest m=k+1 carrying FORWARD the versions of every
-  *     unchanged table (a snapshot always names the whole catalog);
-  *  3. swap the `_latest` pointer via temp-file + atomic rename (one
-  *     small PUT on an object store).
+  * Commit protocol (OPTIMISTIC, multi-writer safe — the Iceberg shape):
+  *  1. write each changed table ONCE to a fresh nonce dir (no writer
+  *     ever collides with another on data paths, and no served dir is
+  *     ever touched — versions are immutable once a manifest names
+  *     them);
+  *  2. build manifest k = current + 1 carrying FORWARD the dir names
+  *     of every unchanged table from manifest k-1, write it to a temp
+  *     file, and publish it with `Files.createLink` — an atomic
+  *     compare-and-swap: the hard link materializes `m=<k>.json`
+  *     complete-or-not-at-all and FAILS if another writer claimed k
+  *     first;
+  *  3. on losing the race, re-read the winner's manifest, re-merge the
+  *     carry-forwards (our already-written data dirs are reused —
+  *     only metadata retries), and attempt k+1.
   *
-  * A crash anywhere before step 3 leaves the previous snapshot served
-  * and the orphan v-dirs/manifest invisible; re-running the commit
-  * simply writes the next version numbers. Readers resolve `_latest`
-  * ONCE into an immutable manifest and then read any number of tables
-  * from it — cross-table consistency holds for the whole read
-  * transaction, which is exactly the snapshot-isolation contract
-  * Iceberg/Delta provide via their metadata pointer (here: a version
-  * counter instead of a log, sufficient for a single-writer publish
-  * cadence; multi-writer would add a compare-and-swap on the pointer).
+  * The committed state IS the manifest file's existence — there is no
+  * separate pointer to tear, and `currentId` is the max manifest id on
+  * disk. A crash before the link leaves orphan nonce dirs and a temp
+  * file, both invisible to every reader. Overlapping writers are
+  * last-manifest-wins at table granularity (documented; a serializable
+  * variant would compare the carried-forward entry against the base
+  * snapshot and abort on change). On an object store the hard-link CAS
+  * maps to a conditional PUT (If-None-Match) of the manifest key.
   *
-  * Old snapshots stay readable (time travel by manifest id) until
-  * `vacuum(keep)` drops manifests — and only then the v-dirs no
-  * manifest references, so a reader holding ANY retained snapshot
-  * never loses files mid-scan.
+  * Readers resolve a manifest ONCE into an immutable snapshot and then
+  * read any number of tables from it — cross-table consistency holds
+  * for the whole read transaction. Old snapshots stay readable (time
+  * travel by manifest id) until `vacuum(keep)` drops manifests — and
+  * only then the version dirs no retained manifest references, so a
+  * reader holding ANY retained snapshot never loses files mid-scan.
   */
 class SnapshotCatalog(catalogDir: String) {
 
   private val dir = Paths.get(catalogDir)
+  private def manifestPath(k: Int) = dir.resolve(s"_manifests/m=$k.json")
 
   /** Commit the given tables as one atomic snapshot; unchanged tables
-    * carry forward from the current manifest. Returns the new
-    * manifest id. */
+    * carry forward from the latest manifest at publish time. Returns
+    * the manifest id won. */
   def commit(tables: Map[String, DataFrame]): Int = {
     Files.createDirectories(dir.resolve("_manifests"))
-    val prevId = currentId
-    val prev = prevId.map(manifest).getOrElse(Map.empty[String, Int])
-    val next = tables.map { case (name, df) =>
+    val written = tables.map { case (name, df) =>
       require(!name.startsWith("_") && !name.contains("/"),
         s"bad table name: $name")
-      val v = prev.getOrElse(name, 0) + 1
-      df.write.mode("overwrite").parquet(s"$catalogDir/$name/v=$v")
-      name -> v
+      val u = "u=" + java.util.UUID.randomUUID().toString.take(13)
+      df.write.mode("overwrite").parquet(s"$catalogDir/$name/$u")
+      name -> u
     }
-    val merged = prev ++ next
-    val k = prevId.getOrElse(0) + 1
-    val body = merged.toSeq.sortBy(_._1)
-      .map { case (n, v) => s"""  "$n": $v""" }
-      .mkString("{\n", ",\n", "\n}")
-    Files.write(dir.resolve(s"_manifests/m=$k.json"),
-      body.getBytes(StandardCharsets.UTF_8))
-    val tmp = dir.resolve("_latest.tmp")
-    Files.write(tmp, k.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve("_latest"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    k
+    var k = currentId.getOrElse(0) + 1
+    while (true) {
+      val prev = if (k > 1) manifest(k - 1) else Map.empty[String, String]
+      val merged = prev ++ written
+      val body = merged.toSeq.sortBy(_._1)
+        .map { case (n, u) => s"""  "$n": "$u"""" }
+        .mkString("{\n", ",\n", "\n}")
+      val tmp = Files.createTempFile(dir.resolve("_manifests"), "m", ".tmp")
+      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+      try {
+        Files.createLink(manifestPath(k), tmp)
+        Files.delete(tmp)
+        return k
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.delete(tmp) // lost the CAS: merge against the winner
+          k += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** The currently committed manifest id, if any commit succeeded. */
+  /** The newest committed manifest id (max on disk), if any. */
   def currentId: Option[Int] = {
-    val p = dir.resolve("_latest")
-    if (Files.exists(p))
-      Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toInt)
-    else None
+    val m = dir.resolve("_manifests")
+    if (!Files.isDirectory(m)) return None
+    val ids = Files.list(m).iterator()
+    var best = -1
+    val Pat = """m=(\d+)\.json""".r
+    while (ids.hasNext) {
+      ids.next().getFileName.toString match {
+        case Pat(k) => best = math.max(best, k.toInt)
+        case _ =>
+      }
+    }
+    if (best < 0) None else Some(best)
   }
 
-  /** table -> version map of manifest k (immutable once written). */
-  def manifest(k: Int): Map[String, Int] = {
-    val raw = new String(
-      Files.readAllBytes(dir.resolve(s"_manifests/m=$k.json")),
+  /** table -> version-dir map of manifest k (immutable once linked). */
+  def manifest(k: Int): Map[String, String] = {
+    val raw = new String(Files.readAllBytes(manifestPath(k)),
       StandardCharsets.UTF_8)
     raw.split('\n').flatMap { line =>
       val t = line.trim.stripSuffix(",")
-      val m = """"([^"]+)":\s*(\d+)""".r.findFirstMatchIn(t)
-      m.map(g => g.group(1) -> g.group(2).toInt)
+      """"([^"]+)":\s*"([^"]+)"""".r.findFirstMatchIn(t)
+        .map(g => g.group(1) -> g.group(2))
     }.toMap
   }
 
-  /** A pinned read transaction: resolves `_latest` ONCE; every table
-    * read through it comes from the same snapshot. */
+  /** A pinned read transaction: resolves the newest manifest ONCE;
+    * every table read through it comes from the same snapshot. */
   def snapshot(): SnapshotCatalog.Snapshot = {
     val k = currentId.getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $catalogDir"))
@@ -106,39 +127,36 @@ class SnapshotCatalog(catalogDir: String) {
   def snapshotAt(k: Int): SnapshotCatalog.Snapshot =
     new SnapshotCatalog.Snapshot(catalogDir, k, manifest(k))
 
-  /** Drop all but the newest `keep` manifests, then delete the v-dirs
-    * no retained manifest references. Readers holding a retained
+  /** Drop all but the newest `keep` manifests, then delete the version
+    * dirs no retained manifest references. Readers holding a retained
     * snapshot keep every file they can see. */
   def vacuum(keep: Int): Unit = {
     val cur = currentId.getOrElse(return)
-    val all = (1 to cur).filter(k =>
-      Files.exists(dir.resolve(s"_manifests/m=$k.json")))
+    val all = (1 to cur).filter(k => Files.exists(manifestPath(k)))
     val drop = all.dropRight(keep)
     if (drop.isEmpty) return
-    val retained = all.takeRight(keep)
-    val live: Set[(String, Int)] =
-      retained.flatMap(k => manifest(k).toSeq).toSet
+    val live: Set[(String, String)] =
+      all.takeRight(keep).flatMap(k => manifest(k).toSeq).toSet
     drop.foreach { k =>
-      val doomed = manifest(k).toSeq.filterNot(live.contains)
-      doomed.foreach { case (n, v) =>
+      manifest(k).toSeq.filterNot(live.contains).foreach { case (n, u) =>
         org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"$catalogDir/$n/v=$v"))
+          new java.io.File(s"$catalogDir/$n/$u"))
       }
-      Files.deleteIfExists(dir.resolve(s"_manifests/m=$k.json"))
+      Files.deleteIfExists(manifestPath(k))
     }
   }
 }
 
 object SnapshotCatalog {
-  /** An immutable view of one manifest; reads never consult `_latest`
-    * again, so concurrent commits cannot tear a multi-table read. */
+  /** An immutable view of one manifest; reads never resolve again, so
+    * concurrent commits cannot tear a multi-table read. */
   final class Snapshot(catalogDir: String, val id: Int,
-      val tables: Map[String, Int]) {
+      val tables: Map[String, String]) {
     def read(spark: SparkSession, table: String): DataFrame = {
-      val v = tables.getOrElse(table,
+      val u = tables.getOrElse(table,
         throw new IllegalArgumentException(
           s"table $table not in snapshot $id"))
-      spark.read.parquet(s"$catalogDir/$table/v=$v")
+      spark.read.parquet(s"$catalogDir/$table/$u")
     }
   }
 }

@@ -84,9 +84,69 @@ object Cdc {
       .drop("next_from")
   }
 
+  /** The MERGE driven THROUGH the transactional catalog, end to end —
+    * commit 1 = the base corpus + its row/char summary as one atomic
+    * snapshot, commit 2 = the merged table + its summary, then read
+    * BOTH snapshots back through their pinned manifests and emit a
+    * per-op census. The strict oracle gate now covers the snapshot
+    * protocol itself: a torn commit, a wrong manifest resolve, or a
+    * carry-forward bug would desynchronize the counts. snap=1 rows
+    * prove time travel (the pre-merge state read AFTER the merge
+    * landed); snap=2 rows are the merge result read through the
+    * catalog rather than from the in-flight plan.
+    *
+    * The catalog dir is a derived artifact under target/, reset at
+    * query start so manifest ids are deterministic; versions within a
+    * run are immutable as in production. Scale: the commits are plain
+    * parquet writes of the merge output (the sink a 100 TB upsert
+    * performs anyway); the census is two scans of the written files.
+    */
+  def cdcSnapshotRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val key = new java.io.File(d).getCanonicalPath.stripPrefix("/")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = s"target/snapcat/$key"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val cat = new graft.etl.SnapshotCatalog(root)
+    def summarize(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("n_chars"))
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    cat.commit(Map("docs" -> base, "docs_summary" -> summarize(base)))
+    val s1 = cat.snapshot()
+    val merged = cdcUpsert(s, d)
+    cat.commit(Map("docs" -> merged.select(col("doc_id"), col("text")),
+      "docs_summary" -> summarize(merged)))
+    val s2 = cat.snapshot()
+    require(s1.id == 1 && s2.id == 2, s"manifest ids ${s1.id}/${s2.id}")
+    val pre = s1.read(s, "docs")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+      .select(lit(1L).as("snap"), lit("base").as("last_op"),
+        col("n_docs"), col("n_chars"))
+    // group the POST-merge snapshot by op, via a keyed join back to
+    // the change ops (the snapshot holds only (doc_id, text))
+    val ops = merged.select(col("doc_id"), col("last_op"))
+    val post = s2.read(s, "docs").join(ops, "doc_id")
+      .groupBy(col("last_op"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+      .select(lit(2L).as("snap"), col("last_op"), col("n_docs"), col("n_chars"))
+    // cross-snapshot audit: the summary table committed WITH each
+    // snapshot must equal the census of its docs table — one atomic
+    // pair, or the strict gate fails
+    val sums = s1.read(s, "docs_summary")
+      .select(lit(1L).as("snap"), lit("summary").as("last_op"),
+        col("n_rows").as("n_docs"), col("n_chars"))
+      .unionByName(s2.read(s, "docs_summary")
+        .select(lit(2L).as("snap"), lit("summary").as("last_op"),
+          col("n_rows").as("n_docs"), col("n_chars")))
+    pre.unionByName(post).unionByName(sums)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
-    "scd2_history" -> (scd2History _)
+    "scd2_history" -> (scd2History _),
+    "cdc_snapshot_roundtrip" -> (cdcSnapshotRoundtrip _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -117,6 +177,43 @@ object Cdc {
         | lead(valid_from_us) OVER w IS NULL AS is_current,
         | CAST(coalesce(lead(valid_from_us) OVER w, 253402214400000000) AS BIGINT) AS valid_to_us
         |FROM ev
-        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY valid_from_us, event_id)""".stripMargin
+        |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY valid_from_us, event_id)""".stripMargin,
+
+    // the catalog roundtrip reduces to: base census, merged census by
+    // op, and the two (identical-by-construction) summary rows — any
+    // snapshot-protocol defect desynchronizes them on the Spark side
+    "cdc_snapshot_roundtrip" ->
+      """WITH stride AS (SELECT max(doc_id) + 1 AS stride FROM documents),
+        |ch AS (
+        | SELECT doc_id, upper(text) AS text, 'U' AS op FROM documents
+        |  WHERE doc_id % 17 = 0
+        | UNION ALL
+        | SELECT doc_id, NULL, 'D' FROM documents
+        |  WHERE doc_id % 23 = 0 AND doc_id % 17 <> 0
+        | UNION ALL
+        | SELECT doc_id + stride.stride, 'ins: ' || text, 'I'
+        |  FROM documents, stride WHERE doc_id % 31 = 0),
+        |merged AS (
+        | SELECT coalesce(b.doc_id, ch.doc_id) AS doc_id,
+        |  coalesce(ch.text, b.text) AS text,
+        |  coalesce(ch.op, 'keep') AS last_op
+        | FROM documents b FULL OUTER JOIN ch ON ch.doc_id = b.doc_id
+        | WHERE coalesce(ch.op, '') <> 'D')
+        |SELECT CAST(1 AS BIGINT) AS snap, 'base' AS last_op,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
+        | FROM documents
+        |UNION ALL
+        |SELECT 2, last_op, CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        | FROM merged GROUP BY last_op
+        |UNION ALL
+        |SELECT 1, 'summary', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        | FROM documents
+        |UNION ALL
+        |SELECT 2, 'summary', CAST(count(*) AS BIGINT),
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        | FROM merged""".stripMargin
   )
 }

@@ -5,11 +5,11 @@ import graft.SparkTestBase
 import java.nio.file.{Files, Paths}
 
 /** The transactional contract of SnapshotCatalog: multi-table
-  * atomicity (both new versions or neither), crash-before-pointer
+  * atomicity (both new versions or neither), crash-before-publish
   * recovery, carry-forward of unchanged tables, pinned-snapshot
-  * isolation under concurrent commits (a reader loop asserting a
-  * cross-table invariant while a writer churns), and vacuum never
-  * deleting files a retained snapshot references.
+  * isolation under a churning writer, CONCURRENT COMMITTERS racing the
+  * hard-link CAS, and vacuum never deleting files a retained snapshot
+  * references.
   */
 class SnapshotCatalogSpec extends SparkTestBase {
 
@@ -49,22 +49,19 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(s2.read(spark, "summary").select("n_rows").as[Long].head() == 7)
   }
 
-  test("crash before the pointer swap leaves the old snapshot served") {
+  test("crash before the manifest link leaves the old snapshot served") {
     val root = freshDir("crash")
     val cat = new SnapshotCatalog(root)
     cat.commit(Map("fact" -> facts(3), "summary" -> summary(facts(3))))
-    // simulate a commit killed AFTER data + manifest, BEFORE the swap:
-    // write v=2 dirs and m=2.json by hand, leave _latest at 1
-    facts(9).write.mode("overwrite").parquet(s"$root/fact/v=2")
-    summary(facts(9)).write.mode("overwrite").parquet(s"$root/summary/v=2")
-    Files.write(Paths.get(root, "_manifests/m=2.json"),
-      "{\n  \"fact\": 2,\n  \"summary\": 2\n}".getBytes("UTF-8"))
+    // simulate a commit killed AFTER data, BEFORE the manifest link:
+    // orphan nonce dirs and a temp manifest, no m=2.json
+    facts(9).write.mode("overwrite").parquet(s"$root/fact/u=orphan1")
+    Files.write(Paths.get(root, "_manifests/morphan.tmp"),
+      "{}".getBytes("UTF-8"))
     val s = cat.snapshot()
     assert(s.id == 1, "torn commit must stay invisible")
     assert(s.read(spark, "fact").count() == 3)
-    // the writer re-runs: versions advance PAST the orphans (the
-    // manifest counter resumes from _latest-visible state only after
-    // the orphan manifest is ignored — id 2 gets rewritten)
+    // the writer re-runs cleanly
     val k = cat.commit(Map("fact" -> facts(5), "summary" -> summary(facts(5))))
     assert(k == 2)
     assert(cat.snapshot().read(spark, "fact").count() == 5)
@@ -75,8 +72,11 @@ class SnapshotCatalogSpec extends SparkTestBase {
     cat.commit(Map("fact" -> facts(3), "dim" -> Seq((1L, "x")).toDF("id", "name")))
     cat.commit(Map("fact" -> facts(6))) // dim untouched
     val s = cat.snapshot()
-    assert(s.tables == Map("fact" -> 2, "dim" -> 1))
+    assert(s.tables.keySet == Set("fact", "dim"))
+    assert(s.tables("dim") == cat.manifest(1)("dim"), "dim dir carried forward")
+    assert(s.tables("fact") != cat.manifest(1)("fact"), "fact dir replaced")
     assert(s.read(spark, "dim").count() == 1)
+    assert(s.read(spark, "fact").count() == 6)
   }
 
   test("concurrent reader never observes a torn fact/summary pair") {
@@ -104,6 +104,34 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(torn.isEmpty, torn.getOrElse(""))
   }
 
+  test("racing committers: the hard-link CAS serializes, nothing is lost") {
+    val root = freshDir("cas")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("a" -> facts(1), "b" -> facts(1)))
+    val rounds = 6
+    @volatile var err: Option[Throwable] = None
+    // two writers on DISJOINT tables; every commit must land as its
+    // own manifest id, and the final snapshot must hold both writers'
+    // last versions (carry-forward across the race)
+    def writer(table: String) = new Thread(() => {
+      try (2 to rounds + 1).foreach { n =>
+        new SnapshotCatalog(root).commit(Map(table -> facts(n)))
+      } catch { case t: Throwable => err = Some(t) }
+    })
+    val (wa, wb) = (writer("a"), writer("b"))
+    wa.start(); wb.start(); wa.join(120000); wb.join(120000)
+    assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+    val cur = cat.currentId.get
+    assert(cur == 1 + 2 * rounds, s"dense manifest ids expected, got $cur")
+    // every id 1..cur exists exactly once (no overwrite ever won twice)
+    (1 to cur).foreach { k =>
+      assert(Files.exists(Paths.get(root, s"_manifests/m=$k.json")), s"m=$k")
+    }
+    val s = cat.snapshot()
+    assert(s.read(spark, "a").count() == rounds + 1)
+    assert(s.read(spark, "b").count() == rounds + 1)
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)
@@ -111,14 +139,15 @@ class SnapshotCatalogSpec extends SparkTestBase {
       val f = facts(n)
       cat.commit(Map("fact" -> f, "summary" -> summary(f)))
     }
+    val dropped2 = cat.manifest(2)("fact")
     val pinned = cat.snapshotAt(4) // will be retained by keep=2
     cat.vacuum(keep = 2)
     // retained snapshots read fine
     assert(pinned.read(spark, "fact").count() == 4)
     assert(cat.snapshot().read(spark, "fact").count() == 5)
-    // dropped manifests and their unreferenced v-dirs are gone
+    // dropped manifests and their unreferenced version dirs are gone
     intercept[java.nio.file.NoSuchFileException] { cat.manifest(2) }
-    assert(!new java.io.File(s"$root/fact/v=2").exists(),
-      "unreferenced v-dir must be deleted")
+    assert(!new java.io.File(s"$root/fact/$dropped2").exists(),
+      "unreferenced version dir must be deleted")
   }
 }

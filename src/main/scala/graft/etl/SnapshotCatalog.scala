@@ -57,7 +57,38 @@ class SnapshotCatalog(catalogDir: String) {
   /** Commit the given tables as one atomic snapshot; unchanged tables
     * carry forward from the latest manifest at publish time. Returns
     * the manifest id won. */
-  def commit(tables: Map[String, DataFrame]): Int = {
+  def commit(tables: Map[String, DataFrame]): Int =
+    commitRaw(tables, Map.empty)
+
+  /** Exactly-once commit for a streaming writer (the foreachBatch
+    * sink shape): each manifest records the last (writerId -> batchId)
+    * it saw, and a commit whose batchId is <= the recorded one is a
+    * NO-OP returning the current manifest id. A micro-batch
+    * re-delivered after a checkpoint-recovery restart therefore cannot
+    * double-apply — the table-format `txn` idempotence contract, keyed
+    * the same way (appId/version). The ledger entry rides in the
+    * manifest itself, so it carries forward and survives the CAS retry
+    * path like any table entry.
+    */
+  def commitIfNew(writerId: String, batchId: Long,
+      tables: Map[String, DataFrame]): Int = {
+    require(!writerId.contains("/") && !writerId.contains("\""),
+      s"bad writer id: $writerId")
+    val ledgerKey = s"_txn:$writerId"
+    val seen = currentId
+      .flatMap(k => manifest(k).get(ledgerKey))
+      .map(_.toLong)
+    if (seen.exists(_ >= batchId)) return currentId.get
+    // the ledger entry is carried through commit() as a pseudo-table
+    // row in the manifest map (values are opaque strings there); the
+    // reserved "_" prefix keeps it out of the table namespace
+    commitRaw(tables, Map(ledgerKey -> batchId.toString))
+  }
+
+  /** Commit the given tables as one atomic snapshot (public single /
+    * multi-writer entry point). */
+  private def commitRaw(tables: Map[String, DataFrame],
+      extras: Map[String, String]): Int = {
     Files.createDirectories(dir.resolve("_manifests"))
     val written = tables.map { case (name, df) =>
       require(!name.startsWith("_") && !name.contains("/"),
@@ -69,7 +100,7 @@ class SnapshotCatalog(catalogDir: String) {
     var k = currentId.getOrElse(0) + 1
     while (true) {
       val prev = if (k > 1) manifest(k - 1) else Map.empty[String, String]
-      val merged = prev ++ written
+      val merged = prev ++ written ++ extras
       val body = merged.toSeq.sortBy(_._1)
         .map { case (n, u) => s"""  "$n": "$u"""" }
         .mkString("{\n", ",\n", "\n}")
@@ -123,9 +154,12 @@ class SnapshotCatalog(catalogDir: String) {
     snapshotAt(k)
   }
 
-  /** Time travel: pin an older (still-retained) manifest. */
+  /** Time travel: pin an older (still-retained) manifest. Ledger
+    * entries (`_txn:*`) stay in the raw manifest but out of the
+    * snapshot's table namespace. */
   def snapshotAt(k: Int): SnapshotCatalog.Snapshot =
-    new SnapshotCatalog.Snapshot(catalogDir, k, manifest(k))
+    new SnapshotCatalog.Snapshot(catalogDir, k,
+      manifest(k).filterNot(_._1.startsWith("_")))
 
   /** Drop all but the newest `keep` manifests, then delete the version
     * dirs no retained manifest references. Readers holding a retained
@@ -138,10 +172,12 @@ class SnapshotCatalog(catalogDir: String) {
     val live: Set[(String, String)] =
       all.takeRight(keep).flatMap(k => manifest(k).toSeq).toSet
     drop.foreach { k =>
-      manifest(k).toSeq.filterNot(live.contains).foreach { case (n, u) =>
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(s"$catalogDir/$n/$u"))
-      }
+      manifest(k).toSeq.filterNot(live.contains)
+        .filterNot(_._1.startsWith("_")) // ledger entries own no files
+        .foreach { case (n, u) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$catalogDir/$n/$u"))
+        }
       Files.deleteIfExists(manifestPath(k))
     }
   }

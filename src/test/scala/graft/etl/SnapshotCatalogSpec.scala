@@ -132,6 +132,62 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(s.read(spark, "b").count() == rounds + 1)
   }
 
+  test("commitIfNew: a re-delivered micro-batch cannot double-apply") {
+    val root = freshDir("txn")
+    val cat = new SnapshotCatalog(root)
+    val k1 = cat.commitIfNew("ingest", 0L, Map("fact" -> facts(3)))
+    assert(k1 == 1 && cat.snapshot().read(spark, "fact").count() == 3)
+    // checkpoint-recovery shape: batch 0 re-delivered after a restart
+    val k2 = cat.commitIfNew("ingest", 0L, Map("fact" -> facts(99)))
+    assert(k2 == 1, "re-delivery must be a no-op")
+    assert(cat.snapshot().read(spark, "fact").count() == 3)
+    // the next batch applies normally
+    val k3 = cat.commitIfNew("ingest", 1L, Map("fact" -> facts(5)))
+    assert(k3 == 2 && cat.snapshot().read(spark, "fact").count() == 5)
+    // a DIFFERENT writer's ledger is independent
+    val k4 = cat.commitIfNew("backfill", 0L, Map("dim" -> facts(1)))
+    assert(k4 == 3)
+    // ledger entries never leak into the table namespace
+    assert(cat.snapshot().tables.keySet == Set("fact", "dim"))
+  }
+
+  test("foreachBatch stream lands exactly-once through the catalog") {
+    val root = freshDir("stream")
+    val cat = new SnapshotCatalog(root)
+    // file source, one file per trigger — the StreamingSpec pattern
+    val srcDir = "target/snapcat_spec/stream_src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(srcDir))
+    (1L to 6L).toDF("id").repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val src = spark.readStream
+      .schema("id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val rows = batch.withColumn("amount", col("id") * 10)
+        // double-invoke deliberately: the sink must dedupe, not the test
+        new SnapshotCatalog(root).commitIfNew("s", bid,
+          Map("events" -> rows, "events_summary" -> rows.agg(
+            count(lit(1)).as("n_rows"), sum(col("amount")).as("total"))))
+        new SnapshotCatalog(root).commitIfNew("s", bid,
+          Map("events" -> rows.limit(0), "events_summary" -> rows.limit(0)))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // three one-file triggers -> exactly three manifests despite the
+    // duplicated per-batch commit calls
+    assert(cat.currentId.get == 3, s"got ${cat.currentId}")
+    // every snapshot's (events, events_summary) pair is consistent
+    (1 to 3).foreach { k =>
+      val s = cat.snapshotAt(k)
+      val n = s.read(spark, "events").count()
+      val m = s.read(spark, "events_summary").select("n_rows").as[Long].head()
+      assert(n == m && n > 0, s"snapshot $k: events=$n summary=$m")
+    }
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)

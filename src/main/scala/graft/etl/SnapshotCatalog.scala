@@ -161,6 +161,19 @@ class SnapshotCatalog(catalogDir: String) {
     new SnapshotCatalog.Snapshot(catalogDir, k,
       manifest(k).filterNot(_._1.startsWith("_")))
 
+  /** Small-file compaction: rewrite one table's CURRENT version into
+    * `numFiles` files and commit the compacted copy as a new snapshot.
+    * Content-identical, layout-optimized — at 100 TB a streaming
+    * ingest's per-trigger commits leave thousands of small files per
+    * table, and scan throughput dies on open() overhead until a
+    * compactor folds them; here it is one coalesce (no shuffle) plus
+    * one ordinary commit, so readers of prior snapshots are untouched
+    * and vacuum reclaims the fragmented version later. */
+  def compact(spark: SparkSession, table: String, numFiles: Int = 1): Int = {
+    val s = snapshot()
+    commit(Map(table -> s.read(spark, table).coalesce(numFiles)))
+  }
+
   /** Drop all but the newest `keep` manifests, then delete the version
     * dirs no retained manifest references. Readers holding a retained
     * snapshot keep every file they can see. */

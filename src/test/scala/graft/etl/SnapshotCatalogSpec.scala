@@ -188,6 +188,24 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("compact folds small files, preserves content and history") {
+    val root = freshDir("compact")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("fact" -> facts(64).repartition(8)))
+    def parquetFiles(u: String) =
+      new java.io.File(s"$root/fact/$u").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(cat.snapshot().tables("fact")) == 8)
+    val k = cat.compact(spark, "fact")
+    assert(k == 2)
+    val compacted = cat.snapshot()
+    assert(parquetFiles(compacted.tables("fact")) == 1, "one file after compaction")
+    assert(compacted.read(spark, "fact").select(sum(col("amount"))).as[Long].head()
+      == facts(64).select(sum(col("amount"))).as[Long].head(), "content identical")
+    // the fragmented version is still time-travelable until vacuumed
+    assert(cat.snapshotAt(1).read(spark, "fact").count() == 64)
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)

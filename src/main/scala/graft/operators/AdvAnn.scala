@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.TextFunctions.tokens
 
 /** Adversarial embedding corpus + ANN recall eval (VERDICT r7 "Next
   * round" #7): the driver embeddings are synthetic-uniform, so
@@ -193,13 +194,208 @@ object AdvAnn {
     score("lsh", lshCand).unionByName(score("ivf_label", ivfCand))
   }
 
+  /** Adversarial hybrid-retrieval eval — the hybrid_rrf half of
+    * VERDICT r7 #7. The two derived corpora carry INDEPENDENT
+    * engineered relevance structures over the same id space:
+    *  - LEXICAL truth: quote docs (doc_id ≡ 5 mod 16) regenerate a
+    *    word slice of their parent (doc_id - 5) — when the langs
+    *    coincide (and the lang is tokenizer-visible, i.e. not zh) the
+    *    parent is reachable through shared rare surface types and
+    *    through nothing else;
+    *  - SEMANTIC truth: the query's brute-force top-3 cosine
+    *    neighbors in the clustered embedding corpus — reachable
+    *    through vector similarity and (cid being independent of the
+    *    text generator) through nothing else.
+    *
+    * Three lanes are graded on BOTH truth channels at top-10:
+    * `lex` (integer-idf retrieval over rare shared types, weight =
+    * (N*1000) div df over df<=100 terms — pure integers, no
+    * cross-engine log), `sem` (cosine top-10), and their `rrf` fusion
+    * (1/(60+rank) over the two lane top-10s). The designed readout —
+    * each single lane recalls only its own channel, the fusion recalls
+    * both — is the measured justification for hybrid_rrf's existence,
+    * which the uniform driver corpus could never provide.
+    */
+  def advHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val K = 10
+    val docs = AdvCorpus.advDocuments(s, d)
+    // query set: quote docs with an embedding row at every scale
+    val isQuote = col("doc_id") % 16 === 5 && col("doc_id") >= 16 &&
+      col("doc_id") < 320
+    // lexical lane: distinct-token postings, rare-term integer idf
+    val postings = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .localCheckpoint(true)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = postings.filter(isQuote)
+      .select(col("doc_id").as("qid"), col("tok"))
+      .join(dfreq, "tok").filter(col("df") <= 100)
+      .crossJoin(broadcast(nDocs))
+      .select(col("qid"), col("tok"),
+        expr("(n_docs * 1000) div df").as("w"))
+    val lexRanked = qterms
+      .join(postings.select(col("doc_id").as("nid"), col("tok")), "tok")
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("w")).as("score"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0L) - col("score")).as("neg"), col("nid")), K,
+        reverse = true).as("top"))
+      .select(col("qid"), posexplode(array_sort(col("top"))).as(Seq("i", "t")))
+      .select(col("qid"), col("t.nid").as("nid"),
+        (col("i") + 1).cast("long").as("lex_rank"))
+      .localCheckpoint(true)
+    // semantic lane: cosine top-10 over the clustered embeddings
+    val e = advEmbeddings(s, d)
+      .select(col("vec_id"), col("v")).withColumn("nv", norm2(col("v")))
+      .localCheckpoint(true)
+    val qv = e.filter(col("vec_id") % 16 === 5 && col("vec_id") >= 16 &&
+        col("vec_id") < 320)
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nv").as("nq"))
+    val cos = round(cosinePre(col("vq"), col("nq"), col("v"), col("nv")), 6)
+    val semScored = e.join(broadcast(qv), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cos.as("cos"))
+      .localCheckpoint(true)
+    def semTop(k: Int, rankName: String): DataFrame = semScored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.collectTopK(
+        struct((lit(0.0) - col("cos")).as("neg"), col("nid")), k,
+        reverse = true).as("top"))
+      .select(col("qid"), posexplode(array_sort(col("top"))).as(Seq("i", "t")))
+      .select(col("qid"), col("t.nid").as("nid"),
+        (col("i") + 1).cast("long").as(rankName))
+    val semRanked = semTop(K, "sem_rank").localCheckpoint(true)
+    // rrf fusion over the two lane top-10s
+    val rrfScore =
+      coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0))
+    val rrfRanked = lexRanked.join(semRanked, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"), rrfScore.as("r"))
+      .withColumn("rrf_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("r").desc, col("nid"))))
+      .filter(col("rrf_rank") <= K)
+      .select(col("qid"), col("nid"))
+    // truth channels
+    val parentTruth = docs.filter(isQuote && col("lang") =!= "zh")
+      .select(col("doc_id").as("qid"), col("lang").as("qlang"),
+        (col("doc_id") - 5).as("nid"))
+      .join(docs.select(col("doc_id").as("nid"), col("lang").as("plang")), "nid")
+      .filter(col("qlang") === col("plang"))
+      .select(col("qid"), col("nid"))
+      .localCheckpoint(true)
+    val knnTruth = semTop(3, "rn").select(col("qid"), col("nid"))
+      .localCheckpoint(true)
+    // rollup: lanes x channels
+    def laneHits(lane: String, res: DataFrame): DataFrame = {
+      def channel(name: String, t: DataFrame): DataFrame =
+        t.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(broadcast(
+            res.select(col("qid"), col("nid")).join(t, Seq("qid", "nid"))
+              .agg(count(lit(1)).as("n_hits"))))
+          .select(lit(lane).as("lane"), lit(name).as("channel"),
+            col("n_truth"), col("n_hits"),
+            when(col("n_truth") > 0,
+              floor(col("n_hits").cast("double") * 1e6 / col("n_truth"))
+                .cast("long")).as("recall_ppm"))
+      channel("parent", parentTruth).unionByName(channel("knn3", knnTruth))
+    }
+    laneHits("lex", lexRanked)
+      .unionByName(laneHits("sem", semRanked))
+      .unionByName(laneHits("rrf", rrfRanked))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
-    "adv_ann_eval" -> (advAnnEval _)
+    "adv_ann_eval" -> (advAnnEval _),
+    "adv_hybrid_rrf" -> (advHybridRrf _)
   )
 
   private val planeCaseSql: String = Ann.bucketSql
 
+  /** Same plan in DuckDB: integer-idf lex lane, cosine sem lane, rrf
+    * fusion of the two top-10s, both truth channels. */
+  private val advHybridRrfSql: String = {
+    val norm = AdvCorpus.normSql
+    val isQ = "doc_id % 16 = 5 AND doc_id >= 16 AND doc_id < 320"
+    val arms = for {
+      (lane, res) <- Seq("lex" -> "lexr", "sem" -> "semr", "rrf" -> "rrfr")
+      (channel, truth) <- Seq("parent" -> "ptruth", "knn3" -> "ktruth")
+    } yield
+      s"""SELECT '$lane' AS lane, '$channel' AS channel,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $truth) AS n_truth,
+         | (SELECT CAST(count(*) AS BIGINT) FROM $res r
+         |   JOIN $truth t ON t.qid = r.qid AND t.nid = r.nid) AS n_hits""".stripMargin
+    s"""WITH ${AdvCorpus.AdvDocsCte},
+       |$AdvEmbCte,
+       |post AS (
+       | SELECT doc_id, tok FROM (
+       |  SELECT doc_id, unnest(list_distinct(string_split($norm, ' '))) AS tok
+       |  FROM adv_docs)
+       | WHERE length(tok) > 0),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM adv_docs),
+       |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY 1),
+       |qt AS (
+       | SELECT post.doc_id AS qid, post.tok, (nd.n_docs * 1000) // df AS w
+       | FROM post JOIN dfq USING (tok) CROSS JOIN nd
+       | WHERE $isQ AND df <= 100),
+       |lexr AS (
+       | SELECT qid, nid, lex_rank FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS lex_rank
+       |  FROM (SELECT qt.qid, p2.doc_id AS nid, sum(w) AS score
+       |        FROM qt JOIN post p2 USING (tok)
+       |        WHERE p2.doc_id <> qt.qid GROUP BY 1, 2))
+       | WHERE lex_rank <= 10),
+       |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM adv_emb),
+       |q AS (SELECT vec_id AS qid, v AS vq, nv AS nq FROM e
+       |      WHERE vec_id % 16 = 5 AND vec_id >= 16 AND vec_id < 320),
+       |sems AS (
+       | SELECT q.qid, e.vec_id AS nid,
+       |  round(list_dot_product(q.vq, e.v) / (q.nq * e.nv), 6) AS cos
+       | FROM q JOIN e ON e.vec_id <> q.qid),
+       |semr AS (
+       | SELECT qid, nid, sem_rank FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS sem_rank
+       |  FROM sems)
+       | WHERE sem_rank <= 10),
+       |ktruth AS (
+       | SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM sems)
+       | WHERE rn <= 3),
+       |rrfr AS (
+       | SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY r DESC, nid) AS rr
+       |  FROM (
+       |   SELECT coalesce(l.qid, s.qid) AS qid, coalesce(l.nid, s.nid) AS nid,
+       |    coalesce(1.0 / (60 + l.lex_rank), 0) +
+       |     coalesce(1.0 / (60 + s.sem_rank), 0) AS r
+       |   FROM lexr l FULL OUTER JOIN semr s
+       |    ON l.qid = s.qid AND l.nid = s.nid))
+       | WHERE rr <= 10),
+       |ptruth AS (
+       | SELECT q.doc_id AS qid, q.doc_id - 5 AS nid
+       | FROM adv_docs q JOIN adv_docs p ON p.doc_id = q.doc_id - 5
+       | WHERE q.doc_id % 16 = 5 AND q.doc_id >= 16 AND q.doc_id < 320
+       |  AND q.lang <> 'zh' AND q.lang = p.lang),
+       |arms AS (
+       | ${arms.mkString("\n UNION ALL\n ")})
+       |SELECT lane, channel, n_truth, n_hits,
+       | CASE WHEN n_truth > 0
+       |  THEN CAST(floor(CAST(n_hits AS DOUBLE) * 1e6 / n_truth) AS BIGINT)
+       | END AS recall_ppm
+       |FROM arms""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "adv_hybrid_rrf" -> advHybridRrfSql,
     "adv_ann_eval" ->
       s"""WITH $AdvEmbCte,
          |e AS (SELECT vec_id, label, band, v,

@@ -469,7 +469,7 @@ object AdvCorpus {
     "lsh_band_eval_dense" -> (lshBandEvalDense _)
   )
 
-  private val normSql =
+  private[operators] val normSql =
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   val oracleSql: Map[String, String] = Map(

@@ -67,6 +67,23 @@ class AdvAnnSpec extends SparkTestBase {
     assert(math.abs(cross) < 0.5)
   }
 
+  test("sf0.01: rrf fusion recovers BOTH relevance channels whole") {
+    val rows = AdvAnn.advHybridRrf(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    // single lanes see only their own channel...
+    assert(rows(("lex", "parent"))._2 == 1000000L)
+    assert(rows(("sem", "knn3"))._2 == 1000000L)
+    assert(rows(("sem", "parent"))._2 == 0L,
+      "parents must NOT be semantically reachable (cid independent of text)")
+    assert(rows(("lex", "knn3"))._2 < 200000L,
+      "cluster-mates must NOT be lexically reachable")
+    // ...the fusion sees both — the measured reason hybrid_rrf exists
+    assert(rows(("rrf", "parent"))._2 == 1000000L)
+    assert(rows(("rrf", "knn3"))._2 == 1000000L)
+    assert(rows.values.forall(_._1 > 0), "both truth channels non-empty")
+  }
+
   test("sf0.01: lsh (geometry) beats ivf_label (metadata) in every band") {
     val rows = AdvAnn.advAnnEval(spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(6)).toMap

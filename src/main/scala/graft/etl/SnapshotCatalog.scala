@@ -36,11 +36,20 @@ import java.nio.charset.StandardCharsets
   * The committed state IS the manifest file's existence — there is no
   * separate pointer to tear, and `currentId` is the max manifest id on
   * disk. A crash before the link leaves orphan nonce dirs and a temp
-  * file, both invisible to every reader. Overlapping writers are
-  * last-manifest-wins at table granularity (documented; a serializable
-  * variant would compare the carried-forward entry against the base
-  * snapshot and abort on change). On an object store the hard-link CAS
-  * maps to a conditional PUT (If-None-Match) of the manifest key.
+  * file, both invisible to every reader. `commit` is last-manifest-wins
+  * at table granularity; `commitSerializable` adds optimistic conflict
+  * detection — it aborts when any table it writes was replaced since
+  * the writer's base snapshot (the Iceberg/Delta serializable level,
+  * re-checked on every CAS retry so the check races nothing). On an
+  * object store the hard-link CAS maps to a conditional PUT
+  * (If-None-Match) of the manifest key.
+  *
+  * Every admission decision (exactly-once ledger, serializable
+  * conflict, schema-step stamping) runs INSIDE the CAS loop against
+  * the would-be predecessor manifest: losing a race re-evaluates the
+  * decision against the winner's state, so a zombie micro-batch that
+  * read a stale ledger before losing the CAS can never land its stale
+  * tables or regress the ledger (ADVICE r8 #1).
   *
   * Readers resolve a manifest ONCE into an immutable snapshot and then
   * read any number of tables from it — cross-table consistency holds
@@ -58,7 +67,7 @@ class SnapshotCatalog(catalogDir: String) {
     * carry forward from the latest manifest at publish time. Returns
     * the manifest id won. */
   def commit(tables: Map[String, DataFrame]): Int =
-    commitRaw(tables, Map.empty)
+    commitRaw(tables, (_, _) => SnapshotCatalog.Proceed(Map.empty))
 
   /** Exactly-once commit for a streaming writer (the foreachBatch
     * sink shape): each manifest records the last (writerId -> batchId)
@@ -69,26 +78,57 @@ class SnapshotCatalog(catalogDir: String) {
     * the same way (appId/version). The ledger entry rides in the
     * manifest itself, so it carries forward and survives the CAS retry
     * path like any table entry.
+    *
+    * The duplicate check runs INSIDE the CAS loop, against each
+    * attempt's actual predecessor manifest: a zombie delivery of batch
+    * N-1 that read a stale ledger, then lost the CAS to the live
+    * writer's batch-N commit, re-reads the winner's ledger on retry
+    * and no-ops — it can neither land batch N-1's tables over batch
+    * N's nor regress the recorded batchId (the failover double-apply
+    * ADVICE r8 #1 describes). The pre-check outside the loop is only a
+    * fast path that skips the table writes for obvious re-deliveries.
     */
   def commitIfNew(writerId: String, batchId: Long,
       tables: Map[String, DataFrame]): Int = {
     require(!writerId.contains("/") && !writerId.contains("\""),
       s"bad writer id: $writerId")
-    val ledgerKey = s"_txn:$writerId"
-    val seen = currentId
-      .flatMap(k => manifest(k).get(ledgerKey))
-      .map(_.toLong)
-    if (seen.exists(_ >= batchId)) return currentId.get
     // the ledger entry is carried through commit() as a pseudo-table
     // row in the manifest map (values are opaque strings there); the
     // reserved "_" prefix keeps it out of the table namespace
-    commitRaw(tables, Map(ledgerKey -> batchId.toString))
+    val ledgerKey = s"_txn:$writerId"
+    def stale(prev: Map[String, String]): Boolean =
+      prev.get(ledgerKey).exists(_.toLong >= batchId)
+    if (currentId.map(manifest).exists(stale)) return currentId.get
+    commitRaw(tables, (_, prev) =>
+      if (stale(prev)) SnapshotCatalog.NoOp
+      else SnapshotCatalog.Proceed(Map(ledgerKey -> batchId.toString)))
   }
 
-  /** Commit the given tables as one atomic snapshot (public single /
-    * multi-writer entry point). */
+  /** Serializable commit: abort (throw [[SnapshotCatalog.ConflictException]])
+    * if any table this commit writes was replaced since the writer's
+    * `base` snapshot — two writers racing on the SAME table cannot both
+    * win, while writers on disjoint tables still interleave freely.
+    * The comparison runs inside the CAS loop against each attempt's
+    * true predecessor, so the loser of a race always sees the winner's
+    * manifest before deciding. */
+  def commitSerializable(base: SnapshotCatalog.Snapshot,
+      tables: Map[String, DataFrame]): Int =
+    commitRaw(tables, (_, prev) => {
+      val conflicted = tables.keys.filter(t => prev.get(t) != base.tables.get(t))
+      if (conflicted.isEmpty) SnapshotCatalog.Proceed(Map.empty)
+      else SnapshotCatalog.Abort(
+        s"serializable conflict on ${conflicted.mkString(", ")}: " +
+          s"replaced since base snapshot ${base.id}")
+    })
+
+  /** Commit one atomic snapshot. `gate` decides admission per CAS
+    * attempt, given (attempt id k, predecessor manifest k-1): Proceed
+    * supplies the metadata extras to merge, NoOp returns k-1 without
+    * committing, Abort throws. Data dirs written for a NoOp/Abort
+    * outcome are deleted — no manifest ever named them, so no reader
+    * can hold them. */
   private def commitRaw(tables: Map[String, DataFrame],
-      extras: Map[String, String]): Int = {
+      gate: (Int, Map[String, String]) => SnapshotCatalog.CommitGate): Int = {
     Files.createDirectories(dir.resolve("_manifests"))
     val written = tables.map { case (name, df) =>
       require(!name.startsWith("_") && !name.contains("/"),
@@ -97,9 +137,19 @@ class SnapshotCatalog(catalogDir: String) {
       df.write.mode("overwrite").parquet(s"$catalogDir/$name/$u")
       name -> u
     }
+    def dropWritten(): Unit = written.foreach { case (n, u) =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$catalogDir/$n/$u"))
+    }
     var k = currentId.getOrElse(0) + 1
     while (true) {
       val prev = if (k > 1) manifest(k - 1) else Map.empty[String, String]
+      val extras = gate(k, prev) match {
+        case SnapshotCatalog.Proceed(e) => e
+        case SnapshotCatalog.NoOp => dropWritten(); return k - 1
+        case SnapshotCatalog.Abort(msg) =>
+          dropWritten(); throw new SnapshotCatalog.ConflictException(msg)
+      }
       val merged = prev ++ written ++ extras
       val body = merged.toSeq.sortBy(_._1)
         .map { case (n, u) => s"""  "$n": "$u"""" }
@@ -123,16 +173,19 @@ class SnapshotCatalog(catalogDir: String) {
   def currentId: Option[Int] = {
     val m = dir.resolve("_manifests")
     if (!Files.isDirectory(m)) return None
-    val ids = Files.list(m).iterator()
-    var best = -1
-    val Pat = """m=(\d+)\.json""".r
-    while (ids.hasNext) {
-      ids.next().getFileName.toString match {
-        case Pat(k) => best = math.max(best, k.toInt)
-        case _ =>
+    val listing = Files.list(m)
+    try {
+      val ids = listing.iterator()
+      var best = -1
+      val Pat = """m=(\d+)\.json""".r
+      while (ids.hasNext) {
+        ids.next().getFileName.toString match {
+          case Pat(k) => best = math.max(best, k.toInt)
+          case _ =>
+        }
       }
-    }
-    if (best < 0) None else Some(best)
+      if (best < 0) None else Some(best)
+    } finally listing.close() // Files.list holds the dir handle open
   }
 
   /** table -> version-dir map of manifest k (immutable once linked). */
@@ -160,6 +213,61 @@ class SnapshotCatalog(catalogDir: String) {
   def snapshotAt(k: Int): SnapshotCatalog.Snapshot =
     new SnapshotCatalog.Snapshot(catalogDir, k,
       manifest(k).filterNot(_._1.startsWith("_")))
+
+  /** Record a schema-evolution step for `table` as catalog metadata —
+    * no data file is rewritten (the Iceberg model: evolution is a
+    * metadata commit; old versions keep their old physical schema and
+    * are mapped at read time). `renames` maps NEW column name -> OLD
+    * column name; `added` maps a new column name to its SQL type —
+    * versions written before this step read it as a typed NULL.
+    * Returns the manifest id that carries the step; data committed at
+    * or after that id is expected to use the new column names.
+    *
+    * Steps accumulate in a `_schema:<table>` manifest entry (stamped
+    * with the id they landed in, re-stamped on CAS retry), carry
+    * forward like any entry, and compose: [[readAsCurrentSchema]]
+    * applies every step recorded AFTER the snapshot being read, in
+    * commit order. */
+  def evolveSchema(table: String, renames: Map[String, String] = Map.empty,
+      added: Map[String, String] = Map.empty): Int = {
+    val names = renames.keys ++ renames.values ++ added.keys ++ added.values
+    names.foreach(n => require(n.matches("[A-Za-z0-9_. ()<>]+"),
+      s"bad schema-evolution token: $n"))
+    require(renames.nonEmpty || added.nonEmpty, "empty evolution step")
+    val key = s"_schema:$table"
+    commitRaw(Map.empty, (k, prev) => {
+      val steps =
+        renames.toSeq.sorted.map { case (nw, old) => s"$k:r:$nw=$old" } ++
+          added.toSeq.sorted.map { case (c, tpe) => s"$k:a:$c=$tpe" }
+      val merged = (prev.get(key).toSeq ++ steps).mkString("|")
+      SnapshotCatalog.Proceed(Map(key -> merged))
+    })
+  }
+
+  /** Read `table` from snapshot `asOf` THROUGH the current schema:
+    * every evolution step recorded after `asOf` is applied in commit
+    * order — renames map the old physical column to its current name,
+    * added columns materialize as typed NULLs. Reading the current
+    * snapshot applies no steps (its data already has the current
+    * shape). Old snapshots stay byte-identical on disk; this is a
+    * projection, so column pruning still reaches the parquet scan. */
+  def readAsCurrentSchema(spark: SparkSession, asOf: Int,
+      table: String): DataFrame = {
+    val cur = currentId.getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $catalogDir"))
+    val Step = """(\d+):([ra]):([^=]+)=(.*)""".r
+    val steps = manifest(cur).get(s"_schema:$table").toSeq
+      .flatMap(_.split('|').toSeq)
+      .collect { case Step(k, kind, a, b) if k.toInt > asOf => (k.toInt, kind, a, b) }
+      .sortBy(_._1)
+    var df = snapshotAt(asOf).read(spark, table)
+    steps.foreach {
+      case (_, "r", nw, old) => df = df.withColumnRenamed(old, nw)
+      case (_, _, c, tpe) => df = df.withColumn(c, org.apache.spark.sql
+        .functions.lit(null).cast(tpe))
+    }
+    df
+  }
 
   /** Small-file compaction: rewrite one table's CURRENT version into
     * `numFiles` files and commit the compacted copy as a new snapshot.
@@ -197,6 +305,16 @@ class SnapshotCatalog(catalogDir: String) {
 }
 
 object SnapshotCatalog {
+  /** Thrown by [[SnapshotCatalog.commitSerializable]] when a table it
+    * writes was replaced since the writer's base snapshot. */
+  final class ConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Per-CAS-attempt admission decision (see commitRaw). */
+  private[etl] sealed trait CommitGate
+  private[etl] final case class Proceed(extras: Map[String, String]) extends CommitGate
+  private[etl] case object NoOp extends CommitGate
+  private[etl] final case class Abort(msg: String) extends CommitGate
+
   /** An immutable view of one manifest; reads never resolve again, so
     * concurrent commits cannot tear a multi-table read. */
   final class Snapshot(catalogDir: String, val id: Int,

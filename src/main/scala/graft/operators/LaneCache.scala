@@ -27,6 +27,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - publish = write to a temp dir, stamp a marker INSIDE it, then
   *    one atomic rename — a killed build never leaves a torn cache
   *    behind a valid marker;
+  *  - versions are IMMUTABLE once published (ADVICE r8 #4): each stamp
+  *    gets its own `v=<fp(stamp)>` subdirectory, so a rebuild in
+  *    another JVM never deletes parquet files out from under a reader
+  *    that lazily resolved the previous version — the superseded
+  *    version survives one more generation and is garbage-collected on
+  *    the rebuild after that (the publishVersioned grace discipline);
   *  - an OS-level FileLock serializes the check-and-publish across
   *    JVMs (Verify under nohup and Bench run as separate processes);
   *    the JVM monitor serializes threads within one process, where a
@@ -66,16 +72,21 @@ object LaneCache {
     val src = new java.io.File(srcDir).getCanonicalFile
     val key = lane + "__" +
       src.getPath.stripPrefix("/").replaceAll("[^A-Za-z0-9._-]", "_")
-    val dst = new java.io.File(cacheRoot, key).getCanonicalFile
-    require(src.getPath != dst.getPath,
-      s"lane cache dst == src ($dst): refusing to derive a lane into itself")
-    val marker = new java.io.File(dst, "_GRAFT_LANE_DONE")
+    val laneDir = new java.io.File(cacheRoot, key).getCanonicalFile
+    require(src.getPath != laneDir.getPath,
+      s"lane cache dir == src ($laneDir): refusing to derive a lane into itself")
     val stamp = (src.getPath +:
       srcTables.map(t => srcFingerprint(srcDir, t)) :+ genFp).mkString("|")
+    // one immutable version dir per stamp: a rebuild publishes a NEW
+    // v=* sibling and never touches the directory an in-flight reader
+    // in another JVM may be scanning
+    val vName = "v=" + fp(stamp)
+    val vDir = new java.io.File(laneDir, vName)
+    val marker = new java.io.File(vDir, "_GRAFT_LANE_DONE")
     jvmLock.synchronized {
-      dst.getParentFile.mkdirs()
+      laneDir.mkdirs()
       val lockCh = java.nio.channels.FileChannel.open(
-        new java.io.File(dst.getParentFile, dst.getName + ".lock").toPath,
+        new java.io.File(laneDir.getParentFile, laneDir.getName + ".lock").toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       val osLock = lockCh.lock()
@@ -84,19 +95,31 @@ object LaneCache {
           new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
         else ""
         if (current != stamp) {
-          val tmp = new java.io.File(dst.getParentFile, dst.getName + ".tmp")
-          org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+          val tmp = new java.io.File(laneDir,
+            ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
           derive.write.mode("overwrite").parquet(tmp.getPath)
           java.nio.file.Files.write(
             new java.io.File(tmp, "_GRAFT_LANE_DONE").toPath,
             stamp.getBytes("UTF-8"))
-          org.apache.commons.io.FileUtils.deleteQuietly(dst)
-          if (!tmp.renameTo(dst))
+          org.apache.commons.io.FileUtils.deleteQuietly(vDir) // defensively; no marker -> no reader
+          if (!tmp.renameTo(vDir))
             throw new java.io.IOException(
-              s"lane cache publish failed: $tmp -> $dst")
+              s"lane cache publish failed: $tmp -> $vDir")
+          // GC under the lock: keep the fresh version plus the single
+          // most-recent superseded one (grace for readers that resolved
+          // it before this rebuild); drop older versions, orphan tmp
+          // dirs from killed builds, and pre-versioning flat-layout
+          // files left by earlier releases
+          val entries = Option(laneDir.listFiles()).toSeq.flatten
+          val grace = entries
+            .filter(f => f.getName.startsWith("v=") && f.getName != vName)
+            .sortBy(-_.lastModified()).headOption.map(_.getName)
+          val keep = Set(vName) ++ grace
+          entries.filterNot(f => keep(f.getName) || f.getPath == tmp.getPath)
+            .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         }
       } finally { osLock.release(); lockCh.close() }
     }
-    s.read.parquet(dst.getPath)
+    s.read.parquet(vDir.getPath)
   }
 }

@@ -188,6 +188,104 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("zombie duplicate racing a newer batch can neither land stale tables nor regress the ledger") {
+    // ADVICE r8 #1, the failover shape: the OLD writer incarnation (a
+    // zombie holding batch 1) races the recovered incarnation, which
+    // commits batch 1 then batch 2. Whatever the interleaving — zombie
+    // first, between the two, or losing the CAS mid-commit — the final
+    // state must be batch 2's tables with the ledger at 2. The
+    // pre-fix code re-merged extras after a lost CAS without
+    // re-checking the winner's ledger, so a late zombie could land
+    // batch 1's tables OVER batch 2's and regress the recorded id.
+    (1 to 5).foreach { round =>
+      val root = freshDir(s"zombie$round")
+      @volatile var err: Option[Throwable] = None
+      val zombie = new Thread(() => {
+        try new SnapshotCatalog(root).commitIfNew("w", 1L, Map("fact" -> facts(1)))
+        catch { case t: Throwable => err = Some(t) }
+      })
+      val live = new Thread(() => {
+        try {
+          new SnapshotCatalog(root).commitIfNew("w", 1L, Map("fact" -> facts(10)))
+          new SnapshotCatalog(root).commitIfNew("w", 2L, Map("fact" -> facts(20)))
+        } catch { case t: Throwable => err = Some(t) }
+      })
+      zombie.start(); live.start()
+      zombie.join(120000); live.join(120000)
+      assert(err.isEmpty, err.map(_.toString).getOrElse(""))
+      val cat = new SnapshotCatalog(root)
+      assert(cat.snapshot().read(spark, "fact").count() == 20,
+        s"round $round: batch 2's table must be final")
+      assert(cat.manifest(cat.currentId.get)("_txn:w") == "2",
+        s"round $round: ledger must record batch 2, never regress")
+    }
+  }
+
+  test("commitSerializable: racing writers on the SAME table — exactly one wins, the loser aborts") {
+    val root = freshDir("serializable")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("fact" -> facts(2), "dim" -> facts(1)))
+    val base = cat.snapshot()
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def writer(n: Int) = new Thread(() => {
+      try {
+        new SnapshotCatalog(root).commitSerializable(base, Map("fact" -> facts(n)))
+        outcomes.add(s"win$n")
+      } catch {
+        case _: SnapshotCatalog.ConflictException => outcomes.add(s"abort$n")
+        case t: Throwable => outcomes.add(s"err$n: $t")
+      }
+    })
+    val (w1, w2) = (writer(11), writer(12))
+    w1.start(); w2.start(); w1.join(120000); w2.join(120000)
+    val res = outcomes.toArray.map(_.toString).sorted.toSeq
+    assert(res.count(_.startsWith("win")) == 1 &&
+      res.count(_.startsWith("abort")) == 1,
+      s"exactly one winner and one abort expected, got $res")
+    // the winner's version is served; the loser's data dirs were dropped
+    val n = cat.snapshot().read(spark, "fact").count()
+    assert(n == 11 || n == 12, s"winner's table expected, got $n rows")
+    // a serializable write to a DISJOINT table still lands against the
+    // same (now stale on fact, untouched on dim) base snapshot
+    val k = cat.commitSerializable(base, Map("dim" -> facts(3)))
+    assert(k == cat.currentId.get)
+    assert(cat.snapshot().read(spark, "dim").count() == 3)
+    // and a retry from a REFRESHED base succeeds on fact
+    val k2 = cat.commitSerializable(cat.snapshot(), Map("fact" -> facts(9)))
+    assert(k2 > k && cat.snapshot().read(spark, "fact").count() == 9)
+  }
+
+  test("schema evolution: old snapshots read THROUGH the current schema; steps compose in commit order") {
+    val cat = new SnapshotCatalog(freshDir("evolve"))
+    cat.commit(Map("fact" -> facts(4)))                     // m=1: (id, k, amount)
+    cat.evolveSchema("fact",
+      renames = Map("amt" -> "amount"), added = Map("note" -> "string")) // m=2
+    val f2 = facts(6).withColumnRenamed("amount", "amt")
+      .withColumn("note", concat(lit("n"), col("id")))
+    cat.commit(Map("fact" -> f2))                           // m=3: new shape
+    // snapshot 1 through the current schema: amount serves amt,
+    // note is a typed NULL; the parquet files were never rewritten
+    val old = cat.readAsCurrentSchema(spark, 1, "fact")
+    assert(old.columns.toSeq == Seq("id", "k", "amt", "note"))
+    assert(old.select(sum(col("amt"))).as[Long].head()
+      == facts(4).select(sum(col("amount"))).as[Long].head())
+    assert(old.filter(col("note").isNotNull).count() == 0)
+    assert(old.schema("note").dataType.typeName == "string")
+    // the current snapshot needs no mapping
+    val cur = cat.readAsCurrentSchema(spark, 3, "fact")
+    assert(cur.filter(col("note").isNotNull).count() == 6)
+    // a SECOND step chains: amt -> amt_total composes after amount -> amt
+    cat.evolveSchema("fact", renames = Map("amt_total" -> "amt")) // m=4
+    val old2 = cat.readAsCurrentSchema(spark, 1, "fact")
+    assert(old2.columns.toSeq == Seq("id", "k", "amt_total", "note"),
+      s"chained renames must apply in commit order, got ${old2.columns.toSeq}")
+    val mid = cat.readAsCurrentSchema(spark, 3, "fact")
+    assert(mid.columns.contains("amt_total") && !mid.columns.contains("amt"),
+      "the post-evolution snapshot applies only steps recorded after it")
+    assert(mid.filter(col("note").isNotNull).count() == 6,
+      "columns already present at the snapshot are served from data, not nulled")
+  }
+
   test("compact folds small files, preserves content and history") {
     val root = freshDir("compact")
     val cat = new SnapshotCatalog(root)

@@ -44,6 +44,15 @@ class LaneCacheSpec extends SparkTestBase {
     assert(lane("v2").count() == 3 && builds == 3, "source change rebuilds")
   }
 
+  private def laneDir(root: String, lane: String, src: String) =
+    new java.io.File(s"$root/${lane}__" +
+      new java.io.File(src).getCanonicalPath.stripPrefix("/")
+        .replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  private def versionDirs(root: String, lane: String, src: String) =
+    Option(laneDir(root, lane, src).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("v="))
+
   test("a torn publish never hides behind a valid marker") {
     val src = tmpSrc("torn")
     val root = "target/lanecache_spec/cache_torn"
@@ -55,13 +64,43 @@ class LaneCacheSpec extends SparkTestBase {
     lane().count()
     // simulate a kill that left data but destroyed the marker — the
     // next call must re-derive, not serve the unmarked directory
-    val marker = new java.io.File(s"$root/torn_lane__" +
-      new java.io.File(src).getCanonicalPath.stripPrefix("/")
-        .replaceAll("[^A-Za-z0-9._-]", "_") + "/_GRAFT_LANE_DONE")
+    val vs = versionDirs(root, "torn_lane", src)
+    assert(vs.length == 1, s"one version dir expected, got $vs")
+    val marker = new java.io.File(vs.head, "_GRAFT_LANE_DONE")
     assert(marker.exists(), s"marker expected at $marker")
     assert(marker.delete())
     assert(lane().count() == 3, "re-derives cleanly without a marker")
     assert(marker.exists(), "marker restored by the re-publish")
+  }
+
+  test("versioned publish: a rebuild never touches the superseded version; GC keeps one grace generation") {
+    // ADVICE r8 #4: a reader in another JVM that lazily resolved the
+    // previous version must keep its parquet files through ONE rebuild
+    // (the grace generation); the generation after that reclaims it.
+    val src = tmpSrc("versioned")
+    val root = "target/lanecache_spec/cache_versioned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def lane(fp: String) =
+      LaneCache.cached(spark, src, "ver_lane", fp, Seq("documents"), root) {
+        spark.read.parquet(new java.io.File(src, "documents.parquet").getPath)
+      }
+    lane("g1").count()
+    val v1 = versionDirs(root, "ver_lane", src)
+    assert(v1.length == 1)
+    // the in-flight-reader shape: resolve v1's path, rebuild, then scan
+    val v1Path = v1.head.getPath
+    lane("g2").count()
+    assert(new java.io.File(v1Path).exists(),
+      "superseded version must survive the rebuild that replaced it")
+    assert(spark.read.parquet(v1Path).count() == 3,
+      "stale reader still scans the superseded version")
+    assert(versionDirs(root, "ver_lane", src).length == 2,
+      "current + one grace version")
+    lane("g3").count()
+    val after = versionDirs(root, "ver_lane", src).map(_.getName)
+    assert(after.length == 2, s"GC keeps exactly two versions, got $after")
+    assert(!new java.io.File(v1Path).exists(),
+      "the grace generation is reclaimed on the NEXT rebuild")
   }
 
   // note: the src != dst require in LaneCache.cached is defense-in-

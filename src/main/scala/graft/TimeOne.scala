@@ -20,6 +20,13 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // match Bench's lane policy on request: consumer-query A/Bs should
+    // measure the algorithm over a WARM lane (the build is the
+    // lane-defining queries' cost), so SPARK_GRAFT_PREWARM=1 builds
+    // all lanes before any timer starts
+    if (sys.env.get("SPARK_GRAFT_PREWARM").contains("1"))
+      try graft.operators.Lanes.prewarm(spark, dir)
+      catch { case _: Throwable => }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { i =>

@@ -127,9 +127,18 @@ object Profile {
     * the key columns); exchanges and materializations are not.
     */
   def integrityAudit(s: SparkSession, d: String): DataFrame = {
+    // count(*) - count(DISTINCT k) for NON-NULL keys == sum over key
+    // groups of (group size - 1) == sum(c) - n_groups. The grouped form
+    // replaces the mixed plain+distinct aggregate — which plans an
+    // Expand DOUBLING the table before the exchange (2 x 6M lineitem
+    // rows at sf1) — with one keyed partial-agg shuffle and a scalar
+    // fold over the bounded group table. Paired TimeOne at sf1 (r9):
+    // 7.8-8.1 s -> ~5 s for the full 6-constraint audit. (Key columns
+    // are non-null in this schema — profile gate above audits that —
+    // so the group count equals the DISTINCT count exactly.)
     def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
-      df.agg((count(lit(1)) - countDistinct(keys.head, keys.tail: _*)).as("n_violations"),
-          count(lit(1)).as("n_checked"))
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1L).as("n_violations"), sum(col("c")).as("n_checked"))
         .select(lit(name).as("constraint_name"), col("n_violations"), col("n_checked"))
     def fk(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame =

@@ -199,11 +199,67 @@ object Cdc {
     finishScratch(census(old, 1L).unionByName(census(cur, 3L)), root)
   }
 
+  /** The CDC READ surface (the table-format `table_changes` shape):
+    * the row-level change feed between two pinned snapshots of the
+    * same table, derived from the snapshots themselves — the consumer
+    * side of the catalog, where an incremental job reads WHAT CHANGED
+    * between the version it last processed and the current one instead
+    * of rescanning the table. One keyed full-outer join of the two
+    * versions classifies every doc as insert (new only), delete (old
+    * only), update (both, text differs — null-safe compare), or
+    * unchanged; the emitted census is per-op counts + char mass. At
+    * 100 TB both sides are the same bucketed table, so the join
+    * co-locates; the feed is bounded by the union of the two versions,
+    * and a real deployment would prune unchanged FILES first via
+    * version-dir diffs (manifest names differ only for rewritten
+    * tables) before the row-level diff.
+    */
+  /** Row-level diff of two versions of a table, classified per key:
+    * insert (new only), delete (old only), update (both present,
+    * null-safe-different value), unchanged. Presence is tracked with
+    * explicit flags, NOT value nullness — a present row whose value
+    * cell is NULL must never masquerade as an absent row (and an
+    * insert/delete of a NULL-valued row must still classify as
+    * insert/delete). Output: (key, old_<valueCol>, new_<valueCol>, op).
+    */
+  private[operators] def diffVersions(o: DataFrame, n: DataFrame,
+      key: String, valueCol: String): DataFrame = {
+    val left = o.select(col(key), col(valueCol).as(s"old_$valueCol"),
+      lit(true).as("in_old"))
+    val right = n.select(col(key), col(valueCol).as(s"new_$valueCol"),
+      lit(true).as("in_new"))
+    left.join(right, Seq(key), "full_outer")
+      .select(col(key), col(s"old_$valueCol"), col(s"new_$valueCol"),
+        when(coalesce(col("in_old"), lit(false)) === false, "insert")
+          .when(coalesce(col("in_new"), lit(false)) === false, "delete")
+          .when(not(col(s"old_$valueCol") <=> col(s"new_$valueCol")), "update")
+          .otherwise("unchanged").as("op"))
+  }
+
+  def snapshotChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val root = scratchRoot(d, "chfeed")
+    val cat = new graft.etl.SnapshotCatalog(root)
+    cat.commit(Map("docs" ->
+      Tables.documents(s, d).select(col("doc_id"), col("text"))))
+    cat.commit(Map("docs" ->
+      cdcUpsert(s, d).select(col("doc_id"), col("text"))))
+    val s1 = cat.snapshotAt(1)
+    val s2 = cat.snapshotAt(2)
+    val feed = diffVersions(s1.read(s, "docs"), s2.read(s, "docs"),
+      key = "doc_id", valueCol = "text")
+    val census = feed.groupBy(col("op"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(coalesce(col("new_text"), col("old_text")))), lit(0L))
+          .as("n_chars"))
+    finishScratch(census, root)
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
     "cdc_snapshot_roundtrip" -> (cdcSnapshotRoundtrip _),
-    "snapshot_schema_evolution" -> (snapshotSchemaEvolution _)
+    "snapshot_schema_evolution" -> (snapshotSchemaEvolution _),
+    "snapshot_change_feed" -> (snapshotChangeFeed _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -272,6 +328,37 @@ object Cdc {
         |SELECT 2, 'summary', CAST(count(*) AS BIGINT),
         |  CAST(coalesce(sum(length(text)), 0) AS BIGINT)
         | FROM merged""".stripMargin,
+
+    // the change feed reduces to: base vs merged classified per doc —
+    // insert = merged-only id, delete = base-only id, update = both
+    // with null-safe-different text, else unchanged
+    "snapshot_change_feed" ->
+      """WITH stride AS (SELECT max(doc_id) + 1 AS stride FROM documents),
+        |ch AS (
+        | SELECT doc_id, upper(text) AS text, 'U' AS op FROM documents
+        |  WHERE doc_id % 17 = 0
+        | UNION ALL
+        | SELECT doc_id, NULL, 'D' FROM documents
+        |  WHERE doc_id % 23 = 0 AND doc_id % 17 <> 0
+        | UNION ALL
+        | SELECT doc_id + stride.stride, 'ins: ' || text, 'I'
+        |  FROM documents, stride WHERE doc_id % 31 = 0),
+        |merged AS (
+        | SELECT coalesce(b.doc_id, ch.doc_id) AS doc_id,
+        |  coalesce(ch.text, b.text) AS text
+        | FROM documents b FULL OUTER JOIN ch ON ch.doc_id = b.doc_id
+        | WHERE coalesce(ch.op, '') <> 'D'),
+        |feed AS (
+        | SELECT CASE
+        |   WHEN b.doc_id IS NULL THEN 'insert'
+        |   WHEN m.doc_id IS NULL THEN 'delete'
+        |   WHEN b.text IS DISTINCT FROM m.text THEN 'update'
+        |   ELSE 'unchanged' END AS op,
+        |  coalesce(m.text, b.text) AS text
+        | FROM documents b FULL OUTER JOIN merged m ON m.doc_id = b.doc_id)
+        |SELECT op, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
+        |FROM feed GROUP BY op""".stripMargin,
 
     // the evolution roundtrip reduces to: snap 1 = the base corpus
     // with body sourced from text and lang absent (typed NULL -> zero

@@ -45,4 +45,21 @@ class CdcSpec extends SparkTestBase {
     // row-preserving: every event starts exactly one version
     assert(h.count() == graft.Tables.events(spark, sf).count())
   }
+
+  test("diffVersions: presence beats value nullness; updates are null-safe") {
+    import spark.implicits._
+    // old: 1 kept-same, 2 null->value, 3 value->null, 4 deleted (null
+    // value!), 5 deleted, 7 null kept-null; new adds 6 (null value!)
+    val o = Seq((1L, Some("a")), (2L, None), (3L, Some("c")),
+      (4L, Option.empty[String]), (5L, Some("e")), (7L, None))
+      .toDF("doc_id", "text")
+    val n = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (6L, Option.empty[String]), (7L, None))
+      .toDF("doc_id", "text")
+    val ops = Cdc.diffVersions(o, n, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(ops == Map(1L -> "unchanged", 2L -> "update", 3L -> "update",
+      4L -> "delete", 5L -> "delete", 6L -> "insert", 7L -> "unchanged"),
+      ops.toString)
+  }
 }

@@ -286,6 +286,35 @@ class SnapshotCatalogSpec extends SparkTestBase {
       "columns already present at the snapshot are served from data, not nulled")
   }
 
+  test("schema evolution: dropped columns disappear from old snapshots read through the current schema") {
+    val cat = new SnapshotCatalog(freshDir("evolve_drop"))
+    cat.commit(Map("fact" -> facts(3)))                 // m=1: (id, k, amount)
+    cat.evolveSchema("fact", dropped = Seq("k"))        // m=2
+    cat.commit(Map("fact" -> facts(5).drop("k")))       // m=3: new shape
+    val old = cat.readAsCurrentSchema(spark, 1, "fact")
+    assert(old.columns.toSeq == Seq("id", "amount"), old.columns.toSeq.toString)
+    assert(old.count() == 3, "drop is a projection, not a row filter")
+    assert(cat.readAsCurrentSchema(spark, 3, "fact").columns.toSeq
+      == Seq("id", "amount"))
+  }
+
+  test("sweepOrphans removes only unreferenced version dirs past the age guard") {
+    val root = freshDir("orphans")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("fact" -> facts(3)))
+    // a commit killed before its CAS link: data written, no manifest
+    facts(9).write.mode("overwrite").parquet(s"$root/fact/u=crashed1")
+    val live = cat.snapshot().tables("fact")
+    // age guard first: a too-young orphan is the in-flight-commit shape
+    assert(cat.sweepOrphans(minAgeMs = 3600000L) == 0, "young dirs survive")
+    assert(new java.io.File(s"$root/fact/u=crashed1").exists())
+    // quiesced sweep reclaims it and never touches referenced versions
+    assert(cat.sweepOrphans(minAgeMs = 0L) == 1)
+    assert(!new java.io.File(s"$root/fact/u=crashed1").exists())
+    assert(new java.io.File(s"$root/fact/$live").exists())
+    assert(cat.snapshot().read(spark, "fact").count() == 3)
+  }
+
   test("compact folds small files, preserves content and history") {
     val root = freshDir("compact")
     val cat = new SnapshotCatalog(root)

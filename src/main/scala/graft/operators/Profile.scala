@@ -389,8 +389,52 @@ object Profile {
         min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
   }
 
+  /** Zone-map skip-rate eval — the readout that justifies OPTIMIZE
+    * ZORDER in numbers: for each layout's 64 simulated files
+    * (zorder_layout's zone maps) and six probe predicates (three
+    * narrow ranges per dimension, anchored at the quarter points,
+    * width = one ideal file's key span), count the files a scan
+    * planner could SKIP because the probe range misses the file's
+    * [min, max]. Expected shape, and what the spec pins: the
+    * single-key layout skips almost everything on its own key and
+    * nothing on the other; z-order skips heavily on BOTH — the
+    * multi-dimensional pruning a 100 TB scan lives on. All integer
+    * arithmetic (anchor = lo + span*q div 4), so the DuckDB replay is
+    * exact.
+    *
+    * Shape: one corpus scan (inside zorderLayout) to the 128-row
+    * zone-map table; the probe table derives from the same scalar
+    * min/max aggregate and broadcasts into a bounded 768-row
+    * nested-loop join; one tiny aggregate emits 12 rows.
+    */
+  def pruningSkipEval(s: SparkSession, d: String): DataFrame = {
+    val zones = zorderLayout(s, d)
+    val rng = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
+      min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+    def probe(cname: String, lo: String, hi: String, q: Int) =
+      struct(lit(cname).as("probe_col"), lit(q.toLong).as("probe_id"),
+        expr(s"$lo + (($hi - $lo + 1) * $q) div 4").as("lo_v"),
+        expr(s"$lo + (($hi - $lo + 1) * $q) div 4 + ($hi - $lo + 1) div 64")
+          .as("hi_v"))
+    val probes = rng.select(explode(array(
+      (1 to 3).map(q => probe("pk", "pmin", "pmax", q)) ++
+        (1 to 3).map(q => probe("sk", "smin", "smax", q)): _*)).as("p"))
+      .select(col("p.*"))
+    zones.crossJoin(broadcast(probes))
+      .select(col("layout"), col("probe_col"), col("probe_id"),
+        when(col("probe_col") === "pk", col("pk_min")).otherwise(col("sk_min")).as("zmin"),
+        when(col("probe_col") === "pk", col("pk_max")).otherwise(col("sk_max")).as("zmax"),
+        col("lo_v"), col("hi_v"))
+      .groupBy(col("layout"), col("probe_col"), col("probe_id"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("zmax") < col("lo_v") || col("zmin") > col("hi_v"), 1L)
+          .otherwise(0L)).as("n_skipped"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "zorder_layout" -> (zorderLayout _),
+    "pruning_skip_eval" -> (pruningSkipEval _),
     "corr_matrix" -> (corrMatrix _),
     "dist_drift" -> (distDrift _),
     "table_profile" -> (tableProfile _),
@@ -451,6 +495,61 @@ object Profile {
         | min(pk) AS pk_min, max(pk) AS pk_max,
         | min(sk) AS sk_min, max(sk) AS sk_max
         |FROM lanes GROUP BY 1, 2""".stripMargin,
+
+    // zone maps (same Morton/bucket replay as zorder_layout) x probe
+    // ranges -> files a scan could skip; all-integer anchors
+    "pruning_skip_eval" ->
+      """WITH raw AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |rng AS (SELECT min(pk) AS pmin, max(pk) AS pmax,
+        |               min(sk) AS smin, max(sk) AS smax FROM raw),
+        |base AS (
+        | SELECT pk, sk,
+        |  ((pk - pmin) * 65536 // (pmax - pmin + 1)) & 65535 AS p0,
+        |  ((sk - smin) * 65536 // (smax - smin + 1)) & 65535 AS s0
+        | FROM raw, rng),
+        |r1 AS (SELECT pk, sk,
+        |  (p0 | (p0 << 8)) & 16711935 AS p1,
+        |  (s0 | (s0 << 8)) & 16711935 AS s1 FROM base),
+        |r2 AS (SELECT pk, sk,
+        |  (p1 | (p1 << 4)) & 252645135 AS p2,
+        |  (s1 | (s1 << 4)) & 252645135 AS s2 FROM r1),
+        |r3 AS (SELECT pk, sk,
+        |  (p2 | (p2 << 2)) & 858993459 AS p3,
+        |  (s2 | (s2 << 2)) & 858993459 AS s3 FROM r2),
+        |r4 AS (SELECT pk, sk,
+        |  (p3 | (p3 << 1)) & 1431655765 AS p4,
+        |  (s3 | (s3 << 1)) & 1431655765 AS s4 FROM r3),
+        |zt AS (SELECT pk, sk, p4 | (s4 << 1) AS z FROM r4),
+        |lanes AS (
+        | SELECT 'zorder' AS layout,
+        |  CAST(z // 67108864 AS BIGINT) AS bucket, pk, sk FROM zt
+        | UNION ALL
+        | SELECT 'pk_sort',
+        |  CAST((pk - pmin) * 64 // (pmax - pmin + 1) AS BIGINT),
+        |  pk, sk FROM zt, rng),
+        |zones AS (
+        | SELECT layout, bucket,
+        |  min(pk) AS pk_min, max(pk) AS pk_max,
+        |  min(sk) AS sk_min, max(sk) AS sk_max
+        | FROM lanes GROUP BY 1, 2),
+        |qs AS (SELECT unnest([1, 2, 3]) AS q),
+        |probes AS (
+        | SELECT 'pk' AS probe_col, CAST(q AS BIGINT) AS probe_id,
+        |  pmin + ((pmax - pmin + 1) * q) // 4 AS lo_v,
+        |  pmin + ((pmax - pmin + 1) * q) // 4 + (pmax - pmin + 1) // 64 AS hi_v
+        | FROM rng, qs
+        | UNION ALL
+        | SELECT 'sk', CAST(q AS BIGINT),
+        |  smin + ((smax - smin + 1) * q) // 4,
+        |  smin + ((smax - smin + 1) * q) // 4 + (smax - smin + 1) // 64
+        | FROM rng, qs)
+        |SELECT layout, probe_col, probe_id,
+        | CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(CASE WHEN
+        |   (CASE WHEN probe_col = 'pk' THEN pk_max ELSE sk_max END) < lo_v
+        |   OR (CASE WHEN probe_col = 'pk' THEN pk_min ELSE sk_min END) > hi_v
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+        |FROM zones, probes GROUP BY 1, 2, 3""".stripMargin,
     // 2xK chi-square per-bucket term reduced to D^2/(R*C*n) on the
     // HUGEINT lane (== Spark DECIMAL(38,0)); ppm deltas in floor longs
     "dist_drift" ->

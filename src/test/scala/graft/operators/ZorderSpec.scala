@@ -49,4 +49,24 @@ class ZorderSpec extends SparkTestBase {
     assert(zoSk < 0.6 * skRange, s"zorder sk span $zoSk vs range $skRange")
     assert(zoPk < 0.6 * pkRange, s"zorder pk span $zoPk vs range $pkRange")
   }
+
+  test("pruning_skip_eval: single-key layout skips only its own key; zorder skips on both") {
+    // the OPTIMIZE ZORDER justification as numbers (sf0.1 driver
+    // corpus readout: pk_sort 63/64 on pk and 0/64 on sk; zorder
+    // 56/64 = all but sqrt(files) on BOTH dimensions). Pinned as
+    // properties so the tiny spec corpus (10 suppliers) stays valid.
+    val rows = Profile.pruningSkipEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 12 && rows.forall(_._3 == 64L),
+      "2 layouts x 2 cols x 3 probes over 64 simulated files")
+    // WORST probe per (layout, col) must still meet the bound
+    def worst(layout: String, c: String) = rows
+      .collect { case (l, pc, _, sk) if l == layout && pc == c => sk }.min
+    // pk_sort: near-total skipping on the sort key, none on the other
+    assert(worst("pk_sort", "pk") >= 60L, rows.mkString(", "))
+    assert(worst("pk_sort", "sk") == 0L, rows.mkString(", "))
+    // zorder: substantial skipping on BOTH dimensions
+    assert(worst("zorder", "pk") >= 32L, rows.mkString(", "))
+    assert(worst("zorder", "sk") >= 32L, rows.mkString(", "))
+  }
 }

@@ -530,7 +530,54 @@ object TrainPrep {
           .as("avg_nll"))
   }
 
+  /** Temperature-based mixture weighting — the multilingual sampling
+    * recipe (upweight low-resource languages by flattening the size
+    * distribution: w_l ∝ share_l^τ, τ < 1): per language, the sample
+    * allocation a fixed 1M-draw budget gets at τ ∈ {1/4, 1/2, 3/4, 1},
+    * plus the implied epochs over the language's own pool in ppm
+    * (epochs > 1M ppm == the language will repeat — the overfitting
+    * signal τ trades against diversity).
+    *
+    * Cross-engine exactness by construction, no rounding tolerance
+    * anywhere: powers are computed ONLY via IEEE-correctly-rounded ops
+    * — share = n/N (one divide), share^(1/2) = sqrt, share^(1/4) =
+    * sqrt(sqrt), share^(3/4) = sqrt * sqrt(sqrt) (each op correctly
+    * rounded, so both engines produce bit-identical doubles; a libm
+    * pow() would not be) — then immediately quantized to integer
+    * nano-units (floor(w * 1e9)), so the normalizing sums are EXACT
+    * integer sums (float summation order across languages can differ
+    * an ulp between engines; integer sums cannot). Allocations are
+    * integer division on the quantized weights. One groupBy(lang) and
+    * a broadcast 1-row total — bounded by |languages| at any scale.
+    */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val counts = graft.Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("n_total"))
+    val share = col("n_docs").cast("double") / col("n_total").cast("double")
+    val w = counts.crossJoin(broadcast(total))
+      .withColumn("w025", floor(sqrt(sqrt(share)) * 1e9).cast("long"))
+      .withColumn("w050", floor(sqrt(share) * 1e9).cast("long"))
+      .withColumn("w075", floor(sqrt(share) * sqrt(sqrt(share)) * 1e9).cast("long"))
+      .withColumn("w100", floor(share * 1e9).cast("long"))
+    val sums = w.agg(sum(col("w025")).as("s025"), sum(col("w050")).as("s050"),
+      sum(col("w075")).as("s075"), sum(col("w100")).as("s100"))
+    def alloc(wc: String, sc: String) =
+      expr(s"(1000000L * $wc) div $sc")
+    def epochsPpm(wc: String, sc: String) =
+      expr(s"(1000000L * ((1000000L * $wc) div $sc)) div n_docs")
+    w.crossJoin(broadcast(sums))
+      .select(col("lang"), col("n_docs"),
+        alloc("w025", "s025").as("samp_t025"),
+        alloc("w050", "s050").as("samp_t050"),
+        alloc("w075", "s075").as("samp_t075"),
+        alloc("w100", "s100").as("samp_t100"),
+        epochsPpm("w025", "s025").as("epochs_t025_ppm"),
+        epochsPpm("w100", "s100").as("epochs_t100_ppm"))
+  }
+
   val queries: Map[String, Relational.Q] = Map(
+    "temperature_mixture" -> (temperatureMixture _),
     "heldout_nll" -> (heldoutNll _),
     "importance_resample" -> ((s: SparkSession, d: String) => importanceResample(s, d)),
     "nb_domain_attribution" -> ((s: SparkSession, d: String) => nbDomainAttribution(s, d)),
@@ -549,6 +596,34 @@ object TrainPrep {
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   val oracleSql: Map[String, String] = Map(
+    // powers only via correctly-rounded sqrt compositions, quantized
+    // to integer nano-units before any sum -> bit-stable cross-engine
+    "temperature_mixture" ->
+      """WITH counts AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        | GROUP BY lang),
+        |tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+        |w AS (
+        | SELECT lang, n_docs,
+        |  CAST(floor(sqrt(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))) * 1e9) AS BIGINT) AS w025,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e9) AS BIGINT) AS w050,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |    * sqrt(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))) * 1e9) AS BIGINT) AS w075,
+        |  CAST(floor((CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1e9) AS BIGINT) AS w100
+        | FROM counts, tot),
+        |sums AS (SELECT CAST(sum(w025) AS BIGINT) AS s025,
+        |  CAST(sum(w050) AS BIGINT) AS s050,
+        |  CAST(sum(w075) AS BIGINT) AS s075,
+        |  CAST(sum(w100) AS BIGINT) AS s100 FROM w)
+        |SELECT lang, n_docs,
+        | (1000000 * w025) // s025 AS samp_t025,
+        | (1000000 * w050) // s050 AS samp_t050,
+        | (1000000 * w075) // s075 AS samp_t075,
+        | (1000000 * w100) // s100 AS samp_t100,
+        | (1000000 * ((1000000 * w025) // s025)) // n_docs AS epochs_t025_ppm,
+        | (1000000 * ((1000000 * w100) // s100)) // n_docs AS epochs_t100_ppm
+        |FROM w, sums""".stripMargin,
+
     // even-split LM, add-one smoothing, nanonat per-term NLL (two ln
     // on integer-valued doubles, one rounding), exact occurrence sums
     "heldout_nll" ->

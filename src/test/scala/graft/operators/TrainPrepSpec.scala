@@ -302,4 +302,33 @@ class TrainPrepSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == expected)
   }
+
+  test("temperature_mixture: budget conserved, tau<1 flattens head into tail, tau=1 proportional") {
+    val rows = TrainPrep.temperatureMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length >= 2)
+    // each tau's allocations sum to the 1M budget minus at most one
+    // integer-division remainder per language
+    Seq[((String, Long, Long, Long, Long, Long)) => Long](
+      _._3, _._4, _._5, _._6).foreach { c =>
+      val s = rows.map(c).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"allocation sum $s out of budget band")
+    }
+    val head = rows.maxBy(_._2)
+    val tail = rows.minBy(_._2)
+    // flattening is monotone in tau for the extremes
+    assert(head._3 < head._4 && head._4 < head._5 && head._5 < head._6,
+      s"head language must gain allocation as tau rises: $head")
+    assert(tail._3 > tail._4 && tail._4 > tail._5 && tail._5 > tail._6,
+      s"tail language must lose allocation as tau rises: $tail")
+    // tau=1 is proportional sampling: allocation per doc equal across
+    // languages up to integer rounding
+    val perDoc = rows.map(r => r._6.toDouble / r._2)
+    assert(perDoc.max - perDoc.min < 0.05 * perDoc.max,
+      s"tau=1 must be ~proportional: $perDoc")
+    // every language keeps a nonzero allocation at the flattest tau
+    assert(rows.forall(_._3 > 0L))
+  }
 }

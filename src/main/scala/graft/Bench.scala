@@ -28,9 +28,14 @@ object Bench {
     try {
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => Tables.load(spark, sfDir, t).count())
-      graft.operators.Lanes.prewarm(spark, sfDir)
       spark.range(1000000L).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => }
+    // own try (a table-load failure above must not silently skip the
+    // prewarm) + a blocking drain so the lane derivations' leftover
+    // blocks never occupy heap inside the first timed window
+    try graft.operators.Lanes.prewarm(spark, sfDir)
+    catch { case _: Throwable => }
+    drainCaches()
     // min of two timed runs per query: wall-clock on a shared box
     // drifts +-40% with ambient load; the min is the plan's cost.
     // Force FULL evaluation with toRdd.count(), not Dataset.count():

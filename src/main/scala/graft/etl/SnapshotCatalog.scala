@@ -233,7 +233,9 @@ class SnapshotCatalog(catalogDir: String) {
       dropped: Seq[String] = Seq.empty): Int = {
     val names = renames.keys ++ renames.values ++ added.keys ++
       added.values ++ dropped
-    names.foreach(n => require(n.matches("[A-Za-z0-9_. ()<>]+"),
+    // comma admitted for parameterized types (decimal(10,2), map<k,v>);
+    // the step encoding's own delimiters (:, =, |) stay excluded
+    names.foreach(n => require(n.matches("[A-Za-z0-9_. (),<>]+"),
       s"bad schema-evolution token: $n"))
     require(renames.nonEmpty || added.nonEmpty || dropped.nonEmpty,
       "empty evolution step")
@@ -260,9 +262,13 @@ class SnapshotCatalog(catalogDir: String) {
     val cur = currentId.getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $catalogDir"))
     val Step = """(\d+):([rad]):([^=]+)=(.*)""".r
+    // a step applies to its OWN manifest too (>=, not >): evolveSchema
+    // commits no table data, so the step's manifest always serves the
+    // carried-forward pre-step shape — only manifests strictly after
+    // the step can hold new-shape data
     val steps = manifest(cur).get(s"_schema:$table").toSeq
       .flatMap(_.split('|').toSeq)
-      .collect { case Step(k, kind, a, b) if k.toInt > asOf => (k.toInt, kind, a, b) }
+      .collect { case Step(k, kind, a, b) if k.toInt >= asOf => (k.toInt, kind, a, b) }
       .sortBy(_._1)
     var df = snapshotAt(asOf).read(spark, table)
     steps.foreach {

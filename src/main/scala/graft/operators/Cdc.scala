@@ -109,6 +109,7 @@ object Cdc {
     */
   def cdcSnapshotRoundtrip(s: SparkSession, d: String): DataFrame = {
     val root = scratchRoot(d, "cdcrt")
+    withScratch(root) {
     val cat = new graft.etl.SnapshotCatalog(root)
     def summarize(df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_rows"),
@@ -144,6 +145,7 @@ object Cdc {
         .select(lit(2L).as("snap"), lit("summary").as("last_op"),
           col("n_rows").as("n_docs"), col("n_chars")))
     finishScratch(pre.unionByName(post).unionByName(sums), root)
+    }
   }
 
   /** A per-invocation scratch catalog root: source-dir key + UUID, so
@@ -164,6 +166,18 @@ object Cdc {
     materialized
   }
 
+  /** Delete the scratch root on FAILURE too: Bench's timing harness
+    * catches Throwable and moves on, and each catalog query runs
+    * several times per bench/verify — an abandoned invocation must
+    * not leak a UUID-named parquet catalog under target/snapcat. */
+  private def withScratch[T](root: String)(body: => T): T =
+    try body
+    catch {
+      case t: Throwable =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+        throw t
+    }
+
   /** Schema evolution driven through the catalog, oracle-gated
     * (VERDICT r8 #5): commit docs v1 as (doc_id, text); record a
     * metadata-only evolution step renaming text->body and adding a
@@ -178,6 +192,7 @@ object Cdc {
     */
   def snapshotSchemaEvolution(s: SparkSession, d: String): DataFrame = {
     val root = scratchRoot(d, "snapevo")
+    withScratch(root) {
     val cat = new graft.etl.SnapshotCatalog(root)
     val v1 = Tables.documents(s, d).select(col("doc_id"), col("text"))
     cat.commit(Map("docs" -> v1))
@@ -197,6 +212,7 @@ object Cdc {
       .select(lit(snap).as("snap"), col("n_docs"), col("body_chars"),
         col("lang_rows"))
     finishScratch(census(old, 1L).unionByName(census(cur, 3L)), root)
+    }
   }
 
   /** The CDC READ surface (the table-format `table_changes` shape):
@@ -238,6 +254,7 @@ object Cdc {
 
   def snapshotChangeFeed(s: SparkSession, d: String): DataFrame = {
     val root = scratchRoot(d, "chfeed")
+    withScratch(root) {
     val cat = new graft.etl.SnapshotCatalog(root)
     cat.commit(Map("docs" ->
       Tables.documents(s, d).select(col("doc_id"), col("text"))))
@@ -252,6 +269,7 @@ object Cdc {
         coalesce(sum(length(coalesce(col("new_text"), col("old_text")))), lit(0L))
           .as("n_chars"))
     finishScratch(census, root)
+    }
   }
 
   val queries: Map[String, Relational.Q] = Map(

@@ -136,9 +136,13 @@ object Profile {
     // 7.8-8.1 s -> ~5 s for the full 6-constraint audit. (Key columns
     // are non-null in this schema — profile gate above audits that —
     // so the group count equals the DISTINCT count exactly.)
+    // coalesce: a global sum over ZERO groups is NULL, but the audit
+    // contract (and the oracle's count(*) - count(DISTINCT)) is 0 on
+    // an empty table
     def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-        .agg(sum(col("c") - 1L).as("n_violations"), sum(col("c")).as("n_checked"))
+        .agg(coalesce(sum(col("c") - 1L), lit(0L)).as("n_violations"),
+          coalesce(sum(col("c")), lit(0L)).as("n_checked"))
         .select(lit(name).as("constraint_name"), col("n_violations"), col("n_checked"))
     def fk(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame =
@@ -407,11 +411,19 @@ object Profile {
     * min/max aggregate and broadcasts into a bounded 768-row
     * nested-loop join; one tiny aggregate emits 12 rows.
     */
-  def pruningSkipEval(s: SparkSession, d: String): DataFrame = {
-    val zones = zorderLayout(s, d)
-    val rng = Tables.lineitem(s, d).agg(
+  /** The (pmin, pmax, smin, smax) scalar key-range aggregate both skip
+    * evals anchor their probe ranges on. */
+  private def keyRange(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(
       min(col("l_partkey")).as("pmin"), max(col("l_partkey")).as("pmax"),
       min(col("l_suppkey")).as("smin"), max(col("l_suppkey")).as("smax"))
+
+  /** zones x quarter-anchored probes with the probed dimension's zone
+    * bounds dispatched and the skip flag computed — the shared core of
+    * pruning_skip_eval and hilbert_skip_eval (same probe arithmetic as
+    * both DuckDB twins; edit all four together). `zones` must carry
+    * (layout, n, pk_min, pk_max, sk_min, sk_max). */
+  private def classifiedSkips(zones: DataFrame, rng: DataFrame): DataFrame = {
     def probe(cname: String, lo: String, hi: String, q: Int) =
       struct(lit(cname).as("probe_col"), lit(q.toLong).as("probe_id"),
         expr(s"$lo + (($hi - $lo + 1) * $q) div 4").as("lo_v"),
@@ -422,15 +434,19 @@ object Profile {
         (1 to 3).map(q => probe("sk", "smin", "smax", q)): _*)).as("p"))
       .select(col("p.*"))
     zones.crossJoin(broadcast(probes))
-      .select(col("layout"), col("probe_col"), col("probe_id"),
+      .select(col("layout"), col("probe_col"), col("probe_id"), col("n"),
         when(col("probe_col") === "pk", col("pk_min")).otherwise(col("sk_min")).as("zmin"),
         when(col("probe_col") === "pk", col("pk_max")).otherwise(col("sk_max")).as("zmax"),
         col("lo_v"), col("hi_v"))
+      .withColumn("skip",
+        col("zmax") < col("lo_v") || col("zmin") > col("hi_v"))
+  }
+
+  def pruningSkipEval(s: SparkSession, d: String): DataFrame =
+    classifiedSkips(zorderLayout(s, d), keyRange(s, d))
       .groupBy(col("layout"), col("probe_col"), col("probe_id"))
       .agg(count(lit(1)).as("n_files"),
-        sum(when(col("zmax") < col("lo_v") || col("zmin") > col("hi_v"), 1L)
-          .otherwise(0L)).as("n_skipped"))
-  }
+        sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"))
 
   /** Hilbert index of (x, y) on an n x n grid (n a power of two) —
     * the standard iterative xy2d walk (Hilbert 1891; code shape per
@@ -510,9 +526,7 @@ object Profile {
   def hilbertSkipEval(s: SparkSession, d: String): DataFrame = {
     val rows = Tables.lineitem(s, d).select(
       col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-    val rng = rows.agg(
-      min(col("pk")).as("pmin"), max(col("pk")).as("pmax"),
-      min(col("sk")).as("smin"), max(col("sk")).as("smax"))
+    val rng = keyRange(s, d)
     val grid = rows.crossJoin(broadcast(rng))
       .withColumn("p8", expr("(pk - pmin) * 256 div (pmax - pmin + 1)"))
       .withColumn("s8", expr("(sk - smin) * 256 div (smax - smin + 1)"))
@@ -538,22 +552,7 @@ object Profile {
       .agg(count(lit(1)).as("n"),
         min(col("pk")).as("pk_min"), max(col("pk")).as("pk_max"),
         min(col("sk")).as("sk_min"), max(col("sk")).as("sk_max"))
-    def probe(cname: String, lo: String, hi: String, q: Int) =
-      struct(lit(cname).as("probe_col"), lit(q.toLong).as("probe_id"),
-        expr(s"$lo + (($hi - $lo + 1) * $q) div 4").as("lo_v"),
-        expr(s"$lo + (($hi - $lo + 1) * $q) div 4 + ($hi - $lo + 1) div 64")
-          .as("hi_v"))
-    val probes = rng.select(explode(array(
-      (1 to 3).map(q => probe("pk", "pmin", "pmax", q)) ++
-        (1 to 3).map(q => probe("sk", "smin", "smax", q)): _*)).as("p"))
-      .select(col("p.*"))
-    zones.crossJoin(broadcast(probes))
-      .select(col("layout"), col("probe_col"), col("probe_id"), col("n"),
-        when(col("probe_col") === "pk", col("pk_min")).otherwise(col("sk_min")).as("zmin"),
-        when(col("probe_col") === "pk", col("pk_max")).otherwise(col("sk_max")).as("zmax"),
-        col("lo_v"), col("hi_v"))
-      .withColumn("skip",
-        col("zmax") < col("lo_v") || col("zmin") > col("hi_v"))
+    classifiedSkips(zones, rng)
       .groupBy(col("layout"), col("probe_col"), col("probe_id"))
       .agg(count(lit(1)).as("n_files"),
         sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"),

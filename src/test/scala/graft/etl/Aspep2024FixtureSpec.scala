@@ -26,10 +26,14 @@ class Aspep2024FixtureSpec extends AnyFunSuite {
     val dir = new java.io.File("target/aspep2024_fixture/raw")
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
     dir.mkdirs()
-    refRaw.listFiles().foreach { f =>
-      java.nio.file.Files.createSymbolicLink(
-        new java.io.File(dir, f.getName).toPath, f.toPath)
-    }
+    // never symlink a real 2024 workbook: the fixture write below
+    // would follow the link and clobber the READ-ONLY reference file
+    // the day one lands there (the synthesized fixture supersedes it)
+    refRaw.listFiles().filterNot(_.getName.startsWith("aspep_2024"))
+      .foreach { f =>
+        java.nio.file.Files.createSymbolicLink(
+          new java.io.File(dir, f.getName).toPath, f.toPath)
+      }
     val header = AspepConfig.columnMap2024.map(_._1)
     // column order: state, gov_function, ft_employment, ft_pay,
     // pt_employment, pt_pay, pt_hours, ft_eq_employment,

@@ -274,6 +274,12 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // the current snapshot needs no mapping
     val cur = cat.readAsCurrentSchema(spark, 3, "fact")
     assert(cur.filter(col("note").isNotNull).count() == 6)
+    // the step's OWN manifest serves carried-forward pre-step data, so
+    // the step must apply to it too (the >= boundary)
+    val atStep = cat.readAsCurrentSchema(spark, 2, "fact")
+    assert(atStep.columns.toSeq == Seq("id", "k", "amt", "note"),
+      s"asOf == step id must map: ${atStep.columns.toSeq}")
+    assert(atStep.count() == 4, "m=2 carries m=1's data forward")
     // a SECOND step chains: amt -> amt_total composes after amount -> amt
     cat.evolveSchema("fact", renames = Map("amt_total" -> "amt")) // m=4
     val old2 = cat.readAsCurrentSchema(spark, 1, "fact")
@@ -284,6 +290,10 @@ class SnapshotCatalogSpec extends SparkTestBase {
       "the post-evolution snapshot applies only steps recorded after it")
     assert(mid.filter(col("note").isNotNull).count() == 6,
       "columns already present at the snapshot are served from data, not nulled")
+    // parameterized SQL types are legal added-column types
+    cat.evolveSchema("fact", added = Map("price" -> "decimal(10,2)"))
+    val withPrice = cat.readAsCurrentSchema(spark, 1, "fact")
+    assert(withPrice.schema("price").dataType.typeName == "decimal(10,2)")
   }
 
   test("schema evolution: dropped columns disappear from old snapshots read through the current schema") {

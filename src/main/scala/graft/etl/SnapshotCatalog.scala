@@ -38,11 +38,15 @@ import java.nio.charset.StandardCharsets
   * disk. A crash before the link leaves orphan nonce dirs and a temp
   * file, both invisible to every reader. `commit` is last-manifest-wins
   * at table granularity; `commitSerializable` adds optimistic conflict
-  * detection — it aborts when any table it writes was replaced since
-  * the writer's base snapshot (the Iceberg/Delta serializable level,
-  * re-checked on every CAS retry so the check races nothing). On an
-  * object store the hard-link CAS maps to a conditional PUT
-  * (If-None-Match) of the manifest key.
+  * detection — by default it aborts when any table it WRITES was
+  * replaced since the writer's base snapshot (write-set-only
+  * validation: Delta's WriteSerializable level, NOT full serializable
+  * — cross-table write skew between writers on disjoint write sets is
+  * admitted), and a writer that declares its `readTables` gets full
+  * serializable: the commit also aborts when any table it read was
+  * replaced since base (ADVICE r9 #1). Both checks re-run on every
+  * CAS retry so they race nothing. On an object store the hard-link
+  * CAS maps to a conditional PUT (If-None-Match) of the manifest key.
   *
   * Every admission decision (exactly-once ledger, serializable
   * conflict, schema-step stamping) runs INSIDE the CAS loop against
@@ -104,17 +108,26 @@ class SnapshotCatalog(catalogDir: String) {
       else SnapshotCatalog.Proceed(Map(ledgerKey -> batchId.toString)))
   }
 
-  /** Serializable commit: abort (throw [[SnapshotCatalog.ConflictException]])
-    * if any table this commit writes was replaced since the writer's
-    * `base` snapshot — two writers racing on the SAME table cannot both
-    * win, while writers on disjoint tables still interleave freely.
-    * The comparison runs inside the CAS loop against each attempt's
-    * true predecessor, so the loser of a race always sees the winner's
+  /** Conflict-detected commit: abort (throw
+    * [[SnapshotCatalog.ConflictException]]) if any table this commit
+    * writes — or any table named in `readTables` — was replaced since
+    * the writer's `base` snapshot. With the default empty `readTables`
+    * this is WRITE-set-only validation (Delta's WriteSerializable):
+    * two writers racing on the SAME table cannot both win, writers on
+    * disjoint write sets interleave freely, and cross-table write skew
+    * (writer A reads t1 writes t2, writer B reads t2 writes t1) is
+    * ADMITTED. Declaring `readTables` upgrades the transaction to full
+    * serializable — a replaced read table aborts too, so decisions
+    * derived from stale reads never land (ADVICE r9 #1). The
+    * comparison runs inside the CAS loop against each attempt's true
+    * predecessor, so the loser of a race always sees the winner's
     * manifest before deciding. */
   def commitSerializable(base: SnapshotCatalog.Snapshot,
-      tables: Map[String, DataFrame]): Int =
+      tables: Map[String, DataFrame],
+      readTables: Set[String] = Set.empty): Int =
     commitRaw(tables, (_, prev) => {
-      val conflicted = tables.keys.filter(t => prev.get(t) != base.tables.get(t))
+      val conflicted = (tables.keys ++ readTables)
+        .filter(t => prev.get(t) != base.tables.get(t))
       if (conflicted.isEmpty) SnapshotCatalog.Proceed(Map.empty)
       else SnapshotCatalog.Abort(
         s"serializable conflict on ${conflicted.mkString(", ")}: " +
@@ -284,17 +297,30 @@ class SnapshotCatalog(catalogDir: String) {
     * disk — the leftovers of commits killed between their data writes
     * and the CAS link (aborted/no-op commits clean up after
     * themselves). Safe for readers: a dir no manifest ever named was
-    * never visible to any snapshot. `minAgeMs` guards the race with an
+    * never visible to any snapshot. Two independent guards protect an
     * IN-FLIGHT commit whose data is written but whose manifest is not
-    * yet linked (the Iceberg remove_orphan_files olderThan contract) —
-    * production sweeps pass hours; tests pass 0 on a quiesced catalog.
-    * Returns the number of dirs removed. */
+    * yet linked (ADVICE r9 #4 — minAgeMs alone made a careless 0 while
+    * a writer was live delete dirs the imminent manifest would name):
+    * `minAgeMs` is the Iceberg remove_orphan_files olderThan contract
+    * (production sweeps pass hours), AND any dir newer than the newest
+    * linked manifest is unconditionally skipped — a live commit always
+    * writes its data AFTER the manifest it will succeed, so a dir in
+    * that window is indistinguishable from in-flight work regardless
+    * of the caller's age choice. (Corollary: an orphan from a crash
+    * that post-dates every manifest becomes sweepable only after the
+    * next successful commit — the conservative direction.) Returns the
+    * number of dirs removed. */
   def sweepOrphans(minAgeMs: Long): Int = {
     val cur = currentId.getOrElse(0)
+    val linked = (1 to cur).filter(k => Files.exists(manifestPath(k)))
     val referenced: Set[(String, String)] =
-      (1 to cur).filter(k => Files.exists(manifestPath(k)))
-        .flatMap(k => manifest(k).toSeq).toSet
-    val cutoff = System.currentTimeMillis() - minAgeMs
+      linked.flatMap(k => manifest(k).toSeq).toSet
+    // no manifest on disk -> nothing is provably quiesced; sweep nothing
+    val newestManifestMs = linked.map(k =>
+      Files.getLastModifiedTime(manifestPath(k)).toMillis)
+      .maxOption.getOrElse(Long.MinValue)
+    val cutoff = math.min(System.currentTimeMillis() - minAgeMs,
+      newestManifestMs)
     val tables = Option(new java.io.File(catalogDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && !f.getName.startsWith("_"))
     var removed = 0

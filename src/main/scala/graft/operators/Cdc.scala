@@ -159,11 +159,20 @@ object Cdc {
 
   /** Eagerly materialize a bounded (census-sized) result and drop the
     * scratch catalog it was computed from: the returned frame must not
-    * lazily re-scan a directory this invocation owns and deletes. */
+    * lazily re-scan a directory this invocation owns and deletes.
+    * Driver-side rebuild, NOT localCheckpoint (ADVICE r9 #2): a
+    * checkpoint truncates lineage but its blocks remain EVICTABLE
+    * under memory pressure, and once the scratch root is deleted an
+    * evicted block cannot be recomputed — the returned frame would
+    * fail unrecoverably at consumption time. These results are census
+    * tables of <= a dozen rows, so the collect is metadata traffic
+    * (the same class as currentId), not a driver-side data path. */
   private def finishScratch(out: DataFrame, root: String): DataFrame = {
-    val materialized = out.localCheckpoint() // eager; <= a dozen rows
+    val rows = out.collect()
+    val local = out.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    materialized
+    local
   }
 
   /** Delete the scratch root on FAILURE too: Bench's timing harness

@@ -30,9 +30,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - versions are IMMUTABLE once published (ADVICE r8 #4): each stamp
   *    gets its own `v=<fp(stamp)>` subdirectory, so a rebuild in
   *    another JVM never deletes parquet files out from under a reader
-  *    that lazily resolved the previous version — the superseded
-  *    version survives one more generation and is garbage-collected on
-  *    the rebuild after that (the publishVersioned grace discipline);
+  *    that lazily resolved the previous version — a superseded version
+  *    survives a grace TTL measured from the rebuild that replaced it
+  *    (ADVICE r9 #5) and is garbage-collected by a later rebuild only
+  *    after that TTL elapses;
   *  - an OS-level FileLock serializes the check-and-publish across
   *    JVMs (Verify under nohup and Bench run as separate processes);
   *    the JVM monitor serializes threads within one process, where a
@@ -64,10 +65,12 @@ object LaneCache {
   /** Return the lane as a DataFrame, deriving and publishing it first
     * iff the stamp (source dir + source-table fingerprints + generator
     * fingerprint) does not match the current cache. `derive` is only
-    * evaluated on a miss. */
+    * evaluated on a miss. Superseded versions survive `graceTtlMs`
+    * after the rebuild that replaced them (see the GC note below). */
   def cached(s: SparkSession, srcDir: String, lane: String, genFp: String,
              srcTables: Seq[String],
-             cacheRoot: String = "target/lane_cache")
+             cacheRoot: String = "target/lane_cache",
+             graceTtlMs: Long = 30L * 60 * 1000)
             (derive: => DataFrame): DataFrame = {
     val src = new java.io.File(srcDir).getCanonicalFile
     val key = lane + "__" +
@@ -105,17 +108,31 @@ object LaneCache {
           if (!tmp.renameTo(vDir))
             throw new java.io.IOException(
               s"lane cache publish failed: $tmp -> $vDir")
-          // GC under the lock: keep the fresh version plus the single
-          // most-recent superseded one (grace for readers that resolved
-          // it before this rebuild); drop older versions, orphan tmp
-          // dirs from killed builds, and pre-versioning flat-layout
-          // files left by earlier releases
+          // GC under the lock (ADVICE r9 #5): a superseded version is
+          // retained for graceTtlMs measured from the moment it was
+          // SUPERSEDED — a `_GRAFT_SUPERSEDED` marker stamped here, on
+          // the rebuild that replaced it — not a fixed count of one
+          // generation. A reader whose lazy scan spans several quick
+          // rebuilds in other JVMs keeps its files for as long as a
+          // scan plausibly lives, and no mtime ORDERING is trusted
+          // (coarse-mtime filesystems misrank same-second generations;
+          // an age threshold against the marker needs no ranking, and
+          // the marker — not the dir mtime — measures superseded-age,
+          // since a dir's own mtime is its BUILD time). Orphan tmp
+          // dirs from killed builds and pre-versioning flat-layout
+          // files are reclaimed regardless; parquet readers ignore
+          // the underscore-prefixed marker file.
+          val now = System.currentTimeMillis()
           val entries = Option(laneDir.listFiles()).toSeq.flatten
-          val grace = entries
-            .filter(f => f.getName.startsWith("v=") && f.getName != vName)
-            .sortBy(-_.lastModified()).headOption.map(_.getName)
-          val keep = Set(vName) ++ grace
-          entries.filterNot(f => keep(f.getName) || f.getPath == tmp.getPath)
+          entries.filter(f => f.getName.startsWith("v=") && f.getName != vName)
+            .foreach { v =>
+              val sup = new java.io.File(v, "_GRAFT_SUPERSEDED")
+              if (!sup.exists())
+                java.nio.file.Files.createFile(sup.toPath)
+              else if (now - sup.lastModified() > graceTtlMs)
+                org.apache.commons.io.FileUtils.deleteQuietly(v)
+            }
+          entries.filterNot(f => f.getName.startsWith("v="))
             .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         }
       } finally { osLock.release(); lockCh.close() }

@@ -133,17 +133,32 @@ object Profile {
     // Expand DOUBLING the table before the exchange (2 x 6M lineitem
     // rows at sf1) — with one keyed partial-agg shuffle and a scalar
     // fold over the bounded group table. Paired TimeOne at sf1 (r9):
-    // 7.8-8.1 s -> ~5 s for the full 6-constraint audit. (Key columns
-    // are non-null in this schema — profile gate above audits that —
-    // so the group count equals the DISTINCT count exactly.)
+    // 7.8-8.1 s -> ~5 s for the full 6-constraint audit.
+    // The forms agree ONLY when no key is NULL (grouped: one NULL-key
+    // group contributes c-1; distinct-count contract: every NULL-key
+    // row is a violation), so the invariant is ENFORCED, not assumed
+    // (ADVICE r9 #3): the NULL-key row mass rides the same scalar
+    // aggregate for free (group keys survive the groupBy) and a
+    // nonzero count raises at evaluation time instead of silently
+    // under-reporting if a key column ever becomes nullable.
     // coalesce: a global sum over ZERO groups is NULL, but the audit
     // contract (and the oracle's count(*) - count(DISTINCT)) is 0 on
     // an empty table
-    def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+    def uniq(name: String, df: DataFrame, keys: Seq[String]): DataFrame = {
+      val nullKey = keys.map(col(_).isNull).reduce(_ || _)
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c") - 1L), lit(0L)).as("n_violations"),
-          coalesce(sum(col("c")), lit(0L)).as("n_checked"))
-        .select(lit(name).as("constraint_name"), col("n_violations"), col("n_checked"))
+        .agg(coalesce(sum(col("c") - 1L), lit(0L)).as("nv"),
+          coalesce(sum(col("c")), lit(0L)).as("n_checked"),
+          coalesce(sum(when(nullKey, col("c")).otherwise(0L)), lit(0L))
+            .as("n_nullkey"))
+        .select(lit(name).as("constraint_name"),
+          when(col("n_nullkey") === 0L, col("nv"))
+            .otherwise(raise_error(concat(
+              lit(s"$name: grouped uniqueness audit requires non-null keys; NULL-key rows: "),
+              col("n_nullkey").cast("string"))))
+            .cast("long").as("n_violations"),
+          col("n_checked"))
+    }
     def fk(name: String, child: DataFrame, ck: String,
         parent: DataFrame, pk: String): DataFrame =
       child.groupBy(col(ck)).agg(count(lit(1)).as("n_child"))

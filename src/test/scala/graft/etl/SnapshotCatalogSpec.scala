@@ -308,21 +308,37 @@ class SnapshotCatalogSpec extends SparkTestBase {
       == Seq("id", "amount"))
   }
 
-  test("sweepOrphans removes only unreferenced version dirs past the age guard") {
+  test("sweepOrphans removes only unreferenced version dirs past BOTH guards") {
     val root = freshDir("orphans")
     val cat = new SnapshotCatalog(root)
     cat.commit(Map("fact" -> facts(3)))
-    // a commit killed before its CAS link: data written, no manifest
+    // a commit killed before its CAS link: data written, no manifest.
+    // It post-dates m=1, so it is indistinguishable from an IN-FLIGHT
+    // commit about to link m=2 — the newest-manifest guard must hold it
+    // even at minAgeMs = 0 (ADVICE r9 #4, the careless-caller shape)
     facts(9).write.mode("overwrite").parquet(s"$root/fact/u=crashed1")
     val live = cat.snapshot().tables("fact")
-    // age guard first: a too-young orphan is the in-flight-commit shape
-    assert(cat.sweepOrphans(minAgeMs = 3600000L) == 0, "young dirs survive")
+    assert(cat.sweepOrphans(minAgeMs = 0L) == 0,
+      "a dir newer than every manifest survives ANY age setting")
     assert(new java.io.File(s"$root/fact/u=crashed1").exists())
-    // quiesced sweep reclaims it and never touches referenced versions
-    assert(cat.sweepOrphans(minAgeMs = 0L) == 1)
-    assert(!new java.io.File(s"$root/fact/u=crashed1").exists())
+    // after the next successful commit the crash is provably dead wood
+    cat.commit(Map("fact" -> facts(4)))
+    // age guard still applies independently: a too-young orphan is the
+    // in-flight-commit shape even when older manifests exist
+    assert(cat.sweepOrphans(minAgeMs = 3600000L) == 0, "young dirs survive")
+    // quiesce: age the orphan past both guards
+    val crashed = new java.io.File(s"$root/fact/u=crashed1")
+    def ageBack(f: java.io.File): Unit = {
+      f.setLastModified(f.lastModified() - 120000L)
+      Option(f.listFiles()).toSeq.flatten.foreach(ageBack)
+    }
+    ageBack(crashed)
+    assert(cat.sweepOrphans(minAgeMs = 60000L) == 1)
+    assert(!crashed.exists())
     assert(new java.io.File(s"$root/fact/$live").exists())
-    assert(cat.snapshot().read(spark, "fact").count() == 3)
+    // the superseded-but-referenced m=1 version also survives
+    assert(cat.snapshotAt(1).read(spark, "fact").count() == 3)
+    assert(cat.snapshot().read(spark, "fact").count() == 4)
   }
 
   test("compact folds small files, preserves content and history") {

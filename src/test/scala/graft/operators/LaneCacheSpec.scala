@@ -73,15 +73,19 @@ class LaneCacheSpec extends SparkTestBase {
     assert(marker.exists(), "marker restored by the re-publish")
   }
 
-  test("versioned publish: a rebuild never touches the superseded version; GC keeps one grace generation") {
-    // ADVICE r8 #4: a reader in another JVM that lazily resolved the
-    // previous version must keep its parquet files through ONE rebuild
-    // (the grace generation); the generation after that reclaims it.
+  test("versioned publish: a rebuild never touches the superseded version; GC is grace-TTL-based") {
+    // ADVICE r8 #4 + r9 #5: a reader in another JVM that lazily
+    // resolved the previous version must keep its parquet files for a
+    // grace TTL measured from the rebuild that SUPERSEDED it — not for
+    // a fixed count of one generation, which a pair of quick rebuilds
+    // defeats, and not by dir-mtime ordering, which coarse-mtime
+    // filesystems misrank.
     val src = tmpSrc("versioned")
     val root = "target/lanecache_spec/cache_versioned"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    def lane(fp: String) =
-      LaneCache.cached(spark, src, "ver_lane", fp, Seq("documents"), root) {
+    def lane(fp: String, ttlMs: Long = 3600000L) =
+      LaneCache.cached(spark, src, "ver_lane", fp, Seq("documents"), root,
+        graceTtlMs = ttlMs) {
         spark.read.parquet(new java.io.File(src, "documents.parquet").getPath)
       }
     lane("g1").count()
@@ -95,12 +99,24 @@ class LaneCacheSpec extends SparkTestBase {
     assert(spark.read.parquet(v1Path).count() == 3,
       "stale reader still scans the superseded version")
     assert(versionDirs(root, "ver_lane", src).length == 2,
-      "current + one grace version")
+      "current + the in-grace superseded version")
+    // TWO quick rebuilds inside the TTL: v1 STILL survives (the shape
+    // the one-generation policy lost) — its superseded-marker is young
     lane("g3").count()
-    val after = versionDirs(root, "ver_lane", src).map(_.getName)
-    assert(after.length == 2, s"GC keeps exactly two versions, got $after")
+    assert(new java.io.File(v1Path).exists(),
+      "an in-grace version survives ANY number of rebuilds inside the TTL")
+    assert(versionDirs(root, "ver_lane", src).length == 3,
+      "current + two in-grace versions")
+    // age v1's superseded-marker past the TTL; the next rebuild reclaims
+    // it while the still-young g2/g3 versions survive
+    val sup1 = new java.io.File(v1Path, "_GRAFT_SUPERSEDED")
+    assert(sup1.exists(), "superseded versions carry the marker")
+    sup1.setLastModified(sup1.lastModified() - 120000L)
+    lane("g4", ttlMs = 60000L).count()
     assert(!new java.io.File(v1Path).exists(),
-      "the grace generation is reclaimed on the NEXT rebuild")
+      "a version superseded longer than the TTL is reclaimed")
+    assert(versionDirs(root, "ver_lane", src).length == 3,
+      s"g4 current + in-grace g2/g3, got ${versionDirs(root, "ver_lane", src).map(_.getName)}")
   }
 
   // note: the src != dst require in LaneCache.cached is defense-in-

@@ -281,12 +281,87 @@ object Cdc {
     }
   }
 
+  /** File-pruned snapshot reads, oracle-gated end to end (VERDICT r9
+    * #1): commit the corpus through the catalog laid out as 16 files
+    * of CONTIGUOUS doc_id ranges with per-file min/max stats recorded
+    * in the version's sidecar, then answer three quarter-anchored
+    * range probes through [[graft.etl.SnapshotCatalog.Snapshot.readPruned]]
+    * — each probe's row census AND its file-skip counts are emitted,
+    * and every one of them is exactly replayable by the oracle because
+    * the layout is deterministic: bucket = doc_id div span (pure
+    * integer arithmetic), and each bucket maps to its OWN shuffle
+    * partition via a slot key chosen so that pmod(hash(slot), 16) is a
+    * bijection onto 0..15 (representatives found by evaluating Spark's
+    * own hash() — the same Murmur3 expression repartition() plans — on
+    * a driver-side candidate range). One bucket == one task == one
+    * file, so the oracle's per-bucket min/max ARE the sidecar's
+    * per-file zone maps, and a pruning bug on either side desyncs
+    * n_files_read and fails the strict gate.
+    *
+    * Scale: the commit is the parquet write a 100 TB snapshot performs
+    * anyway plus one column-pruned stats scan of the written files;
+    * each probe then opens only the 1-2 overlapping files out of 16 —
+    * the planning-time skip a real table format lives on. The dmax /
+    * slot lookups are planning scalars (the partition-pruning-literal
+    * class), not data collects.
+    */
+  def snapshotPrunedRead(s: SparkSession, d: String): DataFrame = {
+    val base0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxRow = base0.agg(max(col("doc_id"))).head()
+    // empty corpus: no key domain, no probes — the oracle's census JOIN
+    // over an empty zones table yields zero rows; match its schema
+    if (maxRow.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq("probe_id", "n_docs", "n_chars",
+        "n_files_read", "n_files_total").map(StructField(_, LongType)))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val root = scratchRoot(d, "snapprune")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val base = base0
+    val dmax = maxRow.getLong(0)
+    require(dmax >= 0, s"non-negative doc_id domain expected, got max $dmax")
+    val span = (dmax + 16) / 16 // ceil((dmax+1)/16), floor-div exact on longs
+    // slot representatives: the first candidate per hash slot, found
+    // with the SAME hash()+pmod expressions HashPartitioning plans
+    val reps: Map[Long, Long] = s.range(0, 1024)
+      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
+      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
+        slot.toLong -> rows.map(_.getLong(0)).min }
+    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val bucketed = base
+      .withColumn("bucket", expr(s"doc_id div $span"))
+      .withColumn("slotkey", element_at(typedLit(reps), col("bucket")))
+      .repartition(16, col("slotkey"))
+      .select(col("doc_id"), col("text"))
+    cat.commit(Map("docs" -> bucketed),
+      statsCols = Map("docs" -> Seq("doc_id")))
+    val snap = cat.snapshot()
+    val per = (1 to 3).map { q =>
+      val lo = (dmax + 1) * q / 4
+      val hi = lo + (dmax + 1) / 64
+      val (kept, total) = snap.pruneFiles("docs", "doc_id", lo, hi)
+      require(kept.size < total,
+        s"probe $q pruned nothing: ${kept.size}/$total")
+      snap.readPruned(s, "docs", "doc_id", lo, hi)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        .select(lit(q.toLong).as("probe_id"), col("n_docs"), col("n_chars"),
+          lit(kept.size.toLong).as("n_files_read"),
+          lit(total.toLong).as("n_files_total"))
+    }.reduce(_.unionByName(_))
+    finishScratch(per, root)
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
     "cdc_snapshot_roundtrip" -> (cdcSnapshotRoundtrip _),
     "snapshot_schema_evolution" -> (snapshotSchemaEvolution _),
-    "snapshot_change_feed" -> (snapshotChangeFeed _)
+    "snapshot_change_feed" -> (snapshotChangeFeed _),
+    "snapshot_pruned_read" -> (snapshotPrunedRead _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -386,6 +461,39 @@ object Cdc {
         |SELECT op, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
         |FROM feed GROUP BY op""".stripMargin,
+
+    // the pruned read reduces to pure integer arithmetic over the data:
+    // bucket = doc_id // span is one file by construction, so per-probe
+    // n_files_read = buckets whose data [min, max] overlaps the probe
+    // range, and the row census is a plain BETWEEN — a wrong sidecar, a
+    // wrong prune decision, or a broken one-bucket-one-file layout all
+    // desynchronize the counts
+    "snapshot_pruned_read" ->
+      """WITH r AS (SELECT max(doc_id) AS dmax,
+        |  (max(doc_id) + 16) // 16 AS span FROM documents),
+        |probes AS (
+        | SELECT q, ((dmax + 1) * q) // 4 AS lo,
+        |  ((dmax + 1) * q) // 4 + (dmax + 1) // 64 AS hi
+        | FROM r, (VALUES (1), (2), (3)) t(q)),
+        |zones AS (
+        | SELECT d.doc_id // r.span AS bucket,
+        |  min(d.doc_id) AS mn, max(d.doc_id) AS mx
+        | FROM documents d, r GROUP BY 1),
+        |census AS (
+        | SELECT p.q, CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(length(d.text)), 0) AS BIGINT) AS n_chars
+        | FROM probes p LEFT JOIN documents d
+        |  ON d.doc_id BETWEEN p.lo AND p.hi
+        | GROUP BY p.q),
+        |fr AS (
+        | SELECT p.q,
+        |  CAST(count(*) FILTER (WHERE NOT (z.mx < p.lo OR z.mn > p.hi)) AS BIGINT)
+        |    AS n_files_read,
+        |  CAST(count(*) AS BIGINT) AS n_files_total
+        | FROM probes p CROSS JOIN zones z GROUP BY p.q)
+        |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_docs, c.n_chars,
+        | fr.n_files_read, fr.n_files_total
+        |FROM census c JOIN fr ON fr.q = c.q""".stripMargin,
 
     // the evolution roundtrip reduces to: snap 1 = the base corpus
     // with body sourced from text and lang absent (typed NULL -> zero

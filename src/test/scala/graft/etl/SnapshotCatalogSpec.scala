@@ -359,6 +359,64 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(cat.snapshotAt(1).read(spark, "fact").count() == 64)
   }
 
+  test("file-level stats: readPruned scans only overlapping files; pruned files are provably untouched") {
+    val root = freshDir("prune")
+    val cat = new SnapshotCatalog(root)
+    // four contiguous key ranges, one RDD partition each -> four files
+    // with disjoint known [min, max] per file
+    val df = spark.sparkContext.parallelize(0L until 400L, 4).toDF("id")
+      .withColumn("s", lpad(col("id").cast("string"), 6, "0"))
+      .withColumn("nl", when(col("id") >= 100, col("id"))) // file 0: all-NULL
+    cat.commit(Map("t" -> df), statsCols = Map("t" -> Seq("id", "s", "nl")))
+    val snap = cat.snapshot()
+    val dir = s"$root/t/${snap.tables("t")}"
+
+    // planning: exactly one of the four files overlaps [150, 180]
+    val (kept, total) = snap.pruneFiles("t", "id", 150L, 180L)
+    assert(total == 4 && kept.size == 1, s"kept=$kept total=$total")
+    // the physical scan reads EXACTLY the kept files...
+    val pruned = snap.readPruned(spark, "t", "id", 150L, 180L)
+    assert(pruned.inputFiles.map(_.split('/').last).toSet == kept.toSet,
+      s"inputFiles=${pruned.inputFiles.toSeq} kept=$kept")
+    // ...and returns exactly what a full filtered scan returns
+    val full = snap.read(spark, "t")
+      .filter(col("id") >= 150L && col("id") <= 180L)
+    assert(pruned.select(sum(col("id")), count(lit(1))).collect().toSeq ==
+      full.select(sum(col("id")), count(lit(1))).collect().toSeq)
+
+    // string-column pruning (fixed-width pad => lexicographic == numeric)
+    val (keptS, _) = snap.pruneFiles("t", "s", "000150", "000180")
+    assert(keptS == kept, "string zone maps prune the same file")
+
+    // conservative keeps: the all-NULL-stats file survives any probe on
+    // nl; numerically disjoint files still prune
+    val (keptN, _) = snap.pruneFiles("t", "nl", 350L, 360L)
+    assert(keptN.size == 2, s"all-NULL file + the [300,399] file: $keptN")
+
+    // an empty prune plan returns a schema-correct empty frame
+    val none = snap.readPruned(spark, "t", "id", 5000L, 6000L)
+    assert(none.columns.toSeq == Seq("id", "s", "nl") && none.count() == 0)
+
+    // THE PROOF pruned files are not read: physically delete every
+    // skipped file — the pruned scan still evaluates correctly, so no
+    // plan node ever opened them
+    val skipped = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !kept.contains(f.getName))
+    assert(skipped.length == 3)
+    skipped.foreach(f => assert(f.delete()))
+    val afterDelete = snap.readPruned(spark, "t", "id", 150L, 180L)
+    assert(afterDelete.agg(sum(col("id"))).as[Long].head() ==
+      (150L to 180L).sum, "pruned read never touches skipped files")
+
+    // a version committed WITHOUT stats keeps everything (fallback)
+    val cat2 = new SnapshotCatalog(freshDir("prune_nostats"))
+    cat2.commit(Map("t" -> spark.sparkContext.parallelize(0L until 40L, 2).toDF("id")))
+    val s2 = cat2.snapshot()
+    val (k2, t2) = s2.pruneFiles("t", "id", 0L, 5L)
+    assert(k2.size == t2 && t2 == 2)
+    assert(s2.readPruned(spark, "t", "id", 0L, 5L).count() == 6)
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)

@@ -75,13 +75,29 @@ object Bench {
       drainCaches()
       if (ok) dt else -1.0
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic bench order (VERDICT r9 #4): alphabetical, with the
+    // scratch-WRITING catalog queries sequenced LAST. Two reasons:
+    // (a) Map hash order reshuffled every time the registry grew, so a
+    // query's neighbor context — and therefore its page-cache/heap
+    // inheritance — changed round over round (the r8/r9 incidents);
+    // alphabetical order is stable regardless of registry growth.
+    // (b) the catalog queries write multi-hundred-MB scratch parquet at
+    // sf1, and those writes evict the OS page cache the scan-heavy
+    // queries (integrity_audit's lineitem scans) rely on; running them
+    // after every scan-heavy query isolates that eviction where no
+    // timed scan follows it.
+    val scratchWriters = Set("cdc_snapshot_roundtrip",
+      "snapshot_schema_evolution", "snapshot_change_feed",
+      "snapshot_pruned_read", "change_feed_maintenance")
+    val benchOrder = SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (scratchWriters(n), n) }
+    val results = benchOrder.map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t2 = timeOnce(fn)
       // -1.0 whenever EITHER run fails: a flaky query must read as
       // failed, not as the surviving run's time
       name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
-    }
+    }.toMap
     def toJson(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -130,8 +146,13 @@ object Bench {
         // universe plan stays a small-sf parity pin (registry + sf0.1
         // stage + strict oracle at both scales) rather than a
         // 25-31 s line item re-proving the same matrix at sf1.
-        val sf1Skip = Set("lsh_band_eval")
-        val r1 = SparkEntry.queries.filterNot(q => sf1Skip(q._1)).map { case (n, fn) =>
+        // dedup_ngram_jaccard (the blocked all-pairs truth lane) gets
+        // the same treatment (VERDICT r9 #3): dedup_ngram_prefix is
+        // pinned row-for-row equal (DedupPipelineSpec), gated against
+        // the SAME oracle SQL, and 2.8x faster at sf1 (16.6 vs 5.8 s
+        // paired TimeOne) — the quadratic stays a small-sf truth pin.
+        val sf1Skip = Set("lsh_band_eval", "dedup_ngram_jaccard")
+        val r1 = benchOrder.filterNot(q => sf1Skip(q._1)).map { case (n, fn) =>
           val t1 = timeAt(fn)
           val t =
             if (t1 < 1.0) t1
@@ -139,7 +160,7 @@ object Bench {
             // fails (transient load) — a real failure shows as t1 < 0
             else { val t2 = timeAt(fn); if (t2 < 0) t1 else math.min(t1, t2) }
           n -> t
-        }
+        }.toMap
         s""","sf1_queries":${toJson(r1)},"sf1_total":${r1.values.filter(_ > 0).sum},"sf1_factor":10"""
       } catch { case _: Throwable => "" }
 

@@ -393,15 +393,17 @@ object Dedup {
     * documented within-block quadratic: the exact-Jaccard work is
     * bounded by LSH recall, not block size.
     */
-  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+  /** The LSH-gated exact-verify stage shared by dedupPipeline (and by
+    * the DedupPipelineSpec parity pin against the blocked quadratic):
+    * LSH band candidates -> exact unigram Jaccard -> keep >= 0.5.
+    * Exact unigram sets for the verify stage; set SIZES projected in a
+    * second select (CollapseProject re-inlines aliased non-cheap
+    * expressions — see wordShingles contract). Sets carried as sorted
+    * distinct HASHES (gramHashes k=1 = hash60 per token): long merge
+    * walks + long distinct, no string compares in the pairwise stage;
+    * counts identical (md5 injective on the distinct token set). */
+  private[operators] def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val (pairs, _) = lshCandidates(s, d)
-    // exact unigram sets for the verify stage; set SIZES projected in a
-    // second select (CollapseProject re-inlines aliased non-cheap
-    // expressions — see wordShingles contract)
-    // sets carried as sorted distinct HASHES (gramHashes k=1 = hash60
-    // per token): long merge walks + long distinct, no string compares
-    // in the pairwise stage; counts identical (md5 injective on the
-    // distinct token set)
     val uni = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"))
@@ -413,10 +415,12 @@ object Dedup {
         col("nu").as("nu_b")), Seq("doc_b"))
     val i = graft.functions.IntersectCount.intersectCount(col("uni_a"), col("uni_b"))
     val jac = round(i.cast("double") / (col("nu_a") + col("nu_b") - i), 6)
-    val verified = cand
-      .select(col("doc_a"), col("doc_b"), jac.as("jac1"))
+    cand.select(col("doc_a"), col("doc_b"), jac.as("jac1"))
       .filter(col("jac1") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val verified = lshVerifiedPairs(s, d).select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(verified)
     val withLbl = Tables.documents(s, d).select(col("doc_id"))
       .join(labels.select(col("doc").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
@@ -433,22 +437,19 @@ object Dedup {
     * crawl shard, domain, near-dup cluster). jac1 = unigram set
     * Jaccard, jac3 = word-3-gram set Jaccard; keep jac1 >= 0.5.
     */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // two projections: sets from the materialized token attribute, then
-    // set SIZES from the set attributes (never reference an aliased
-    // non-cheap expression twice in one later select — CollapseProject
-    // re-inlines it; see wordShingles contract)
-    // sets are SORTED once per row so the per-pair intersection is a
-    // native merge walk (IntersectCount), not a per-pair hash set
-    // sets carried as sorted distinct HASHES (gramHashes; k=1 = per-
-    // token hash60): the per-pair merge walk compares longs instead of
-    // UTF8 strings and the per-row distinct+sort runs on primitive
-    // longs; counts identical (md5 injective on the distinct sets)
-    // materialized ONCE: the slim pair join and the two trigram
-    // re-attach joins all consume it (eager localCheckpoint — 50 k
-    // rows of set arrays, the per-stage artifact a 100 TB run writes
-    // to parquet)
-    val base = Tables.documents(s, d)
+  /** Shared per-doc set base for the ngram-Jaccard pair: sorted
+    * distinct unigram/trigram hash sets + sizes, materialized ONCE
+    * (eager localCheckpoint — 50 k rows of set arrays, the per-stage
+    * artifact a 100 TB run writes to parquet). Two projections: sets
+    * from the materialized token attribute, then set SIZES from the
+    * set attributes (never reference an aliased non-cheap expression
+    * twice in one later select — CollapseProject re-inlines it; see
+    * wordShingles contract). Sets are SORTED so the per-pair
+    * intersection is a native merge walk (IntersectCount) over
+    * primitive longs; counts identical (md5 injective on the distinct
+    * sets). */
+  private def ngramBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         array_sort(array_distinct(gramHashes(col("toks"), 1))).as("uni"),
@@ -456,6 +457,9 @@ object Dedup {
       .select(col("doc_id"), col("source"), col("uni"), col("tri"),
         size(col("uni")).as("nu"), size(col("tri")).as("nt"))
       .localCheckpoint(true)
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val base = ngramBase(s, d)
     // |A ∪ B| = |A| + |B| - |A ∩ B| for sets: ONE set-op per jaccard
     // instead of two, value-identical to intersect/union sizes.
     def jac(x: Column, y: Column, nx: Column, ny: Column) = {
@@ -479,6 +483,71 @@ object Dedup {
       col("uni").as("uni_b"), col("nu").as("nu_b"))
     val survivors = a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        jac(col("uni_a"), col("uni_b"), col("nu_a"), col("nu_b")).as("jac1"))
+      .filter(col("jac1") >= 0.5)
+    survivors
+      .join(base.select(col("doc_id").as("doc_a"), col("tri").as("tri_a"),
+        col("nt").as("nt_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("tri").as("tri_b"),
+        col("nt").as("nt_b")), Seq("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"), col("jac1"),
+        jac(col("tri_a"), col("tri_b"), col("nt_a"), col("nt_b")).as("jac3"))
+  }
+
+  /** PPJoin-prefix twin of [[dedupNgramJaccard]] — IDENTICAL output
+    * (the registry gates both against the SAME oracle SQL), with the
+    * all-pairs candidate stage replaced by prefix filtering (VERDICT
+    * r9 #3, the lsh_band_eval_dense treatment): J(A,B) >= 0.5 implies
+    * |A∩B| >= ceil(0.5·max(|A|,|B|)) =: α, and two sets whose overlap
+    * is >= α must share an element within their first |X| - α + 1
+    * elements under ANY fixed global order — so prefixes of length
+    * |X| - ceil(0.5·|X|) + 1 (>= the needed length, since
+    * ceil(0.5|X|) <= α) ordered by global document frequency
+    * ascending (rarest first, ties by hash; df-order minimizes
+    * candidates, any order is correct) generate a candidate superset
+    * with FULL recall by construction. Candidates then pass the same
+    * exact merge-walk jac1 gate and trigram re-attach as the
+    * quadratic, so the outputs are equal row-for-row.
+    *
+    * Scale: every stage is an equi-join — postings, a bounded
+    * vocabulary aggregate, a per-doc window (state = one doc's
+    * tokens), the (source, tok) prefix self-join, keyed set
+    * re-attaches. Nothing is quadratic in the block size; candidate
+    * volume is sum over prefix tokens of C(df_in_source, 2), which
+    * df-ascending ordering pushes onto the rare tail. The quadratic
+    * stays registered as the sf0.01/sf0.1 truth lane; this plan
+    * carries the at-scale bench (DedupPipelineSpec pins frame
+    * equality at both spec scales).
+    */
+  def dedupNgramPrefix(s: SparkSession, d: String): DataFrame = {
+    val base = ngramBase(s, d)
+    def jac(x: Column, y: Column, nx: Column, ny: Column) = {
+      val i = graft.functions.IntersectCount.intersectCount(x, y)
+      round(i.cast("double") / (nx + ny - i), 6)
+    }
+    val postings = base.select(col("source"), col("doc_id"), col("nu"),
+      explode(col("uni")).as("tok"))
+    val dfreq = postings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+    val prefix = postings.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("nu") - expr("(nu + 1) div 2") + 1)
+      .select(col("source"), col("tok"), col("doc_id"))
+    val cand = prefix.select(col("source"), col("tok"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("source"), col("tok"), col("doc_id").as("doc_b")),
+        Seq("source", "tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"))
+      .distinct()
+    // same payload discipline as the quadratic: slim pairs first, uni
+    // sets re-attach for the jac1 gate, tri sets only for survivors
+    val survivors = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("uni").as("uni_a"),
+        col("nu").as("nu_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("uni").as("uni_b"),
+        col("nu").as("nu_b")), Seq("doc_b"))
       .select(col("source"), col("doc_a"), col("doc_b"),
         jac(col("uni_a"), col("uni_b"), col("nu_a"), col("nu_b")).as("jac1"))
       .filter(col("jac1") >= 0.5)
@@ -1373,6 +1442,7 @@ object Dedup {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_pipeline" -> (dedupPipeline _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "embedding_cosine_neardup" -> (embeddingCosineNeardup _),
     "dedup_eval" -> (dedupEval _),
     "simhash_eval" -> (simhashEval _),
@@ -2212,5 +2282,9 @@ object Dedup {
          |mm AS (SELECT doc_a, doc_b, CAST(sum(m) AS BIGINT) AS mask
          |       FROM u GROUP BY 1, 2)
          |SELECT mask, CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM mm GROUP BY 1""".stripMargin)
+         |FROM mm GROUP BY 1""".stripMargin) +
+    // the prefix plan is answer-identical to the quadratic BY CONTRACT,
+    // so it is gated against the SAME oracle SQL — the strict compare
+    // is the cross-engine proof the prefix filter loses no pair
+    ("dedup_ngram_prefix" -> baseOracleSql("dedup_ngram_jaccard"))
 }

@@ -143,4 +143,33 @@ class DedupPipelineSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
     assert(got == expect)
   }
+
+  /** The dedup_ngram_jaccard sf1-demotion parity pin (VERDICT r9 #3,
+    * the lsh_band_eval_dense treatment): the blocked quadratic stays
+    * in the registry as the strict-oracle-gated TRUTH at
+    * sf0.01/sf0.1, and the at-scale bench is carried by the PPJoin
+    * prefix twin — two independent candidate algorithms, one answer.
+    * Frame equality row-for-row at both spec scales is the license;
+    * the registry additionally gates both plans against the SAME
+    * oracle SQL. (An equality pin against the LSH-shingle path would
+    * be wrong: 3-shingle minhash measures a different similarity
+    * space than unigram-vocabulary Jaccard, and this corpus's
+    * template families share vocabulary without being shingle
+    * near-dups — measured, not assumed.)
+    */
+  test("parity pin: PPJoin prefix plan == the blocked quadratic, row-for-row, both spec scales") {
+    for (d <- Seq(sf, "/root/testdata/sf0.01")) {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      val truth = rows(Dedup.dedupNgramJaccard(spark, d))
+      val pref = rows(Dedup.dedupNgramPrefix(spark, d))
+      assert(truth.nonEmpty, s"$d: vacuous pin — no survivor pair exists")
+      val missed = truth -- pref
+      val extra = pref -- truth
+      assert(missed.isEmpty && extra.isEmpty,
+        s"$d: prefix plan != quadratic (missed ${missed.size}, extra ${extra.size}): " +
+          (missed.take(3) ++ extra.take(3)).mkString("; "))
+    }
+  }
 }

@@ -128,7 +128,29 @@ class PlanGuardSpec extends SparkTestBase {
       "adv_containment_ppjoin" -> Map(
         "BroadcastExchangeExec" -> 4, "BroadcastHashJoinExec" -> 4,
         "GenerateExec" -> 3, "ShuffleExchangeExec" -> 3,
-        "WindowExec" -> 1))
+        "WindowExec" -> 1),
+      // VERDICT r9 #9: the remaining top-12 EXPLAINS queries, so every
+      // pinned plan is a failing test, not just a diffable doc. The
+      // materializing queries (importance_resample, cross_doc_spans)
+      // pin their registered form's final-stage plan — the same
+      // channel PlanCount prints.
+      "importance_resample" -> Map(
+        "BroadcastExchangeExec" -> 2, "BroadcastHashJoinExec" -> 1,
+        "BroadcastNestedLoopJoinExec" -> 1, "ShuffleExchangeExec" -> 4),
+      "basket_pairs" -> Map(
+        "GenerateExec" -> 1, "ShuffleExchangeExec" -> 2),
+      "min_cost_supplier" -> Map(
+        "BroadcastExchangeExec" -> 10, "BroadcastHashJoinExec" -> 10,
+        "ShuffleExchangeExec" -> 8, "SortMergeJoinExec" -> 2),
+      "product_profit" -> Map(
+        "BroadcastExchangeExec" -> 5, "BroadcastHashJoinExec" -> 5,
+        "ShuffleExchangeExec" -> 2),
+      "excess_inventory" -> Map(
+        "BroadcastExchangeExec" -> 5, "BroadcastHashJoinExec" -> 5,
+        "ShuffleExchangeExec" -> 3),
+      "cross_doc_spans" -> Map(
+        "BroadcastExchangeExec" -> 3, "BroadcastHashJoinExec" -> 3,
+        "ShuffleExchangeExec" -> 7, "WindowExec" -> 1))
     val diffs = pins.toSeq.sortBy(_._1).flatMap { case (name, want) =>
       val got = graft.PlanCount.signature(
         SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)

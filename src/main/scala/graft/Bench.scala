@@ -88,7 +88,8 @@ object Bench {
     // timed scan follows it.
     val scratchWriters = Set("cdc_snapshot_roundtrip",
       "snapshot_schema_evolution", "snapshot_change_feed",
-      "snapshot_pruned_read", "change_feed_maintenance")
+      "snapshot_pruned_read", "change_feed_maintenance",
+      "hilbert_clustered_read")
     val benchOrder = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (scratchWriters(n), n) }
     val results = benchOrder.map { case (name, fn) =>

@@ -360,10 +360,23 @@ class SnapshotCatalog(catalogDir: String) {
     * table, and scan throughput dies on open() overhead until a
     * compactor folds them; here it is one coalesce (no shuffle) plus
     * one ordinary commit, so readers of prior snapshots are untouched
-    * and vacuum reclaims the fragmented version later. */
+    * and vacuum reclaims the fragmented version later.
+    *
+    * Stats-preserving: when the version being compacted carries a
+    * file-stats sidecar, the SAME column set is re-profiled over the
+    * compacted files — otherwise the rewrite would silently demote
+    * every later [[SnapshotCatalog.Snapshot.readPruned]] on this table
+    * to a full scan (the no-sidecar conservative fallback), an
+    * invisible 1/N -> N/N I/O regression. */
   def compact(spark: SparkSession, table: String, numFiles: Int = 1): Int = {
     val s = snapshot()
-    commit(Map(table -> s.read(spark, table).coalesce(numFiles)))
+    val prevDir = s"$catalogDir/$table/${s.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))}"
+    val statCols = SnapshotCatalog.readFileStats(prevDir)
+      .map(_.values.flatMap(_.keys).toSet.toSeq.sorted)
+      .filter(_.nonEmpty)
+    commit(Map(table -> s.read(spark, table).coalesce(numFiles)),
+      statsCols = statCols.map(c => Map(table -> c)).getOrElse(Map.empty))
   }
 
   /** Drop all but the newest `keep` manifests, then delete the version
@@ -426,7 +439,19 @@ object SnapshotCatalog {
       * version committed without stats keeps everything. This is
       * driver-side planning metadata — the same role partition-pruning
       * literals play — sized by the file count, never by rows. */
-    def pruneFiles(table: String, column: String, lo: Any, hi: Any): (Seq[String], Int) = {
+    def pruneFiles(table: String, column: String, lo: Any, hi: Any): (Seq[String], Int) =
+      pruneFilesMulti(table, Map(column -> (lo, hi)))
+
+    /** Conjunctive multi-column pruning: a file is skipped when ANY
+      * predicate's [lo, hi] provably misses that file's recorded
+      * [min, max] (a conjunct that fails on provable bounds fails the
+      * whole AND); each per-column decision stays conservative exactly
+      * as in the single-column form. This is what a clustered layout
+      * (Hilbert/Z-order) buys: the curve bounds EVERY clustering
+      * dimension per file, so a 2D rectangle probe skips on both. */
+    def pruneFilesMulti(table: String,
+        preds: Map[String, (Any, Any)]): (Seq[String], Int) = {
+      require(preds.nonEmpty, "pruneFilesMulti: empty predicate set")
       val dir = versionDir(table)
       val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .map(_.getName).filter(_.endsWith(".parquet")).sorted
@@ -439,8 +464,10 @@ object SnapshotCatalog {
           require(missing.isEmpty,
             s"stats sidecar in $dir misses files: ${missing.mkString(", ")}")
           val kept = stats.toSeq.sortBy(_._1).collect {
-            case (f, cols) if cols.get(column).flatten
-              .forall { case (mn, mx) => !rangeDisjoint(mn, mx, lo, hi) } => f
+            case (f, cols) if preds.forall { case (c, (lo, hi)) =>
+              cols.get(c).flatten
+                .forall { case (mn, mx) => !rangeDisjoint(mn, mx, lo, hi) }
+            } => f
           }
           (kept, stats.size)
       }
@@ -455,11 +482,20 @@ object SnapshotCatalog {
       * difference between opening every file of a snapshot and opening
       * the ~1/N whose zone maps overlap the probe. */
     def readPruned(spark: SparkSession, table: String, column: String,
-        lo: Any, hi: Any): DataFrame = {
+        lo: Any, hi: Any): DataFrame =
+      readPrunedMulti(spark, table, Map(column -> (lo, hi)))
+
+    /** Multi-column pruned read: files via [[pruneFilesMulti]], then
+      * the conjunction of all range predicates as the residual filter
+      * (pushed to the kept files' row groups). */
+    def readPrunedMulti(spark: SparkSession, table: String,
+        preds: Map[String, (Any, Any)]): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
       val dir = versionDir(table)
-      val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
-      val (kept, total) = pruneFiles(table, column, lo, hi)
+      val residual = preds.map { case (c, (lo, hi)) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      }.reduce(_ && _)
+      val (kept, total) = pruneFilesMulti(table, preds)
       if (kept.size == total)
         spark.read.parquet(dir).filter(residual)
       else if (kept.isEmpty)
@@ -496,13 +532,22 @@ object SnapshotCatalog {
       Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     val rows = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val body = rows.map { r =>
+    // a zero-row part file contributes no agg group but still exists on
+    // disk; the sidecar must stay TOTAL over data files (readers abort
+    // on a coverage gap), so it gets an all-NULL-bounds entry — the
+    // conservative always-keep shape, same as an all-null column
+    val profiled = rows.map(_.getString(0).split('/').last).toSet
+    val nullEntry = cols.map(c => s"${jq(c)}: [null, null]").mkString(", ")
+    val emptyFiles = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .map(_.getName).filter(f => f.endsWith(".parquet") && !profiled(f))
+      .map(f => f -> s"  ${jq(f)}: {$nullEntry}")
+    val body = (rows.map { r =>
       val fname = r.getString(0).split('/').last
       val entries = cols.zipWithIndex.map { case (c, i) =>
         s"${jq(c)}: [${encStat(r.get(1 + 2 * i))}, ${encStat(r.get(2 + 2 * i))}]"
       }.mkString(", ")
       fname -> s"  ${jq(fname)}: {$entries}"
-    }.sortBy(_._1).map(_._2).mkString("{\n", ",\n", "\n}")
+    } ++ emptyFiles).sortBy(_._1).map(_._2).mkString("{\n", ",\n", "\n}")
     Files.write(Paths.get(dir, StatsFileName),
       body.getBytes(StandardCharsets.UTF_8))
   }

@@ -450,6 +450,101 @@ object Cdc {
     }
   }
 
+  /** Hilbert-CLUSTERED catalog writes + 2D-pruned reads, end to end
+    * (the round-10 unification of the layout evals with the stats
+    * sidecar): hilbert_skip_eval MEASURES that a space-filling-curve
+    * layout bounds both dimensions per file; this query actually
+    * SERVES that layout through the catalog. lineitem's
+    * (l_partkey, l_suppkey) pairs are mapped to the same 8-bit grid
+    * the skip evals use, assigned their Hilbert position via the
+    * broadcast 65k-cell lookup, and written through
+    * [[graft.etl.SnapshotCatalog]] as 16 files of CONTIGUOUS curve
+    * ranges (file = hd*16 div 65536; each range forced onto its own
+    * shuffle partition via the same hash-slot bijection
+    * snapshotPrunedRead uses), with per-file [min, max] recorded for
+    * BOTH raw key columns in the version's sidecar. Three 2D rectangle
+    * probes (quarter-anchored, 1/8-wide in each dimension) are then
+    * answered via `readPrunedMulti` — conjunctive pruning: a file is
+    * opened only when its zone map overlaps the probe in BOTH
+    * dimensions.
+    *
+    * Everything emitted — row census, key sums, n_files_read,
+    * n_files_total — is exactly replayable by the oracle because the
+    * layout is deterministic arithmetic: DuckDB re-derives the curve
+    * with the 8-round RECURSIVE xy2d walk (same CTE hilbert_skip_eval
+    * pinned), re-groups the per-file zone maps, and re-decides every
+    * pruning call. A wrong curve, a wrong sidecar, a broken
+    * one-range-one-file layout, or a conjunction bug in
+    * pruneFilesMulti all desynchronize the file counts and fail the
+    * strict gate.
+    *
+    * Scale: this is the "liquid clustering" serving path — the commit
+    * is the write a clustered 100 TB table performs anyway (one extra
+    * column-pruned stats scan), and each 2D probe opens only the 1-3
+    * curve-range files whose boxes intersect the rectangle instead of
+    * all 16. The curve lookup is a broadcast join; the rep/slot
+    * lookups are planning scalars, not data collects.
+    */
+  def hilbertClusteredRead(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.lineitem(s, d).select(
+      col("l_partkey").cast("long").as("pk"),
+      col("l_suppkey").cast("long").as("sk"))
+    val rngRow = raw.agg(min(col("pk")).as("pmin"), max(col("pk")).as("pmax"),
+      min(col("sk")).as("smin"), max(col("sk")).as("smax")).head()
+    if (rngRow.isNullAt(0)) {
+      // empty corpus: no key domain, no zones — the oracle's fr JOIN
+      // over an empty zones table yields zero rows; match its schema
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq("probe_id", "n_rows", "pk_sum", "sk_sum",
+        "n_files_read", "n_files_total").map(StructField(_, LongType)))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val (pmin, pmax, smin, smax) = (rngRow.getLong(0), rngRow.getLong(1),
+      rngRow.getLong(2), rngRow.getLong(3))
+    val root = scratchRoot(d, "hilbclu")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    // slot representatives: the first candidate per hash slot, found
+    // with the SAME hash()+pmod expressions HashPartitioning plans
+    val reps: Map[Long, Long] = s.range(0, 1024)
+      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
+      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
+        slot.toLong -> rows.map(_.getLong(0)).min }
+    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val clustered = raw
+      .withColumn("p8", expr(s"(pk - $pmin) * 256 div (${pmax - pmin + 1})"))
+      .withColumn("s8", expr(s"(sk - $smin) * 256 div (${smax - smin + 1})"))
+      .join(broadcast(Profile.hilbertTable(s)),
+        col("p8") === col("hx") && col("s8") === col("hy"))
+      .withColumn("file", expr("(hd * 16) div 65536"))
+      .withColumn("slotkey", element_at(typedLit(reps), col("file")))
+      .repartition(16, col("slotkey"))
+      .select(col("pk"), col("sk"))
+    cat.commit(Map("li" -> clustered),
+      statsCols = Map("li" -> Seq("pk", "sk")))
+    val snap = cat.snapshot()
+    val per = (1 to 3).map { q =>
+      val plo = pmin + (pmax - pmin + 1) * q / 4
+      val phi = plo + (pmax - pmin + 1) / 8
+      val slo = smin + (smax - smin + 1) * q / 4
+      val shi = slo + (smax - smin + 1) / 8
+      val preds = Map("pk" -> (plo: Any, phi: Any), "sk" -> (slo: Any, shi: Any))
+      val (kept, total) = snap.pruneFilesMulti("li", preds)
+      require(kept.size < total,
+        s"2D probe $q pruned nothing: ${kept.size}/$total")
+      snap.readPrunedMulti(s, "li", preds)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("pk")), lit(0L)).as("pk_sum"),
+          coalesce(sum(col("sk")), lit(0L)).as("sk_sum"))
+        .select(lit(q.toLong).as("probe_id"), col("n_rows"),
+          col("pk_sum"), col("sk_sum"),
+          lit(kept.size.toLong).as("n_files_read"),
+          lit(total.toLong).as("n_files_total"))
+    }.reduce(_.unionByName(_))
+    finishScratch(per, root)
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
@@ -457,7 +552,8 @@ object Cdc {
     "snapshot_schema_evolution" -> (snapshotSchemaEvolution _),
     "snapshot_change_feed" -> (snapshotChangeFeed _),
     "snapshot_pruned_read" -> (snapshotPrunedRead _),
-    "change_feed_maintenance" -> (changeFeedMaintenance _)
+    "change_feed_maintenance" -> (changeFeedMaintenance _),
+    "hilbert_clustered_read" -> (hilbertClusteredRead _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -641,6 +737,72 @@ object Cdc {
         |  CAST(count(*) AS BIGINT) AS n_files_total
         | FROM probes p CROSS JOIN zones z GROUP BY p.q)
         |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_docs, c.n_chars,
+        | fr.n_files_read, fr.n_files_total
+        |FROM census c JOIN fr ON fr.q = c.q""".stripMargin,
+
+    // the Hilbert-clustered read reduces to pure arithmetic over the
+    // data: the oracle re-derives the curve position of every occupied
+    // grid cell with an 8-round RECURSIVE xy2d walk (the same CTE
+    // hilbert_skip_eval pinned), re-buckets rows into the 16 curve
+    // ranges, re-groups each range's 2D zone map, and re-decides every
+    // conjunctive pruning call — so the strict gate covers the curve,
+    // the sidecar, the one-range-one-file layout, AND pruneFilesMulti
+    // cross-engine
+    "hilbert_clustered_read" ->
+      """WITH RECURSIVE raw AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |rng AS (SELECT min(pk) AS pmin, max(pk) AS pmax,
+        |               min(sk) AS smin, max(sk) AS smax FROM raw),
+        |grid AS (
+        | SELECT pk, sk,
+        |  (pk - pmin) * 256 // (pmax - pmin + 1) AS p8,
+        |  (sk - smin) * 256 // (smax - smin + 1) AS s8
+        | FROM raw, rng),
+        |cells AS (SELECT DISTINCT p8, s8 FROM grid),
+        |hrec AS (
+        | SELECT p8, s8, p8 AS x, s8 AS y, CAST(0 AS BIGINT) AS hd, 128 AS s
+        | FROM cells
+        | UNION ALL
+        | SELECT p8, s8,
+        |  CASE WHEN (y & s) = 0
+        |   THEN (CASE WHEN (x & s) > 0 THEN 255 - y ELSE y END) ELSE x END,
+        |  CASE WHEN (y & s) = 0
+        |   THEN (CASE WHEN (x & s) > 0 THEN 255 - x ELSE x END) ELSE y END,
+        |  hd + s * s * (CASE
+        |   WHEN (x & s) > 0 AND (y & s) = 0 THEN 3
+        |   WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+        |   WHEN (x & s) = 0 AND (y & s) > 0 THEN 1
+        |   ELSE 0 END),
+        |  s // 2
+        | FROM hrec WHERE s > 0),
+        |hmap AS (SELECT p8, s8, hd FROM hrec WHERE s = 0),
+        |filed AS (
+        | SELECT g.pk, g.sk, CAST((h.hd * 16) // 65536 AS BIGINT) AS f
+        | FROM grid g JOIN hmap h ON g.p8 = h.p8 AND g.s8 = h.s8),
+        |zones AS (
+        | SELECT f, min(pk) AS zpmin, max(pk) AS zpmax,
+        |        min(sk) AS zsmin, max(sk) AS zsmax
+        | FROM filed GROUP BY f),
+        |probes AS (
+        | SELECT q,
+        |  pmin + ((pmax - pmin + 1) * q) // 4 AS plo,
+        |  pmin + ((pmax - pmin + 1) * q) // 4 + (pmax - pmin + 1) // 8 AS phi,
+        |  smin + ((smax - smin + 1) * q) // 4 AS slo,
+        |  smin + ((smax - smin + 1) * q) // 4 + (smax - smin + 1) // 8 AS shi
+        | FROM rng, (VALUES (1), (2), (3)) t(q)),
+        |census AS (
+        | SELECT p.q, CAST(count(r.pk) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(r.pk), 0) AS BIGINT) AS pk_sum,
+        |  CAST(coalesce(sum(r.sk), 0) AS BIGINT) AS sk_sum
+        | FROM probes p LEFT JOIN raw r
+        |  ON r.pk BETWEEN p.plo AND p.phi AND r.sk BETWEEN p.slo AND p.shi
+        | GROUP BY p.q),
+        |fr AS (
+        | SELECT p.q,
+        |  CAST(count(*) FILTER (WHERE NOT (z.zpmax < p.plo OR z.zpmin > p.phi)
+        |    AND NOT (z.zsmax < p.slo OR z.zsmin > p.shi)) AS BIGINT) AS n_files_read,
+        |  CAST(count(*) AS BIGINT) AS n_files_total
+        | FROM probes p CROSS JOIN zones z GROUP BY p.q)
+        |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_rows, c.pk_sum, c.sk_sum,
         | fr.n_files_read, fr.n_files_total
         |FROM census c JOIN fr ON fr.q = c.q""".stripMargin,
 

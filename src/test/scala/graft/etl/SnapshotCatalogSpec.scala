@@ -475,6 +475,67 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(s2.readPruned(spark, "t", "id", 0L, 5L).count() == 6)
   }
 
+  test("multi-column pruning is conjunctive; compaction re-derives the stats sidecar") {
+    val root = freshDir("prune2d")
+    val cat = new SnapshotCatalog(root)
+    // a 2x2 grid of (x, y) boxes, one RDD partition each -> four files:
+    // file 0: x[0,99]y[0,99], 1: x[0,99]y[100,199],
+    // file 2: x[100,199]y[0,99], 3: x[100,199]y[100,199]
+    val rows = for (f <- 0 until 4; i <- 0 until 100)
+      yield ((f / 2) * 100L + i, (f % 2) * 100L + i)
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("x", "y")
+    cat.commit(Map("t" -> df), statsCols = Map("t" -> Seq("x", "y")))
+    val snap = cat.snapshot()
+    val preds = Map("x" -> (150L: Any, 160L: Any), "y" -> (150L: Any, 160L: Any))
+    // each single-column probe keeps TWO files; their conjunction keeps
+    // exactly the one file whose box intersects the rectangle
+    assert(snap.pruneFiles("t", "x", 150L, 160L)._1.size == 2)
+    assert(snap.pruneFiles("t", "y", 150L, 160L)._1.size == 2)
+    val (kept, total) = snap.pruneFilesMulti("t", preds)
+    assert(total == 4 && kept.size == 1, s"kept=$kept total=$total")
+    val r = snap.readPrunedMulti(spark, "t", preds)
+    assert(r.inputFiles.map(_.split('/').last).toSet == kept.toSet)
+    // file 3 holds the diagonal (100+i, 100+i): the rectangle admits
+    // i in 50..60 — and the residual filter, not the file grain,
+    // decides the rows
+    assert(r.count() == 11)
+    assert(r.agg(sum(col("x"))).as[Long].head() == (150L to 160L).sum)
+
+    // compaction RE-DERIVES the sidecar over the same columns — without
+    // it every later pruned read would silently degrade to a full scan
+    cat.compact(spark, "t", numFiles = 2)
+    val c = cat.snapshot()
+    val stats = SnapshotCatalog.readFileStats(s"$root/t/${c.tables("t")}")
+    assert(stats.nonEmpty, "compacted version must carry a sidecar")
+    assert(stats.get.values.forall(_.keySet == Set("x", "y")))
+    val (ck, ct) = c.pruneFilesMulti("t", preds)
+    assert(ct == 2 && ck.size == 1,
+      s"coalesce(2) folds (0,1)/(2,3); the rectangle stays in one: $ck")
+    assert(c.readPrunedMulti(spark, "t", preds).count() == 11)
+  }
+
+  test("stats sidecar stays TOTAL over zero-row part files") {
+    // an empty DataFrame still writes one 0-row part file (measured on
+    // this Spark), which contributes no input_file_name agg group; the
+    // sidecar must cover it with NULL bounds or every later pruned read
+    // aborts on the coverage check
+    val root = freshDir("prune_empty")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(4).filter(lit(false)).coalesce(1)),
+      statsCols = Map("t" -> Seq("id")))
+    val snap = cat.snapshot()
+    val dir = s"$root/t/${snap.tables("t")}"
+    val nParquet = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val stats = SnapshotCatalog.readFileStats(dir)
+    assert(stats.get.size == nParquet, s"sidecar covers all $nParquet files")
+    assert(stats.get.values.forall(_("id").isEmpty), "NULL bounds = always keep")
+    // the conservative keep is harmless: the file has no rows
+    val (kept, total) = snap.pruneFiles("t", "id", 1L, 2L)
+    assert(kept.size == total)
+    assert(snap.readPruned(spark, "t", "id", 1L, 2L).count() == 0)
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)

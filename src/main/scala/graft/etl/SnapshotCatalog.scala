@@ -82,8 +82,10 @@ class SnapshotCatalog(catalogDir: String) {
     * with the version at vacuum time. Readers prune through
     * [[SnapshotCatalog.Snapshot.readPruned]]. */
   def commit(tables: Map[String, DataFrame],
-      statsCols: Map[String, Seq[String]] = Map.empty): Int =
-    commitRaw(tables, (_, _) => SnapshotCatalog.Proceed(Map.empty), statsCols)
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      bloomCols: Map[String, Seq[String]] = Map.empty): Int =
+    commitRaw(tables, (_, _) => SnapshotCatalog.Proceed(Map.empty), statsCols,
+      bloomCols)
 
   /** Exactly-once commit for a streaming writer (the foreachBatch
     * sink shape): each manifest records the last (writerId -> batchId)
@@ -154,7 +156,8 @@ class SnapshotCatalog(catalogDir: String) {
     * can hold them. */
   private def commitRaw(tables: Map[String, DataFrame],
       gate: (Int, Map[String, String]) => SnapshotCatalog.CommitGate,
-      statsCols: Map[String, Seq[String]] = Map.empty): Int = {
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      bloomCols: Map[String, Seq[String]] = Map.empty): Int = {
     Files.createDirectories(dir.resolve("_manifests"))
     val written = tables.map { case (name, df) =>
       require(!name.startsWith("_") && !name.contains("/"),
@@ -166,6 +169,8 @@ class SnapshotCatalog(catalogDir: String) {
       // always has its complete sidecar — readers never race it
       statsCols.get(name).filter(_.nonEmpty).foreach(cols =>
         SnapshotCatalog.writeFileStats(df.sparkSession, tableDir, cols))
+      bloomCols.get(name).filter(_.nonEmpty).foreach(cols =>
+        SnapshotCatalog.writeFileBlooms(df.sparkSession, tableDir, cols))
       name -> u
     }
     def dropWritten(): Unit = written.foreach { case (n, u) =>
@@ -505,6 +510,56 @@ object SnapshotCatalog {
       else
         spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
     }
+
+    /** Plan a file-pruned POINT lookup `column = v` from the version's
+      * Bloom sidecar (see commit's bloomCols): a file is skipped only
+      * when either of the key's two Bloom bits is UNSET in that file's
+      * filter — a decision with one-sided error (a present key is
+      * never skipped; an absent key is kept only on a hash collision,
+      * ~2% at the 12 bits/row sizing). This is the lookup zone maps
+      * cannot serve: on a high-cardinality key uncorrelated with the
+      * layout every file's [min, max] spans the whole domain, so range
+      * pruning keeps everything while the Bloom keeps ~1/N. A version
+      * committed without Blooms — or a file/column the sidecar doesn't
+      * cover — is conservatively kept. */
+    def pruneFilesPoint(table: String, column: String, v: Long): (Seq[String], Int) = {
+      val dir = versionDir(table)
+      val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.endsWith(".parquet")).sorted
+      readFileBlooms(dir) match {
+        case None => (onDisk, onDisk.size)
+        case Some(blooms) =>
+          val kept = onDisk.filter { f =>
+            blooms.get(f).flatMap(_.get(column)) match {
+              case None => true // unprofiled file/column: keep
+              case Some((m, words)) =>
+                def bit(pos: Long): Boolean = {
+                  val w = (pos / 64).toInt
+                  (words.getOrElse(w, 0L) & (1L << (pos % 64).toInt)) != 0L
+                }
+                bit(bloomH1(v) % m) && bit(bloomH2(v) % m)
+            }
+          }
+          (kept, onDisk.size)
+      }
+    }
+
+    /** Point-lookup read through [[pruneFilesPoint]]: scan only the
+      * files whose Bloom admits the key, with `column = v` as the
+      * residual filter (false positives never leak rows). */
+    def readPrunedPoint(spark: SparkSession, table: String, column: String,
+        v: Long): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dir = versionDir(table)
+      val residual = col(column) === lit(v)
+      val (kept, total) = pruneFilesPoint(table, column, v)
+      if (kept.size == total)
+        spark.read.parquet(dir).filter(residual)
+      else if (kept.isEmpty)
+        spark.read.parquet(dir).filter(lit(false)).filter(residual)
+      else
+        spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
+    }
   }
 
   private[etl] val StatsFileName = "_graft_stats.json"
@@ -567,6 +622,105 @@ object SnapshotCatalog {
           val (mn, mx) = (decStat(g.group(2)), decStat(g.group(3)))
           junesc(g.group(1)) ->
             (if (mn == null || mx == null) None else Some((mn, mx)))
+        }.toMap
+        Some(junesc(f) -> colsMap)
+      case _ => None
+    }.toMap
+    Some(m)
+  }
+
+  private[etl] val BloomFileName = "_graft_bloom.json"
+
+  // ---- Bloom hash family: pure modular arithmetic over a Mersenne
+  // prime, chosen so every intermediate fits a SIGNED 64-bit integer
+  // (norm < 2^31, norm * 69621 < 2^48) — the same computation is
+  // therefore expressible in ANSI SQL (DuckDB replays every pruning
+  // decision bit-for-bit, no wrapping-multiply semantics needed) ----
+  private[graft] val BloomP = 2147483647L // 2^31 - 1
+  private[graft] def bloomNorm(v: Long): Long = ((v % BloomP) + BloomP) % BloomP
+  private[graft] def bloomH1(v: Long): Long = (bloomNorm(v) * 48271L) % BloomP
+  private[graft] def bloomH2(v: Long): Long = (bloomNorm(v) * 69621L + 12345L) % BloomP
+  /** Filter size for a file of `n` rows: 12 bits/row (k=2 hashes →
+    * ~2% false-positive rate), rounded up to whole 64-bit words. */
+  private[graft] def bloomM(n: Long): Long = 64L * math.max(1L, (12L * n + 63L) / 64L)
+
+  /** Write the per-file Bloom sidecar for integral `cols` over the
+    * parquet files under `dir`: one column-pruned scan, two hash
+    * positions per value, one (file, word) bit_or aggregate. Sized at
+    * 12 bits per row PER FILE (each file's m derives from its own row
+    * count), stored SPARSE (only words with set bits), so the sidecar
+    * is ~n/5 longs per file — the planning-metadata class, written
+    * once at commit time like Iceberg's puffin blobs. NULLs set no
+    * bits (a point probe is an equality; NULL never equals). */
+  private[etl] def writeFileBlooms(spark: SparkSession, dir: String,
+      cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, expr, input_file_name, lit}
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(dir)
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"bloom column $c not in $dir")
+      val ok = df.schema(c).dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+        case _ => false
+      }
+      require(ok, s"bloom column $c: integral type required, " +
+        s"got ${df.schema(c).dataType}")
+    }
+    // per (file, col): size from the file's row count, then the sparse
+    // word map; one pass per column (bloomCols is typically 1-2 wide)
+    val perCol = cols.map { c =>
+      val base = df.select(input_file_name().as("f"),
+          col(c).cast("long").as("v"))
+        .filter(col("v").isNotNull)
+      val sizes = base.groupBy(col("f")).agg(count(lit(1)).as("n"))
+      val words = base.join(broadcast(sizes), "f")
+        .withColumn("m", expr(s"64 * greatest(1L, (12 * n + 63) div 64)"))
+        .withColumn("vn", expr(s"((v % $BloomP) + $BloomP) % $BloomP"))
+        .withColumn("pos", explode(org.apache.spark.sql.functions.array(
+          expr(s"(vn * 48271) % $BloomP % m"),
+          expr(s"(vn * 69621 + 12345) % $BloomP % m"))))
+        .groupBy(col("f"), col("m"), expr("pos div 64").as("w"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+        .collect()
+      c -> words.groupBy(_.getString(0)).map { case (f, rows) =>
+        val m = rows.head.getLong(1)
+        f.split('/').last -> (m, rows.map(r => (r.getLong(2), r.getLong(3))))
+      }
+    }
+    val files = perCol.flatMap(_._2.keys).distinct.sorted
+    val body = files.map { f =>
+      val entries = perCol.flatMap { case (c, byFile) =>
+        byFile.get(f).map { case (m, ws) =>
+          val flat = (Seq(m) ++ ws.sortBy(_._1).flatMap(w => Seq(w._1, w._2)))
+            .mkString(", ")
+          s"${jq(c)}: [$flat]"
+        }
+      }.mkString(", ")
+      s"  ${jq(f)}: {$entries}"
+    }.mkString("{\n", ",\n", "\n}")
+    Files.write(Paths.get(dir, BloomFileName),
+      body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** file -> column -> (m, sparse word map). None = no Bloom sidecar.
+    * A file or column absent from the map is conservatively kept by
+    * [[SnapshotCatalog.Snapshot.pruneFilesPoint]] — Bloom coverage may
+    * be partial without correctness risk (one-sided error). */
+  private[etl] def readFileBlooms(dir: String)
+      : Option[Map[String, Map[String, (Long, Map[Int, Long])]]] = {
+    val p = Paths.get(dir, BloomFileName)
+    if (!Files.exists(p)) return None
+    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val FileLine = """^\s*"([^"]*)":\s*\{(.*)\}\s*,?\s*$""".r
+    val ColEntry = """"([^"]*)": \[([-0-9, ]*)\]""".r
+    val m = text.split('\n').flatMap {
+      case FileLine(f, bodyStr) =>
+        val colsMap = ColEntry.findAllMatchIn(bodyStr).map { g =>
+          val nums = g.group(2).split(',').map(_.trim).filter(_.nonEmpty)
+            .map(_.toLong)
+          val words = nums.drop(1).grouped(2)
+            .collect { case Array(i, w) => i.toInt -> w }.toMap
+          junesc(g.group(1)) -> (nums.head, words)
         }.toMap
         Some(junesc(f) -> colsMap)
       case _ => None

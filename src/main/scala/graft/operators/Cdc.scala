@@ -545,6 +545,99 @@ object Cdc {
     }
   }
 
+  /** Bloom-sidecar point-lookup pruning, oracle-gated end to end: the
+    * skipping story zone maps cannot finish. The corpus is committed
+    * through the catalog as 16 doc_id-range files carrying BOTH
+    * sidecars for a scrambled high-cardinality key k (an affine
+    * permutation of doc_id mod the Mersenne prime — uncorrelated with
+    * the file layout, the shape of a url-hash/content-hash column):
+    * the min/max sidecar is useless for `k = v` (every file's zone
+    * spans nearly the whole key domain) while the Bloom keeps only
+    * files whose filter admits the key. Eight point probes — four
+    * PRESENT keys at quarter anchors, four ABSENT in-domain keys
+    * (anchor key + 1) — are answered via `readPrunedPoint`, and each
+    * probe emits the row census plus all three file counts
+    * (bloom-kept, zone-kept, total).
+    *
+    * Cross-engine: the Bloom is deterministic modular arithmetic (see
+    * [[graft.etl.SnapshotCatalog.bloomH1]]), so DuckDB re-derives every
+    * per-file filter DECISION — a probe bit is set iff some row of the
+    * file hashes either of its two positions onto it — and the strict
+    * gate covers present-never-skipped (one-sided error), the exact
+    * false-positive keeps on absent keys, and the zone/bloom contrast.
+    *
+    * Scale: this is the needle-in-100TB lookup path — open ~1 file
+    * instead of N when the key column's layout correlation is zero.
+    * The sidecar costs one column-pruned scan + a (file, word)
+    * aggregate at commit time, sized 12 bits/row, stored sparse.
+    */
+  def bloomPrunedRead(s: SparkSession, d: String): DataFrame = {
+    val P = graft.etl.SnapshotCatalog.BloomP
+    val base0 = Tables.documents(s, d).select(col("doc_id"))
+    val maxRow = base0.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq("probe_id", "present", "n_rows",
+        "n_files_bloom", "n_files_zone", "n_files_total")
+        .map(StructField(_, LongType)))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val dmax = maxRow.getLong(0)
+    require(dmax >= 0, s"non-negative doc_id domain expected, got max $dmax")
+    val span = (dmax + 16) / 16
+    // the four present anchors: the largest doc_id at or below each
+    // fifth of the domain — one tiny conditional-max aggregate
+    val anchors: Seq[Long] = {
+      val lims = (1 to 4).map(q => (dmax + 1) * q / 5)
+      val r = base0.agg(
+        max(when(col("doc_id") <= lims(0), col("doc_id"))).as("a1"),
+        max(when(col("doc_id") <= lims(1), col("doc_id"))).as("a2"),
+        max(when(col("doc_id") <= lims(2), col("doc_id"))).as("a3"),
+        max(when(col("doc_id") <= lims(3), col("doc_id"))).as("a4")).head()
+      (0 to 3).map { i =>
+        require(!r.isNullAt(i), s"no doc_id at or below anchor ${lims(i)}")
+        r.getLong(i)
+      }
+    }
+    def scramble(id: Long): Long = ((id % P) * 1103515245L + 12345L) % P
+    val root = scratchRoot(d, "bloompt")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val reps: Map[Long, Long] = s.range(0, 1024)
+      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
+      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
+        slot.toLong -> rows.map(_.getLong(0)).min }
+    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val keyed = base0
+      .withColumn("k", expr(s"((doc_id % $P) * 1103515245 + 12345) % $P"))
+      .withColumn("bucket", expr(s"doc_id div $span"))
+      .withColumn("slotkey", element_at(typedLit(reps), col("bucket")))
+      .repartition(16, col("slotkey"))
+      .select(col("doc_id"), col("k"))
+    cat.commit(Map("docs" -> keyed),
+      statsCols = Map("docs" -> Seq("k")),
+      bloomCols = Map("docs" -> Seq("k")))
+    val snap = cat.snapshot()
+    val probes: Seq[(Long, Long, Long)] = // (probe_id, present, key)
+      anchors.zipWithIndex.map { case (a, i) =>
+        (i + 1L, 1L, scramble(a)) } ++
+      anchors.zipWithIndex.map { case (a, i) =>
+        (i + 5L, 0L, (scramble(a) + 1L) % P) }
+    val per = probes.map { case (pid, present, kv) =>
+      val (keptB, total) = snap.pruneFilesPoint("docs", "k", kv)
+      val (keptZ, _) = snap.pruneFiles("docs", "k", kv, kv)
+      snap.readPrunedPoint(s, "docs", "k", kv)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(pid).as("probe_id"), lit(present).as("present"),
+          col("n_rows"),
+          lit(keptB.size.toLong).as("n_files_bloom"),
+          lit(keptZ.size.toLong).as("n_files_zone"),
+          lit(total.toLong).as("n_files_total"))
+    }.reduce(_.unionByName(_))
+    finishScratch(per, root)
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
@@ -553,7 +646,8 @@ object Cdc {
     "snapshot_change_feed" -> (snapshotChangeFeed _),
     "snapshot_pruned_read" -> (snapshotPrunedRead _),
     "change_feed_maintenance" -> (changeFeedMaintenance _),
-    "hilbert_clustered_read" -> (hilbertClusteredRead _)
+    "hilbert_clustered_read" -> (hilbertClusteredRead _),
+    "bloom_pruned_read" -> (bloomPrunedRead _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -805,6 +899,65 @@ object Cdc {
         |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_rows, c.pk_sum, c.sk_sum,
         | fr.n_files_read, fr.n_files_total
         |FROM census c JOIN fr ON fr.q = c.q""".stripMargin,
+
+    // the Bloom point-lookup reduces to pure modular arithmetic: the
+    // oracle re-derives each file's filter size from its row count and
+    // re-decides every probe bit (a bit is set iff SOME row of the file
+    // hashes either of its two positions onto it), so present-key
+    // no-skip, the exact false-positive keeps on absent keys, and the
+    // zone-vs-bloom contrast are all pinned cross-engine
+    "bloom_pruned_read" ->
+      """WITH r AS (SELECT max(doc_id) AS dmax,
+        |  (max(doc_id) + 16) // 16 AS span FROM documents),
+        |keyed AS (
+        | SELECT doc_id // r.span AS b,
+        |  ((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS k
+        | FROM documents, r),
+        |sizes AS (
+        | SELECT b, 64 * greatest(1, (12 * count(*) + 63) // 64) AS m,
+        |  min(k) AS zmin, max(k) AS zmax
+        | FROM keyed GROUP BY b),
+        |anchors AS (
+        | SELECT q, (SELECT max(doc_id) FROM documents, r
+        |            WHERE doc_id <= ((dmax + 1) * q) // 5) AS a
+        | FROM (VALUES (1), (2), (3), (4)) t(q)),
+        |probes AS (
+        | SELECT q AS pid, CAST(1 AS BIGINT) AS present,
+        |  ((a % 2147483647) * 1103515245 + 12345) % 2147483647 AS kv
+        | FROM anchors
+        | UNION ALL
+        | SELECT q + 4, CAST(0 AS BIGINT),
+        |  (((a % 2147483647) * 1103515245 + 12345) % 2147483647 + 1) % 2147483647
+        | FROM anchors),
+        |decisions AS (
+        | SELECT p.pid, p.kv, s.b, s.m, s.zmin, s.zmax,
+        |  (p.kv * 48271) % 2147483647 % s.m AS t1,
+        |  (p.kv * 69621 + 12345) % 2147483647 % s.m AS t2
+        | FROM probes p CROSS JOIN sizes s),
+        |hits AS (
+        | SELECT d.pid, d.b, d.zmin, d.zmax, d.kv,
+        |  max(CASE WHEN (kk.k * 48271) % 2147483647 % d.m = d.t1
+        |        OR (kk.k * 69621 + 12345) % 2147483647 % d.m = d.t1
+        |      THEN 1 ELSE 0 END) AS bit1,
+        |  max(CASE WHEN (kk.k * 48271) % 2147483647 % d.m = d.t2
+        |        OR (kk.k * 69621 + 12345) % 2147483647 % d.m = d.t2
+        |      THEN 1 ELSE 0 END) AS bit2
+        | FROM decisions d JOIN keyed kk ON kk.b = d.b
+        | GROUP BY d.pid, d.b, d.zmin, d.zmax, d.kv),
+        |counts AS (
+        | SELECT pid,
+        |  CAST(sum(bit1 * bit2) AS BIGINT) AS n_files_bloom,
+        |  CAST(sum(CASE WHEN kv BETWEEN zmin AND zmax THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_files_zone,
+        |  CAST(count(*) AS BIGINT) AS n_files_total
+        | FROM hits GROUP BY pid),
+        |census AS (
+        | SELECT p.pid, p.present, CAST(count(kk.k) AS BIGINT) AS n_rows
+        | FROM probes p LEFT JOIN keyed kk ON kk.k = p.kv
+        | GROUP BY p.pid, p.present)
+        |SELECT CAST(c.pid AS BIGINT) AS probe_id, c.present, c.n_rows,
+        | t.n_files_bloom, t.n_files_zone, t.n_files_total
+        |FROM census c JOIN counts t ON t.pid = c.pid""".stripMargin,
 
     // the evolution roundtrip reduces to: snap 1 = the base corpus
     // with body sourced from text and lang absent (typed NULL -> zero

@@ -536,6 +536,44 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(snap.readPruned(spark, "t", "id", 1L, 2L).count() == 0)
   }
 
+  test("bloom sidecar: one-sided error — present keys never skipped, absent keys prune") {
+    val root = freshDir("bloom")
+    val cat = new SnapshotCatalog(root)
+    // four files of 64 contiguous ids each; the lookup column IS the id
+    val df = spark.sparkContext.parallelize(0L until 256L, 4).toDF("id")
+    cat.commit(Map("t" -> df), bloomCols = Map("t" -> Seq("id")))
+    val snap = cat.snapshot()
+    val dir = s"$root/t/${snap.tables("t")}"
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".parquet")).sorted
+    assert(files.length == 4)
+    // EXHAUSTIVE no-false-negative: every present key's true file is
+    // kept (pure driver-side planning — no Spark job per probe)
+    (0L until 256L).foreach { v =>
+      val (kept, total) = snap.pruneFilesPoint("t", "id", v)
+      assert(total == 4)
+      assert(kept.contains(files((v / 64).toInt)), s"present key $v skipped")
+    }
+    // absent keys: keeps are false positives only; at 12 bits/row the
+    // rate is ~2%, so 256 absent probes x 4 files ~ 20 keeps expected —
+    // assert an order-of-magnitude bound, not the exact draw
+    val fpKeeps = (100000L until 100256L)
+      .map(v => snap.pruneFilesPoint("t", "id", v)._1.size).sum
+    assert(fpKeeps < 128, s"absent-key keeps too high: $fpKeeps/1024")
+    // end-to-end: the pruned point read scans exactly the kept files
+    // and returns the row
+    val (kept130, _) = snap.pruneFilesPoint("t", "id", 130L)
+    val r = snap.readPrunedPoint(spark, "t", "id", 130L)
+    assert(r.inputFiles.map(_.split('/').last).toSet == kept130.toSet)
+    assert(r.count() == 1)
+    // a version committed WITHOUT blooms keeps everything (fallback)
+    val cat2 = new SnapshotCatalog(freshDir("bloom_none"))
+    cat2.commit(Map("t" -> df.limit(10)))
+    val s2 = cat2.snapshot()
+    val (k2, t2) = s2.pruneFilesPoint("t", "id", 3L)
+    assert(k2.size == t2)
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)

@@ -511,6 +511,53 @@ object SnapshotCatalog {
         spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
     }
 
+    /** Metadata-accelerated range count: `count(column BETWEEN lo AND
+      * hi)` answered by summing the stats sidecar's per-column
+      * NON-NULL counts for files whose [min, max] the probe FULLY
+      * CONTAINS (every non-null value matches; NULLs never satisfy a
+      * BETWEEN, which is why the sidecar records the non-null count,
+      * not the row count), scanning only the seam files the probe
+      * partially overlaps, and skipping disjoint files entirely. At
+      * 100 TB this turns a partition-count into pure planning metadata
+      * — interior files contribute without a single byte read.
+      * Returns (count, filesScanned, filesContained, filesTotal);
+      * without a sidecar it degrades to a full filtered count. */
+    def countPruned(spark: SparkSession, table: String, column: String,
+        lo: Any, hi: Any): (Long, Int, Int, Int) = {
+      import org.apache.spark.sql.functions.{col, lit}
+      val dir = versionDir(table)
+      val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.endsWith(".parquet")).sorted
+      val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+      (readFileStats(dir), readFileColCounts(dir)) match {
+        case (Some(st), Some(ct)) =>
+          val missing = onDisk.filterNot(st.contains)
+          require(missing.isEmpty,
+            s"stats sidecar in $dir misses files: ${missing.mkString(", ")}")
+          var meta = 0L
+          var contained = 0
+          val scan = scala.collection.mutable.ArrayBuffer.empty[String]
+          st.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+            cols.get(column).flatten match {
+              case Some((mn, mx)) if rangeDisjoint(mn, mx, lo, hi) => // skip
+              case Some((mn, mx)) if rangeContained(mn, mx, lo, hi) &&
+                  ct.get(f).exists(_.contains(column)) =>
+                meta += ct(f)(column); contained += 1
+              case None => // NULL bounds: the column holds no values
+                // in this file — zero rows can match; skip
+              case _ => scan += f
+            }
+          }
+          val scanned = if (scan.isEmpty) 0L
+            else spark.read.parquet(scan.toSeq.map(f => s"$dir/$f"): _*)
+              .filter(residual).count()
+          (meta + scanned, scan.size, contained, st.size)
+        case _ =>
+          (spark.read.parquet(dir).filter(residual).count(),
+            onDisk.size, 0, onDisk.size)
+      }
+    }
+
     /** Plan a file-pruned POINT lookup `column = v` from the version's
       * Bloom sidecar (see commit's bloomCols): a file is skipped only
       * when either of the key's two Bloom bits is UNSET in that file's
@@ -583,8 +630,14 @@ object SnapshotCatalog {
       }
       require(ok, s"stats column $c: unsupported type ${df.schema(c).dataType}")
     }
+    // per column: min, max, AND the non-null value count — the parquet
+    // column-chunk stats triple. The count is what makes metadata-only
+    // aggregation sound: a file fully contained by a range predicate
+    // contributes its non-null count without being opened (NULL rows
+    // never satisfy a BETWEEN, so total row count would over-count)
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+      Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+        org.apache.spark.sql.functions.count(col(c)).as(s"n_$c")))
     val rows = df.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     // a zero-row part file contributes no agg group but still exists on
@@ -592,14 +645,15 @@ object SnapshotCatalog {
     // on a coverage gap), so it gets an all-NULL-bounds entry — the
     // conservative always-keep shape, same as an all-null column
     val profiled = rows.map(_.getString(0).split('/').last).toSet
-    val nullEntry = cols.map(c => s"${jq(c)}: [null, null]").mkString(", ")
+    val nullEntry = cols.map(c => s"${jq(c)}: [null, null, 0]").mkString(", ")
     val emptyFiles = Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .map(_.getName).filter(f => f.endsWith(".parquet") && !profiled(f))
       .map(f => f -> s"  ${jq(f)}: {$nullEntry}")
     val body = (rows.map { r =>
       val fname = r.getString(0).split('/').last
       val entries = cols.zipWithIndex.map { case (c, i) =>
-        s"${jq(c)}: [${encStat(r.get(1 + 2 * i))}, ${encStat(r.get(2 + 2 * i))}]"
+        s"${jq(c)}: [${encStat(r.get(1 + 3 * i))}, ${encStat(r.get(2 + 3 * i))}, " +
+          s"${r.getLong(3 + 3 * i)}]"
       }.mkString(", ")
       fname -> s"  ${jq(fname)}: {$entries}"
     } ++ emptyFiles).sortBy(_._1).map(_._2).mkString("{\n", ",\n", "\n}")
@@ -615,13 +669,36 @@ object SnapshotCatalog {
     if (!Files.exists(p)) return None
     val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val FileLine = """^\s*"([^"]*)":\s*\{(.*)\}\s*,?\s*$""".r
-    val ColEntry = ("\"([^\"]*)\": \\[" + StatToken + ", " + StatToken + "\\]").r
+    val ColEntry = ("\"([^\"]*)\": \\[" + StatToken + ", " + StatToken +
+      ", (\\d+)\\]").r
     val m = text.split('\n').flatMap {
       case FileLine(f, body) =>
         val colsMap = ColEntry.findAllMatchIn(body).map { g =>
           val (mn, mx) = (decStat(g.group(2)), decStat(g.group(3)))
           junesc(g.group(1)) ->
             (if (mn == null || mx == null) None else Some((mn, mx)))
+        }.toMap
+        Some(junesc(f) -> colsMap)
+      case _ => None
+    }.toMap
+    Some(m)
+  }
+
+  /** file -> column -> non-null value count, from the same sidecar —
+    * the metadata a contained file contributes to a count without
+    * being opened (see [[SnapshotCatalog.Snapshot.countPruned]]). */
+  private[etl] def readFileColCounts(dir: String)
+      : Option[Map[String, Map[String, Long]]] = {
+    val p = Paths.get(dir, StatsFileName)
+    if (!Files.exists(p)) return None
+    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val FileLine = """^\s*"([^"]*)":\s*\{(.*)\}\s*,?\s*$""".r
+    val ColEntry = ("\"([^\"]*)\": \\[" + StatToken + ", " + StatToken +
+      ", (\\d+)\\]").r
+    val m = text.split('\n').flatMap {
+      case FileLine(f, body) =>
+        val colsMap = ColEntry.findAllMatchIn(body).map { g =>
+          junesc(g.group(1)) -> g.group(4).toLong
         }.toMap
         Some(junesc(f) -> colsMap)
       case _ => None
@@ -776,6 +853,28 @@ object SnapshotCatalog {
             s"string/number kind mismatch pruning [$mn,$mx] vs [$lo,$hi]")
         }
       case _ => bd(mx) < bd(lo) || bd(mn) > bd(hi)
+    }
+  }
+
+  /** True iff [lo, hi] provably CONTAINS [mn, mx] — every value the
+    * file holds matches the probe (the metadata-only-count admission
+    * test). Same kind rules as [[rangeDisjoint]]. */
+  private[etl] def rangeContained(mn: Any, mx: Any, lo: Any, hi: Any): Boolean = {
+    def bd(v: Any): BigDecimal = v match {
+      case b: BigDecimal => b
+      case b: java.math.BigDecimal => BigDecimal(b)
+      case n: Number => BigDecimal(n.toString)
+      case other => throw new IllegalArgumentException(
+        s"numeric bound expected, got $other (${other.getClass})")
+    }
+    (mn, lo) match {
+      case (_: String, _) | (_, _: String) =>
+        (mn, mx, lo, hi) match {
+          case (a: String, b: String, l: String, h: String) => l <= a && b <= h
+          case _ => throw new IllegalArgumentException(
+            s"string/number kind mismatch containing [$mn,$mx] vs [$lo,$hi]")
+        }
+      case _ => bd(lo) <= bd(mn) && bd(mx) <= bd(hi)
     }
   }
 }

@@ -638,6 +638,69 @@ object Cdc {
     }
   }
 
+  /** Metadata-only range counts through the catalog, oracle-gated: the
+    * stats sidecar records the parquet column-chunk triple
+    * (min, max, non-null count) per file, so a range count sums the
+    * sidecar counts of files the probe FULLY CONTAINS, scans only the
+    * 1-2 seam files it straddles, and skips disjoint files — see
+    * [[graft.etl.SnapshotCatalog.Snapshot.countPruned]]. The corpus is
+    * committed as 16 contiguous doc_id-range files; three half-domain
+    * probes anchored mid-file on both ends force all three classes
+    * (contained interior, straddled seams, disjoint exterior) in every
+    * probe. Emitted: the hybrid count plus all three file-class
+    * censuses — the oracle recomputes the classification from per-file
+    * zone maps and the count from raw rows, so a wrong containment
+    * test, a count drawn from the wrong sidecar field (row count vs
+    * non-null count), or a seam mis-scan all fail the strict gate.
+    *
+    * Scale: count-over-partition is the most common warehouse probe
+    * there is; at 100 TB this path answers it from planning metadata
+    * with two seam-file reads instead of a full scan.
+    */
+  def metadataCountRead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("probe_id", "n_rows", "n_files_scanned",
+      "n_files_contained", "n_files_total").map(StructField(_, LongType)))
+    val base0 = Tables.documents(s, d).select(col("doc_id"))
+    val maxRow = base0.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val dmax = maxRow.getLong(0)
+    require(dmax >= 0, s"non-negative doc_id domain expected, got max $dmax")
+    val span = (dmax + 16) / 16
+    val root = scratchRoot(d, "metacnt")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val reps: Map[Long, Long] = s.range(0, 1024)
+      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
+      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
+        slot.toLong -> rows.map(_.getLong(0)).min }
+    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val bucketed = base0
+      .withColumn("bucket", expr(s"doc_id div $span"))
+      .withColumn("slotkey", element_at(typedLit(reps), col("bucket")))
+      .repartition(16, col("slotkey"))
+      .select(col("doc_id"))
+    cat.commit(Map("docs" -> bucketed),
+      statsCols = Map("docs" -> Seq("doc_id")))
+    val snap = cat.snapshot()
+    val rows = (1 to 3).map { q =>
+      // mid-file anchors on BOTH ends: the probe straddles its boundary
+      // files, fully contains the interior, and misses the exterior
+      val lo = (dmax + 1) * q / 8 + span / 2
+      val hi = (dmax + 1) * (q + 4) / 8 - span / 3
+      val (cnt, scanned, contained, total) =
+        snap.countPruned(s, "docs", "doc_id", lo, hi)
+      require(contained > 0, s"probe $q: metadata path unused")
+      require(scanned < total, s"probe $q: every file scanned")
+      org.apache.spark.sql.Row(q.toLong, cnt, scanned.toLong,
+        contained.toLong, total.toLong)
+    }
+    finishScratch(
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema), root)
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
@@ -647,7 +710,8 @@ object Cdc {
     "snapshot_pruned_read" -> (snapshotPrunedRead _),
     "change_feed_maintenance" -> (changeFeedMaintenance _),
     "hilbert_clustered_read" -> (hilbertClusteredRead _),
-    "bloom_pruned_read" -> (bloomPrunedRead _)
+    "bloom_pruned_read" -> (bloomPrunedRead _),
+    "metadata_count_read" -> (metadataCountRead _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -958,6 +1022,46 @@ object Cdc {
         |SELECT CAST(c.pid AS BIGINT) AS probe_id, c.present, c.n_rows,
         | t.n_files_bloom, t.n_files_zone, t.n_files_total
         |FROM census c JOIN counts t ON t.pid = c.pid""".stripMargin,
+
+    // the metadata count reduces to zone-map classification + a raw
+    // census: 'meta' files are fully contained by the probe (their
+    // sidecar counts are summed unopened), 'scan' files straddle a
+    // seam, disjoint files are skipped — a wrong containment test or a
+    // count drawn from the wrong sidecar field desyncs n_rows or the
+    // file-class censuses
+    "metadata_count_read" ->
+      """WITH r AS (SELECT max(doc_id) AS dmax,
+        |  (max(doc_id) + 16) // 16 AS span FROM documents),
+        |zones AS (
+        | SELECT doc_id // r.span AS b, min(doc_id) AS mn, max(doc_id) AS mx,
+        |  count(doc_id) AS n
+        | FROM documents, r GROUP BY 1),
+        |probes AS (
+        | SELECT q, (dmax + 1) * q // 8 + span // 2 AS lo,
+        |  (dmax + 1) * (q + 4) // 8 - span // 3 AS hi
+        | FROM r, (VALUES (1), (2), (3)) t(q)),
+        |cls AS (
+        | SELECT p.q,
+        |  CASE WHEN z.mx < p.lo OR z.mn > p.hi THEN 'skip'
+        |       WHEN p.lo <= z.mn AND z.mx <= p.hi THEN 'meta'
+        |       ELSE 'scan' END AS c
+        | FROM probes p CROSS JOIN zones z),
+        |counts AS (
+        | SELECT q,
+        |  CAST(sum(CASE WHEN c = 'scan' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_files_scanned,
+        |  CAST(sum(CASE WHEN c = 'meta' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_files_contained,
+        |  CAST(count(*) AS BIGINT) AS n_files_total
+        | FROM cls GROUP BY q),
+        |census AS (
+        | SELECT p.q, CAST(count(d.doc_id) AS BIGINT) AS n_rows
+        | FROM probes p LEFT JOIN documents d
+        |  ON d.doc_id BETWEEN p.lo AND p.hi
+        | GROUP BY p.q)
+        |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_rows,
+        | t.n_files_scanned, t.n_files_contained, t.n_files_total
+        |FROM census c JOIN counts t ON t.q = c.q""".stripMargin,
 
     // the evolution roundtrip reduces to: snap 1 = the base corpus
     // with body sourced from text and lang absent (typed NULL -> zero

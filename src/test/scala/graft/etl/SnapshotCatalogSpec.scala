@@ -574,6 +574,35 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(k2.size == t2)
   }
 
+  test("countPruned: interior files served from metadata, seams scanned, NULLs excluded") {
+    val root = freshDir("metacount")
+    val cat = new SnapshotCatalog(root)
+    // four files of 100 contiguous ids; in file 1 ([100,199]) every
+    // 10th value is NULL — the metadata contribution must be the
+    // NON-NULL count (90), not the row count (100): NULLs never
+    // satisfy a BETWEEN
+    val df = spark.sparkContext.parallelize(0L until 400L, 4).toDF("raw")
+      .withColumn("id", when(col("raw") % 10 === 0 &&
+        col("raw") >= 100 && col("raw") < 200, lit(null))
+        .otherwise(col("raw")))
+      .select(col("id"))
+    cat.commit(Map("t" -> df), statsCols = Map("t" -> Seq("id")))
+    val snap = cat.snapshot()
+    // probe [50, 399]: file 0 straddled (scan), files 1-3 contained
+    val (cnt, scanned, contained, total) = snap.countPruned(spark, "t", "id", 50L, 399L)
+    assert((scanned, contained, total) == ((1, 3, 4)), s"$scanned/$contained/$total")
+    assert(cnt == 340, s"50 scanned from file 0 + 90 + 100 + 100 = 340, got $cnt")
+    assert(cnt == snap.read(spark, "t")
+      .filter(col("id").between(50L, 399L)).count(), "hybrid == full recompute")
+    // disjoint probe: nothing scanned, nothing contained, zero count
+    assert(snap.countPruned(spark, "t", "id", 1000L, 2000L) == ((0L, 0, 0, 4)))
+    // no-sidecar fallback: full scan, still correct
+    val cat2 = new SnapshotCatalog(freshDir("metacount_nostats"))
+    cat2.commit(Map("t" -> df))
+    val (c2, s2, m2, t2) = cat2.snapshot().countPruned(spark, "t", "id", 50L, 399L)
+    assert(c2 == 340 && s2 == t2 && m2 == 0)
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)

@@ -89,7 +89,8 @@ object Bench {
     val scratchWriters = Set("cdc_snapshot_roundtrip",
       "snapshot_schema_evolution", "snapshot_change_feed",
       "snapshot_pruned_read", "change_feed_maintenance",
-      "hilbert_clustered_read", "bloom_pruned_read", "metadata_count_read")
+      "hilbert_clustered_read", "bloom_pruned_read", "metadata_count_read",
+      "row_delete_roundtrip")
     val benchOrder = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (scratchWriters(n), n) }
     val results = benchOrder.map { case (name, fn) =>

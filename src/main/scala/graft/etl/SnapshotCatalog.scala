@@ -186,7 +186,13 @@ class SnapshotCatalog(catalogDir: String) {
         case SnapshotCatalog.Abort(msg) =>
           dropWritten(); throw new SnapshotCatalog.ConflictException(msg)
       }
-      val merged = prev ++ written ++ extras
+      // a commit that REPLACES a table supersedes its accumulated
+      // row-level deletes: the new version is complete data, and a
+      // stale _del entry would re-delete keys that legitimately
+      // reappear (this is also what makes compact() the copy-on-write
+      // fold — it reads with deletes applied and commits the result)
+      val merged = (prev -- tables.keys.map(t => s"_del:$t")) ++
+        written ++ extras
       val body = merged.toSeq.sortBy(_._1)
         .map { case (n, u) => s"""  "$n": "$u"""" }
         .mkString("{\n", ",\n", "\n}")
@@ -245,10 +251,60 @@ class SnapshotCatalog(catalogDir: String) {
 
   /** Time travel: pin an older (still-retained) manifest. Ledger
     * entries (`_txn:*`) stay in the raw manifest but out of the
-    * snapshot's table namespace. */
-  def snapshotAt(k: Int): SnapshotCatalog.Snapshot =
+    * snapshot's table namespace; `_del:*` entries become the
+    * snapshot's merge-on-read delete list. */
+  def snapshotAt(k: Int): SnapshotCatalog.Snapshot = {
+    val m = manifest(k)
+    val dels = m.toSeq.collect { case (key, v) if key.startsWith("_del:") =>
+      key.stripPrefix("_del:") -> v.split('|').toSeq.map { tok =>
+        val i = tok.indexOf(':')
+        (tok.substring(0, i), tok.substring(i + 1))
+      }
+    }.toMap
     new SnapshotCatalog.Snapshot(catalogDir, k,
-      manifest(k).filterNot(_._1.startsWith("_")))
+      m.filterNot(_._1.startsWith("_")), dels)
+  }
+
+  /** Row-level DELETE without rewriting data (merge-on-read, the
+    * Iceberg equality-delete shape): the keys of the rows matching
+    * `cond` in the CURRENT snapshot are written as a small parquet
+    * delete file inside the table's directory, and a metadata-only
+    * commit appends it to the table's `_del` manifest entry. Readers
+    * anti-join the accumulated delete keys on every read path
+    * (snapshot reads, pruned reads, point reads); old snapshots are
+    * untouched (time travel still serves the rows). `compact` folds
+    * the deletes copy-on-write: it reads THROUGH them and its
+    * replacement commit clears the entry.
+    *
+    * At 100 TB this is the difference between rewriting a table to
+    * drop 0.1% of rows (takedowns, PII erasure, re-crawl tombstones)
+    * and writing kilobytes of keys: the rewrite cost moves to the next
+    * scheduled compaction. The admission gate re-checks INSIDE the CAS
+    * loop that the table was not replaced since the keys were
+    * computed — a delete computed against a superseded version aborts
+    * rather than deleting wrong-generation keys. */
+  def deleteWhere(spark: SparkSession, table: String, keyCol: String,
+      cond: org.apache.spark.sql.Column): Int = {
+    require(keyCol.matches("[A-Za-z0-9_.]+"), s"bad key column: $keyCol")
+    val s = snapshot()
+    require(s.tables.contains(table), s"table $table not in snapshot ${s.id}")
+    val dnonce = "d=" + java.util.UUID.randomUUID().toString.take(13)
+    val delDir = s"$catalogDir/$table/$dnonce"
+    s.read(spark, table).filter(cond).select(keyCol).distinct()
+      .write.mode("overwrite").parquet(delDir)
+    val key = s"_del:$table"
+    try commitRaw(Map.empty, (_, prev) =>
+      if (prev.get(table) != s.tables.get(table))
+        SnapshotCatalog.Abort(
+          s"delete conflict: $table replaced since snapshot ${s.id}")
+      else SnapshotCatalog.Proceed(Map(key ->
+        (prev.get(key).toSeq :+ s"$dnonce:$keyCol").mkString("|"))))
+    catch {
+      case t: Throwable => // no manifest names the delete file: drop it
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delDir))
+        throw t
+    }
+  }
 
   /** Record a schema-evolution step for `table` as catalog metadata —
     * no data file is rewritten (the Iceberg model: evolution is a
@@ -333,11 +389,23 @@ class SnapshotCatalog(catalogDir: String) {
     * that post-dates every manifest becomes sweepable only after the
     * next successful commit — the conservative direction.) Returns the
     * number of dirs removed. */
+  /** Every on-disk directory a manifest owns: table version dirs
+    * (u=...) plus row-level delete-file dirs (d=..., from `_del:`
+    * entries) — the unit vacuum/sweepOrphans reason about. */
+  private def ownedDirs(m: Map[String, String]): Seq[(String, String)] =
+    m.toSeq.flatMap {
+      case (k, v) if k.startsWith("_del:") =>
+        val t = k.stripPrefix("_del:")
+        v.split('|').toSeq.map(tok => t -> tok.substring(0, tok.indexOf(':')))
+      case (k, v) if !k.startsWith("_") => Seq(k -> v)
+      case _ => Nil
+    }
+
   def sweepOrphans(minAgeMs: Long): Int = {
     val cur = currentId.getOrElse(0)
     val linked = (1 to cur).filter(k => Files.exists(manifestPath(k)))
     val referenced: Set[(String, String)] =
-      linked.flatMap(k => manifest(k).toSeq).toSet
+      linked.flatMap(k => ownedDirs(manifest(k))).toSet
     // no manifest on disk -> nothing is provably quiesced; sweep nothing
     val newestManifestMs = linked.map(k =>
       Files.getLastModifiedTime(manifestPath(k)).toMillis)
@@ -349,7 +417,7 @@ class SnapshotCatalog(catalogDir: String) {
     var removed = 0
     tables.foreach { t =>
       Option(t.listFiles()).toSeq.flatten
-        .filter(v => v.getName.startsWith("u=") &&
+        .filter(v => (v.getName.startsWith("u=") || v.getName.startsWith("d=")) &&
           !referenced((t.getName, v.getName)) && v.lastModified() < cutoff)
         .foreach { v =>
           org.apache.commons.io.FileUtils.deleteQuietly(v); removed += 1
@@ -384,6 +452,33 @@ class SnapshotCatalog(catalogDir: String) {
       statsCols = statCols.map(c => Map(table -> c)).getOrElse(Map.empty))
   }
 
+  /** Clustering compaction: rewrite one table's CURRENT version into
+    * `numFiles` files RANGE-PARTITIONED and sorted on `clusterCol`,
+    * re-deriving the stats sidecar over the previous sidecar's columns
+    * plus the cluster column. This is the maintenance move a streaming
+    * ingest needs: per-trigger commits land small files whose zone
+    * maps each span the whole key domain (arrival order is layout
+    * noise), so range pruning keeps everything; after this rewrite
+    * each file owns a contiguous key range and a range probe opens
+    * ~1/numFiles of them. Reads go through the snapshot, so
+    * accumulated row-level deletes fold copy-on-write here too.
+    * One range-exchange shuffle — the price of turning arrival order
+    * into layout, paid once per compaction cycle, not per query. */
+  def compactClustered(spark: SparkSession, table: String,
+      clusterCol: String, numFiles: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshot()
+    val prevDir = s"$catalogDir/$table/${s.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))}"
+    val statCols = (SnapshotCatalog.readFileStats(prevDir)
+      .map(_.values.flatMap(_.keys).toSet).getOrElse(Set.empty) +
+      clusterCol).toSeq.sorted
+    val clustered = s.read(spark, table)
+      .repartitionByRange(numFiles, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
+    commit(Map(table -> clustered), statsCols = Map(table -> statCols))
+  }
+
   /** Drop all but the newest `keep` manifests, then delete the version
     * dirs no retained manifest references. Readers holding a retained
     * snapshot keep every file they can see. */
@@ -393,10 +488,11 @@ class SnapshotCatalog(catalogDir: String) {
     val drop = all.dropRight(keep)
     if (drop.isEmpty) return
     val live: Set[(String, String)] =
-      all.takeRight(keep).flatMap(k => manifest(k).toSeq).toSet
+      all.takeRight(keep).flatMap(k => ownedDirs(manifest(k))).toSet
     drop.foreach { k =>
-      manifest(k).toSeq.filterNot(live.contains)
-        .filterNot(_._1.startsWith("_")) // ledger entries own no files
+      // ownedDirs covers version dirs AND delete-file dirs; pure
+      // ledger/schema entries own no files
+      ownedDirs(manifest(k)).filterNot(live.contains)
         .foreach { case (n, u) =>
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(s"$catalogDir/$n/$u"))
@@ -418,15 +514,33 @@ object SnapshotCatalog {
   private[etl] final case class Abort(msg: String) extends CommitGate
 
   /** An immutable view of one manifest; reads never resolve again, so
-    * concurrent commits cannot tear a multi-table read. */
+    * concurrent commits cannot tear a multi-table read. `deletes`
+    * carries the snapshot's merge-on-read delete files per table
+    * (delete-dir name, key column) in commit order; every read path
+    * anti-joins them. */
   final class Snapshot(catalogDir: String, val id: Int,
-      val tables: Map[String, String]) {
+      val tables: Map[String, String],
+      val deletes: Map[String, Seq[(String, String)]] = Map.empty) {
     def read(spark: SparkSession, table: String): DataFrame = {
       val u = tables.getOrElse(table,
         throw new IllegalArgumentException(
           s"table $table not in snapshot $id"))
-      spark.read.parquet(s"$catalogDir/$table/$u")
+      applyDeletes(spark, table, spark.read.parquet(s"$catalogDir/$table/$u"))
     }
+
+    /** Anti-join the table's accumulated delete keys (grouped by key
+      * column — one anti-join per distinct key, however many delete
+      * files accumulated). Delete files are key-only parquet, so the
+      * join side is takedown-sized, not table-sized. */
+    private def applyDeletes(spark: SparkSession, table: String,
+        base: DataFrame): DataFrame =
+      deletes.getOrElse(table, Nil).groupBy(_._2).toSeq.sortBy(_._1)
+        .foldLeft(base) { case (df, (kc, ds)) =>
+          val keys = ds.map(d =>
+            spark.read.parquet(s"$catalogDir/$table/${d._1}"))
+            .reduce(_.unionByName(_))
+          df.join(keys, Seq(kc), "left_anti")
+        }
 
     private def versionDir(table: String): String = {
       val u = tables.getOrElse(table,
@@ -492,7 +606,9 @@ object SnapshotCatalog {
 
     /** Multi-column pruned read: files via [[pruneFilesMulti]], then
       * the conjunction of all range predicates as the residual filter
-      * (pushed to the kept files' row groups). */
+      * (pushed to the kept files' row groups). Merge-on-read deletes
+      * apply on top — pruning is value-based over the base data, the
+      * anti-join removes deleted keys from whatever survives. */
     def readPrunedMulti(spark: SparkSession, table: String,
         preds: Map[String, (Any, Any)]): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
@@ -501,14 +617,16 @@ object SnapshotCatalog {
         col(c) >= lit(lo) && col(c) <= lit(hi)
       }.reduce(_ && _)
       val (kept, total) = pruneFilesMulti(table, preds)
-      if (kept.size == total)
-        spark.read.parquet(dir).filter(residual)
-      else if (kept.isEmpty)
-        // schema from the dir listing only; the constant-false filter
-        // folds to an empty relation — no row group is ever opened
-        spark.read.parquet(dir).filter(lit(false)).filter(residual)
-      else
-        spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
+      val base =
+        if (kept.size == total)
+          spark.read.parquet(dir).filter(residual)
+        else if (kept.isEmpty)
+          // schema from the dir listing only; the constant-false filter
+          // folds to an empty relation — no row group is ever opened
+          spark.read.parquet(dir).filter(lit(false)).filter(residual)
+        else
+          spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
+      applyDeletes(spark, table, base)
     }
 
     /** Metadata-accelerated range count: `count(column BETWEEN lo AND
@@ -529,6 +647,13 @@ object SnapshotCatalog {
       val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
         .map(_.getName).filter(_.endsWith(".parquet")).sorted
       val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
+      // merge-on-read deletes make sidecar counts stale (they describe
+      // the base files): fall back to a full filtered count THROUGH the
+      // delete anti-join — correct, file-complete, metadata-free. The
+      // next compact() folds the deletes and restores the fast path.
+      if (deletes.getOrElse(table, Nil).nonEmpty)
+        return (read(spark, table).filter(residual).count(),
+          onDisk.size, 0, onDisk.size)
       (readFileStats(dir), readFileColCounts(dir)) match {
         case (Some(st), Some(ct)) =>
           val missing = onDisk.filterNot(st.contains)
@@ -600,12 +725,14 @@ object SnapshotCatalog {
       val dir = versionDir(table)
       val residual = col(column) === lit(v)
       val (kept, total) = pruneFilesPoint(table, column, v)
-      if (kept.size == total)
-        spark.read.parquet(dir).filter(residual)
-      else if (kept.isEmpty)
-        spark.read.parquet(dir).filter(lit(false)).filter(residual)
-      else
-        spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
+      val base =
+        if (kept.size == total)
+          spark.read.parquet(dir).filter(residual)
+        else if (kept.isEmpty)
+          spark.read.parquet(dir).filter(lit(false)).filter(residual)
+        else
+          spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
+      applyDeletes(spark, table, base)
     }
   }
 

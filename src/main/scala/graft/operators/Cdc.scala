@@ -701,6 +701,53 @@ object Cdc {
     }
   }
 
+  /** Row-level deletes through the catalog, merge-on-read then
+    * copy-on-write, oracle-gated end to end: the corpus is committed
+    * once; two equality-delete commits land WITHOUT rewriting any data
+    * file (takedown keys doc_id % 13 == 0, then PII-shaped keys
+    * doc_id % 7 == 0 among the survivors — accumulation under test);
+    * every read in between anti-joins the accumulated delete files.
+    * compact() then folds the deletes copy-on-write (reads THROUGH
+    * them, and its replacement commit clears the `_del` entry), after
+    * which the same census must hold with ZERO delete entries live —
+    * and the pre-delete snapshot still serves every original row
+    * (time travel is delete-immune). Emitted per phase: row census,
+    * char mass, and the live delete-entry count read from the real
+    * manifest; the oracle recomputes each phase's census from first
+    * principles and pins the entry counts as protocol constants.
+    *
+    * Scale: a 100 TB corpus drops 0.1% of rows (takedowns, erasure
+    * requests) by writing kilobytes of keys, not by rewriting the
+    * table — the rewrite cost moves to the next scheduled compaction,
+    * exactly the Iceberg equality-delete/compaction split.
+    */
+  def rowDeleteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "rowdel")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    cat.commit(Map("docs" -> base))
+    val baseSnapId = cat.currentId.get
+    cat.deleteWhere(s, "docs", "doc_id", col("doc_id") % 13 === 0)
+    cat.deleteWhere(s, "docs", "doc_id",
+      col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+    def delEntries(): Long =
+      cat.manifest(cat.currentId.get).get("_del:docs")
+        .map(_.split('|').length.toLong).getOrElse(0L)
+    def census(df: DataFrame, phase: Long, nDel: Long): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        .select(lit(phase).as("phase"), col("n_docs"), col("n_chars"),
+          lit(nDel).as("n_del_entries"))
+    val mor = census(cat.snapshot().read(s, "docs"), 2L, delEntries())
+    // time travel: the pre-delete snapshot still serves every row
+    val tt = census(cat.snapshotAt(baseSnapId).read(s, "docs"), 1L, 0L)
+    cat.compact(s, "docs", numFiles = 4)
+    val cow = census(cat.snapshot().read(s, "docs"), 3L, delEntries())
+    finishScratch(tt.unionByName(mor).unionByName(cow), root)
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
@@ -711,7 +758,8 @@ object Cdc {
     "change_feed_maintenance" -> (changeFeedMaintenance _),
     "hilbert_clustered_read" -> (hilbertClusteredRead _),
     "bloom_pruned_read" -> (bloomPrunedRead _),
-    "metadata_count_read" -> (metadataCountRead _)
+    "metadata_count_read" -> (metadataCountRead _),
+    "row_delete_roundtrip" -> (rowDeleteRoundtrip _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1062,6 +1110,28 @@ object Cdc {
         |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_rows,
         | t.n_files_scanned, t.n_files_contained, t.n_files_total
         |FROM census c JOIN counts t ON t.q = c.q""".stripMargin,
+
+    // the delete roundtrip reduces to three censuses: phase 1 (time
+    // travel to the pre-delete snapshot) = the full corpus with zero
+    // delete entries; phase 2 (merge-on-read) = rows surviving both
+    // delete predicates with exactly TWO delete files live; phase 3
+    // (after the copy-on-write compaction) = the same survivors with
+    // the delete entry cleared — a missed anti-join, a stale _del after
+    // replace, or deletes leaking into old snapshots all desync
+    "row_delete_roundtrip" ->
+      """SELECT CAST(1 AS BIGINT) AS phase,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+        | CAST(0 AS BIGINT) AS n_del_entries
+        |FROM documents
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT), CAST(2 AS BIGINT)
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0
+        |UNION ALL
+        |SELECT 3, CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 7 <> 0""".stripMargin,
 
     // the evolution roundtrip reduces to: snap 1 = the base corpus
     // with body sourced from text and lang absent (typed NULL -> zero

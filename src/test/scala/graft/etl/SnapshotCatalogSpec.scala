@@ -603,6 +603,67 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(c2 == 340 && s2 == t2 && m2 == 0)
   }
 
+  test("row-level deletes: merge-on-read, accumulation, time travel, copy-on-write fold") {
+    val root = freshDir("rowdel")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(100)), statsCols = Map("t" -> Seq("id")))
+    val base = cat.currentId.get
+    cat.deleteWhere(spark, "t", "id", col("id") % 10 === 0)
+    assert(cat.snapshot().read(spark, "t").count() == 90)
+    cat.deleteWhere(spark, "t", "id", col("id") === 7)
+    val snap = cat.snapshot()
+    assert(snap.read(spark, "t").count() == 89, "two delete files accumulate")
+    // time travel: the pre-delete snapshot is delete-immune
+    assert(cat.snapshotAt(base).read(spark, "t").count() == 100)
+    // pruned reads anti-join too: [5,10] excludes deleted 7 and 10
+    assert(snap.readPruned(spark, "t", "id", 5L, 10L)
+      .select(col("id")).as[Long].collect().sorted.toSeq == Seq(5L, 6L, 8L, 9L))
+    // sidecar counts are stale under deletes: countPruned must fall
+    // back to a full anti-joined count, never serve metadata
+    val (cnt, scanned, contained, total) = snap.countPruned(spark, "t", "id", 1L, 100L)
+    assert(cnt == 89 && contained == 0 && scanned == total)
+    // copy-on-write: compact reads THROUGH the deletes, its replacement
+    // commit clears the _del entry, and the metadata fast path returns
+    cat.compact(spark, "t", numFiles = 2)
+    val c = cat.snapshot()
+    assert(c.deletes.isEmpty, "compaction folds and clears deletes")
+    assert(c.read(spark, "t").count() == 89)
+    val (c2, _, m2, _) = c.countPruned(spark, "t", "id", 1L, 100L)
+    assert(c2 == 89 && m2 > 0, "metadata count live again after the fold")
+    // vacuum reclaims delete-file dirs once no retained manifest
+    // references them (ownedDirs covers d= dirs)
+    assert(new java.io.File(s"$root/t").listFiles()
+      .count(_.getName.startsWith("d=")) == 2)
+    cat.vacuum(keep = 1)
+    assert(new java.io.File(s"$root/t").listFiles()
+      .count(_.getName.startsWith("d=")) == 0, "d= dirs vacuumed")
+    assert(cat.snapshot().read(spark, "t").count() == 89)
+  }
+
+  test("compactClustered turns arrival-order files into a prunable range layout") {
+    val root = freshDir("cluster")
+    val cat = new SnapshotCatalog(root)
+    // arrival-order ingest: the key sequence is a permutation of
+    // 0..299 (affine, coprime multiplier) round-robined across six
+    // files — every file's [min, max] spans ~the whole key domain
+    val scattered = spark.range(0, 300)
+      .select(pmod(col("id") * 7919, lit(300)).as("id"))
+      .repartition(6)
+    cat.commit(Map("t" -> scattered), statsCols = Map("t" -> Seq("id")))
+    val frag = cat.snapshot()
+    val (k0, t0) = frag.pruneFiles("t", "id", 50L, 250L)
+    assert(t0 == 6 && k0.size == t0, "scattered layout: zone maps prune nothing")
+    cat.compactClustered(spark, "t", "id", numFiles = 4)
+    val c = cat.snapshot()
+    // each file now owns a ~75-wide contiguous range; a 21-wide probe
+    // touches at most a seam pair
+    val (k1, t1) = c.pruneFiles("t", "id", 100L, 120L)
+    assert(t1 == 4 && k1.size <= 2, s"range layout prunes: ${k1.size}/$t1")
+    assert(c.read(spark, "t").count() == 300)
+    assert(c.readPruned(spark, "t", "id", 100L, 120L)
+      .agg(sum(col("id"))).as[Long].head() == (100L to 120L).sum)
+  }
+
   test("vacuum keeps every file a retained snapshot references") {
     val root = freshDir("vacuum")
     val cat = new SnapshotCatalog(root)

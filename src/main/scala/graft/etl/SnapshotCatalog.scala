@@ -107,7 +107,23 @@ class SnapshotCatalog(catalogDir: String) {
     * fast path that skips the table writes for obvious re-deliveries.
     */
   def commitIfNew(writerId: String, batchId: Long,
-      tables: Map[String, DataFrame]): Int = {
+      tables: Map[String, DataFrame]): Int =
+    ifNewRaw(writerId, batchId, tables, Map.empty, append = false)
+
+  /** Exactly-once APPEND for a streaming writer: [[commitIfNew]]'s
+    * ledger gate with [[append]] semantics — the fast-append ingest
+    * shape (per-trigger files accumulate on the table's dir list;
+    * [[compactClustered]] later folds them into a prunable layout).
+    * `statsCols` profiles each appended dir at write time so pruned
+    * reads work across the accumulating dirs. */
+  def appendIfNew(writerId: String, batchId: Long,
+      tables: Map[String, DataFrame],
+      statsCols: Map[String, Seq[String]] = Map.empty): Int =
+    ifNewRaw(writerId, batchId, tables, statsCols, append = true)
+
+  private def ifNewRaw(writerId: String, batchId: Long,
+      tables: Map[String, DataFrame],
+      statsCols: Map[String, Seq[String]], append: Boolean): Int = {
     require(!writerId.contains("/") && !writerId.contains("\""),
       s"bad writer id: $writerId")
     // the ledger entry is carried through commit() as a pseudo-table
@@ -119,8 +135,23 @@ class SnapshotCatalog(catalogDir: String) {
     if (currentId.map(manifest).exists(stale)) return currentId.get
     commitRaw(tables, (_, prev) =>
       if (stale(prev)) SnapshotCatalog.NoOp
-      else SnapshotCatalog.Proceed(Map(ledgerKey -> batchId.toString)))
+      else SnapshotCatalog.Proceed(Map(ledgerKey -> batchId.toString)),
+      statsCols, Map.empty, append)
   }
+
+  /** Append-only commit (Iceberg fast-append): each table's freshly
+    * written dir JOINS its pipe-separated dir list instead of
+    * replacing it — no existing file is touched, readers of prior
+    * snapshots are unaffected, and accumulated row-level deletes stay
+    * in force across the whole table (appends never re-admit a
+    * deleted key; that requires a replace). Stats/Bloom sidecars are
+    * written per appended dir, so pruned reads keep working across
+    * the accumulating dirs. */
+  def append(tables: Map[String, DataFrame],
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      bloomCols: Map[String, Seq[String]] = Map.empty): Int =
+    commitRaw(tables, (_, _) => SnapshotCatalog.Proceed(Map.empty), statsCols,
+      bloomCols, append = true)
 
   /** Conflict-detected commit: abort (throw
     * [[SnapshotCatalog.ConflictException]]) if any table this commit
@@ -157,7 +188,8 @@ class SnapshotCatalog(catalogDir: String) {
   private def commitRaw(tables: Map[String, DataFrame],
       gate: (Int, Map[String, String]) => SnapshotCatalog.CommitGate,
       statsCols: Map[String, Seq[String]] = Map.empty,
-      bloomCols: Map[String, Seq[String]] = Map.empty): Int = {
+      bloomCols: Map[String, Seq[String]] = Map.empty,
+      append: Boolean = false): Int = {
     Files.createDirectories(dir.resolve("_manifests"))
     val written = tables.map { case (name, df) =>
       require(!name.startsWith("_") && !name.contains("/"),
@@ -190,9 +222,17 @@ class SnapshotCatalog(catalogDir: String) {
       // row-level deletes: the new version is complete data, and a
       // stale _del entry would re-delete keys that legitimately
       // reappear (this is also what makes compact() the copy-on-write
-      // fold — it reads with deletes applied and commits the result)
-      val merged = (prev -- tables.keys.map(t => s"_del:$t")) ++
-        written ++ extras
+      // fold — it reads with deletes applied and commits the result).
+      // An APPEND keeps both the prior data dirs (the new dir joins
+      // the table's pipe-separated dir list) and the delete entries
+      // (a deleted key stays deleted table-wide — the takedown
+      // contract; re-admitting a key is a replace, not an append)
+      val base = if (append) prev
+        else prev -- tables.keys.map(t => s"_del:$t")
+      val tableVals = written.map { case (n, u) =>
+        n -> (if (append) (prev.get(n).toSeq :+ u).mkString("|") else u)
+      }
+      val merged = base ++ tableVals ++ extras
       val body = merged.toSeq.sortBy(_._1)
         .map { case (n, u) => s"""  "$n": "$u"""" }
         .mkString("{\n", ",\n", "\n}")
@@ -397,7 +437,8 @@ class SnapshotCatalog(catalogDir: String) {
       case (k, v) if k.startsWith("_del:") =>
         val t = k.stripPrefix("_del:")
         v.split('|').toSeq.map(tok => t -> tok.substring(0, tok.indexOf(':')))
-      case (k, v) if !k.startsWith("_") => Seq(k -> v)
+      case (k, v) if !k.startsWith("_") =>
+        v.split('|').toSeq.map(k -> _) // append lists: several dirs
       case _ => Nil
     }
 
@@ -443,13 +484,20 @@ class SnapshotCatalog(catalogDir: String) {
     * invisible 1/N -> N/N I/O regression. */
   def compact(spark: SparkSession, table: String, numFiles: Int = 1): Int = {
     val s = snapshot()
-    val prevDir = s"$catalogDir/$table/${s.tables.getOrElse(table,
-      throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))}"
-    val statCols = SnapshotCatalog.readFileStats(prevDir)
-      .map(_.values.flatMap(_.keys).toSet.toSeq.sorted)
-      .filter(_.nonEmpty)
+    val statCols = prevStatsCols(s, table)
     commit(Map(table -> s.read(spark, table).coalesce(numFiles)),
-      statsCols = statCols.map(c => Map(table -> c)).getOrElse(Map.empty))
+      statsCols = if (statCols.nonEmpty) Map(table -> statCols) else Map.empty)
+  }
+
+  /** The union of stats columns across the table's current dirs (an
+    * appended table may carry several sidecars) — what a rewrite
+    * re-profiles so pruned reads survive the fold. */
+  private def prevStatsCols(s: SnapshotCatalog.Snapshot, table: String): Seq[String] = {
+    val dirs = s.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))
+      .split('|').toSeq
+    dirs.flatMap(d => SnapshotCatalog.readFileStats(s"$catalogDir/$table/$d")
+      .map(_.values.flatMap(_.keys)).getOrElse(Nil)).toSet.toSeq.sorted
   }
 
   /** Clustering compaction: rewrite one table's CURRENT version into
@@ -468,11 +516,7 @@ class SnapshotCatalog(catalogDir: String) {
       clusterCol: String, numFiles: Int): Int = {
     import org.apache.spark.sql.functions.col
     val s = snapshot()
-    val prevDir = s"$catalogDir/$table/${s.tables.getOrElse(table,
-      throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))}"
-    val statCols = (SnapshotCatalog.readFileStats(prevDir)
-      .map(_.values.flatMap(_.keys).toSet).getOrElse(Set.empty) +
-      clusterCol).toSeq.sorted
+    val statCols = (prevStatsCols(s, table).toSet + clusterCol).toSeq.sorted
     val clustered = s.read(spark, table)
       .repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(col(clusterCol))
@@ -521,12 +565,9 @@ object SnapshotCatalog {
   final class Snapshot(catalogDir: String, val id: Int,
       val tables: Map[String, String],
       val deletes: Map[String, Seq[(String, String)]] = Map.empty) {
-    def read(spark: SparkSession, table: String): DataFrame = {
-      val u = tables.getOrElse(table,
-        throw new IllegalArgumentException(
-          s"table $table not in snapshot $id"))
-      applyDeletes(spark, table, spark.read.parquet(s"$catalogDir/$table/$u"))
-    }
+    def read(spark: SparkSession, table: String): DataFrame =
+      applyDeletes(spark, table,
+        spark.read.parquet(versionDirs(table): _*))
 
     /** Anti-join the table's accumulated delete keys (grouped by key
       * column — one anti-join per distinct key, however many delete
@@ -542,11 +583,14 @@ object SnapshotCatalog {
           df.join(keys, Seq(kc), "left_anti")
         }
 
-    private def versionDir(table: String): String = {
+    /** The table's data dirs in append order: one for a replaced
+      * table, several after fast-appends (pipe-separated manifest
+      * value). */
+    private def versionDirs(table: String): Seq[String] = {
       val u = tables.getOrElse(table,
         throw new IllegalArgumentException(
           s"table $table not in snapshot $id"))
-      s"$catalogDir/$table/$u"
+      u.split('|').toSeq.map(d => s"$catalogDir/$table/$d")
     }
 
     /** Plan a file-pruned range scan: (files to read, total file
@@ -571,25 +615,31 @@ object SnapshotCatalog {
     def pruneFilesMulti(table: String,
         preds: Map[String, (Any, Any)]): (Seq[String], Int) = {
       require(preds.nonEmpty, "pruneFilesMulti: empty predicate set")
-      val dir = versionDir(table)
-      val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.endsWith(".parquet")).sorted
-      readFileStats(dir) match {
-        case None => (onDisk, onDisk.size)
-        case Some(stats) =>
-          // the sidecar is the planning authority: it must cover every
-          // data file, or a silent gap would silently DROP rows
-          val missing = onDisk.filterNot(stats.contains)
-          require(missing.isEmpty,
-            s"stats sidecar in $dir misses files: ${missing.mkString(", ")}")
-          val kept = stats.toSeq.sortBy(_._1).collect {
-            case (f, cols) if preds.forall { case (c, (lo, hi)) =>
-              cols.get(c).flatten
-                .forall { case (mn, mx) => !rangeDisjoint(mn, mx, lo, hi) }
-            } => f
-          }
-          (kept, stats.size)
+      // kept paths are RELATIVE to the table dir (u=<nonce>/<file>):
+      // after fast-appends a table spans several dirs and bare file
+      // names collide (every dir has a part-00000)
+      val perDir = versionDirs(table).map { dir =>
+        val dname = dir.split('/').last
+        val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.endsWith(".parquet")).sorted
+        readFileStats(dir) match {
+          case None => (onDisk.map(f => s"$dname/$f"), onDisk.size)
+          case Some(stats) =>
+            // the sidecar is the planning authority: it must cover every
+            // data file, or a silent gap would silently DROP rows
+            val missing = onDisk.filterNot(stats.contains)
+            require(missing.isEmpty,
+              s"stats sidecar in $dir misses files: ${missing.mkString(", ")}")
+            val kept = stats.toSeq.sortBy(_._1).collect {
+              case (f, cols) if preds.forall { case (c, (lo, hi)) =>
+                cols.get(c).flatten
+                  .forall { case (mn, mx) => !rangeDisjoint(mn, mx, lo, hi) }
+              } => s"$dname/$f"
+            }
+            (kept, stats.size)
+        }
       }
+      (perDir.flatMap(_._1), perDir.map(_._2).sum)
     }
 
     /** Read `table` with the range predicate `column BETWEEN lo AND
@@ -612,20 +662,21 @@ object SnapshotCatalog {
     def readPrunedMulti(spark: SparkSession, table: String,
         preds: Map[String, (Any, Any)]): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
-      val dir = versionDir(table)
+      val dirs = versionDirs(table)
       val residual = preds.map { case (c, (lo, hi)) =>
         col(c) >= lit(lo) && col(c) <= lit(hi)
       }.reduce(_ && _)
       val (kept, total) = pruneFilesMulti(table, preds)
       val base =
         if (kept.size == total)
-          spark.read.parquet(dir).filter(residual)
+          spark.read.parquet(dirs: _*).filter(residual)
         else if (kept.isEmpty)
           // schema from the dir listing only; the constant-false filter
           // folds to an empty relation — no row group is ever opened
-          spark.read.parquet(dir).filter(lit(false)).filter(residual)
+          spark.read.parquet(dirs: _*).filter(lit(false)).filter(residual)
         else
-          spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
+          spark.read.parquet(kept.map(f => s"$catalogDir/$table/$f"): _*)
+            .filter(residual)
       applyDeletes(spark, table, base)
     }
 
@@ -643,9 +694,11 @@ object SnapshotCatalog {
     def countPruned(spark: SparkSession, table: String, column: String,
         lo: Any, hi: Any): (Long, Int, Int, Int) = {
       import org.apache.spark.sql.functions.{col, lit}
-      val dir = versionDir(table)
-      val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.endsWith(".parquet")).sorted
+      val dirs = versionDirs(table)
+      def filesIn(dir: String): Seq[String] =
+        Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.endsWith(".parquet")).sorted
+      val totalFiles = dirs.map(d => filesIn(d).size).sum
       val residual = col(column) >= lit(lo) && col(column) <= lit(hi)
       // merge-on-read deletes make sidecar counts stale (they describe
       // the base files): fall back to a full filtered count THROUGH the
@@ -653,34 +706,38 @@ object SnapshotCatalog {
       // next compact() folds the deletes and restores the fast path.
       if (deletes.getOrElse(table, Nil).nonEmpty)
         return (read(spark, table).filter(residual).count(),
-          onDisk.size, 0, onDisk.size)
-      (readFileStats(dir), readFileColCounts(dir)) match {
-        case (Some(st), Some(ct)) =>
-          val missing = onDisk.filterNot(st.contains)
-          require(missing.isEmpty,
-            s"stats sidecar in $dir misses files: ${missing.mkString(", ")}")
-          var meta = 0L
-          var contained = 0
-          val scan = scala.collection.mutable.ArrayBuffer.empty[String]
-          st.toSeq.sortBy(_._1).foreach { case (f, cols) =>
-            cols.get(column).flatten match {
-              case Some((mn, mx)) if rangeDisjoint(mn, mx, lo, hi) => // skip
-              case Some((mn, mx)) if rangeContained(mn, mx, lo, hi) &&
-                  ct.get(f).exists(_.contains(column)) =>
-                meta += ct(f)(column); contained += 1
-              case None => // NULL bounds: the column holds no values
-                // in this file — zero rows can match; skip
-              case _ => scan += f
+          totalFiles, 0, totalFiles)
+      var meta = 0L
+      var contained = 0
+      val scan = scala.collection.mutable.ArrayBuffer.empty[String]
+      dirs.foreach { dir =>
+        val dname = dir.split('/').last
+        val onDisk = filesIn(dir)
+        (readFileStats(dir), readFileColCounts(dir)) match {
+          case (Some(st), Some(ct)) =>
+            val missing = onDisk.filterNot(st.contains)
+            require(missing.isEmpty,
+              s"stats sidecar in $dir misses files: ${missing.mkString(", ")}")
+            st.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+              cols.get(column).flatten match {
+                case Some((mn, mx)) if rangeDisjoint(mn, mx, lo, hi) => // skip
+                case Some((mn, mx)) if rangeContained(mn, mx, lo, hi) &&
+                    ct.get(f).exists(_.contains(column)) =>
+                  meta += ct(f)(column); contained += 1
+                case None => // NULL bounds: the column holds no values
+                  // in this file — zero rows can match; skip
+                case _ => scan += s"$dname/$f"
+              }
             }
-          }
-          val scanned = if (scan.isEmpty) 0L
-            else spark.read.parquet(scan.toSeq.map(f => s"$dir/$f"): _*)
-              .filter(residual).count()
-          (meta + scanned, scan.size, contained, st.size)
-        case _ =>
-          (spark.read.parquet(dir).filter(residual).count(),
-            onDisk.size, 0, onDisk.size)
+          case _ => // a dir without a sidecar is scanned whole
+            scan ++= onDisk.map(f => s"$dname/$f")
+        }
       }
+      val scanned = if (scan.isEmpty) 0L
+        else spark.read.parquet(
+          scan.toSeq.map(f => s"$catalogDir/$table/$f"): _*)
+          .filter(residual).count()
+      (meta + scanned, scan.size, contained, totalFiles)
     }
 
     /** Plan a file-pruned POINT lookup `column = v` from the version's
@@ -695,25 +752,28 @@ object SnapshotCatalog {
       * committed without Blooms — or a file/column the sidecar doesn't
       * cover — is conservatively kept. */
     def pruneFilesPoint(table: String, column: String, v: Long): (Seq[String], Int) = {
-      val dir = versionDir(table)
-      val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.endsWith(".parquet")).sorted
-      readFileBlooms(dir) match {
-        case None => (onDisk, onDisk.size)
-        case Some(blooms) =>
-          val kept = onDisk.filter { f =>
-            blooms.get(f).flatMap(_.get(column)) match {
-              case None => true // unprofiled file/column: keep
-              case Some((m, words)) =>
-                def bit(pos: Long): Boolean = {
-                  val w = (pos / 64).toInt
-                  (words.getOrElse(w, 0L) & (1L << (pos % 64).toInt)) != 0L
-                }
-                bit(bloomH1(v) % m) && bit(bloomH2(v) % m)
+      val perDir = versionDirs(table).map { dir =>
+        val dname = dir.split('/').last
+        val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.endsWith(".parquet")).sorted
+        readFileBlooms(dir) match {
+          case None => (onDisk.map(f => s"$dname/$f"), onDisk.size)
+          case Some(blooms) =>
+            val kept = onDisk.filter { f =>
+              blooms.get(f).flatMap(_.get(column)) match {
+                case None => true // unprofiled file/column: keep
+                case Some((m, words)) =>
+                  def bit(pos: Long): Boolean = {
+                    val w = (pos / 64).toInt
+                    (words.getOrElse(w, 0L) & (1L << (pos % 64).toInt)) != 0L
+                  }
+                  bit(bloomH1(v) % m) && bit(bloomH2(v) % m)
+              }
             }
-          }
-          (kept, onDisk.size)
+            (kept.map(f => s"$dname/$f"), onDisk.size)
+        }
       }
+      (perDir.flatMap(_._1), perDir.map(_._2).sum)
     }
 
     /** Point-lookup read through [[pruneFilesPoint]]: scan only the
@@ -722,16 +782,17 @@ object SnapshotCatalog {
     def readPrunedPoint(spark: SparkSession, table: String, column: String,
         v: Long): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
-      val dir = versionDir(table)
+      val dirs = versionDirs(table)
       val residual = col(column) === lit(v)
       val (kept, total) = pruneFilesPoint(table, column, v)
       val base =
         if (kept.size == total)
-          spark.read.parquet(dir).filter(residual)
+          spark.read.parquet(dirs: _*).filter(residual)
         else if (kept.isEmpty)
-          spark.read.parquet(dir).filter(lit(false)).filter(residual)
+          spark.read.parquet(dirs: _*).filter(lit(false)).filter(residual)
         else
-          spark.read.parquet(kept.map(f => s"$dir/$f"): _*).filter(residual)
+          spark.read.parquet(kept.map(f => s"$catalogDir/$table/$f"): _*)
+            .filter(residual)
       applyDeletes(spark, table, base)
     }
   }

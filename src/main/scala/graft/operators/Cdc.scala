@@ -748,6 +748,74 @@ object Cdc {
     }
   }
 
+  /** Fast-append ingest served end to end, oracle-gated: the corpus
+    * arrives as three doc_id-range slices — one initial commit plus
+    * two APPENDS (no existing file rewritten; each appended dir joins
+    * the table's dir list with its own stats sidecar). Three probes
+    * then exercise the multi-dir read surface: a full-table census, a
+    * range probe pruned to ONE of the three dirs, and a metadata-only
+    * count whose range exactly contains the middle slice (zero files
+    * scanned). The oracle re-derives the slice layout from pure
+    * arithmetic (which third a doc_id falls in), re-groups per-slice
+    * zone maps, and re-decides the pruning/containment calls — a
+    * broken dir-list merge, a sidecar lost on append, or cross-dir
+    * file-name collision in the planner all desync the counts.
+    *
+    * Scale: this IS the ingest shape — a 100 TB table grows by
+    * appending the day's partition, never by rewriting; reads must
+    * prune across the accumulated dirs as if they were one layout.
+    */
+  def appendIngestRead(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("probe_id", "n_docs", "n_chars",
+      "n_files_read", "n_files_total").map(StructField(_, LongType)))
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxRow = base.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val dmax = maxRow.getLong(0)
+    require(dmax >= 0, s"non-negative doc_id domain expected, got max $dmax")
+    val t1 = (dmax + 1) / 3
+    val t2 = (dmax + 1) * 2 / 3
+    val root = scratchRoot(d, "appendrd")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    def slice(lo: Long, hiEx: Long) = base
+      .filter(col("doc_id") >= lo && col("doc_id") < hiEx).coalesce(1)
+    cat.commit(Map("docs" -> slice(0, t1)),
+      statsCols = Map("docs" -> Seq("doc_id")))
+    cat.append(Map("docs" -> slice(t1, t2)),
+      statsCols = Map("docs" -> Seq("doc_id")))
+    cat.append(Map("docs" -> slice(t2, dmax + 1)),
+      statsCols = Map("docs" -> Seq("doc_id")))
+    val snap = cat.snapshot()
+    require(snap.tables("docs").split('|').length == 3,
+      "three dirs expected after two appends")
+    def census(df: DataFrame, pid: Long, read: Long, total: Long): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        .select(lit(pid).as("probe_id"), col("n_docs"), col("n_chars"),
+          lit(read).as("n_files_read"), lit(total).as("n_files_total"))
+    // probe 1: full multi-dir read
+    val (_, total0) = snap.pruneFiles("docs", "doc_id", 0L, dmax)
+    val p1 = census(snap.read(s, "docs"), 1L, total0.toLong, total0.toLong)
+    // probe 2: a range inside the middle slice prunes to its dir
+    val (plo, phi) = (t1 + (t2 - t1) / 4, t1 + (t2 - t1) / 2)
+    val (kept, total) = snap.pruneFiles("docs", "doc_id", plo, phi)
+    require(kept.size < total, s"append probe pruned nothing: ${kept.size}/$total")
+    val p2 = census(snap.readPruned(s, "docs", "doc_id", plo, phi), 2L,
+      kept.size.toLong, total.toLong)
+    // probe 3: metadata-only count of exactly the middle slice
+    val (cnt, scanned, contained, total3) =
+      snap.countPruned(s, "docs", "doc_id", t1, t2 - 1)
+    require(contained > 0 && scanned == 0,
+      s"metadata path expected: contained=$contained scanned=$scanned")
+    val p3 = s.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(3L, cnt, 0L, scanned.toLong, total3.toLong)), schema)
+    finishScratch(p1.unionByName(p2).unionByName(p3), root)
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
@@ -759,7 +827,8 @@ object Cdc {
     "hilbert_clustered_read" -> (hilbertClusteredRead _),
     "bloom_pruned_read" -> (bloomPrunedRead _),
     "metadata_count_read" -> (metadataCountRead _),
-    "row_delete_roundtrip" -> (rowDeleteRoundtrip _)
+    "row_delete_roundtrip" -> (rowDeleteRoundtrip _),
+    "append_ingest_read" -> (appendIngestRead _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1110,6 +1179,56 @@ object Cdc {
         |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_rows,
         | t.n_files_scanned, t.n_files_contained, t.n_files_total
         |FROM census c JOIN counts t ON t.q = c.q""".stripMargin,
+
+    // the append-ingest read reduces to slice arithmetic: slice =
+    // which third a doc_id falls in (one dir per slice by
+    // construction), zones = per-slice min/max, probe 2's file count =
+    // zones overlapping the probe, probe 3's scanned count = zones
+    // overlapping-but-not-contained (0 when the range exactly covers
+    // the middle slice); a dir-list merge bug or a sidecar lost on
+    // append desyncs every channel
+    "append_ingest_read" ->
+      """WITH r AS (SELECT max(doc_id) AS dmax,
+        |  (max(doc_id) + 1) // 3 AS t1,
+        |  (max(doc_id) + 1) * 2 // 3 AS t2 FROM documents),
+        |sliced AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN doc_id < t1 THEN 0 WHEN doc_id < t2 THEN 1 ELSE 2 END AS sl
+        | FROM documents, r),
+        |zones AS (SELECT sl, min(doc_id) AS mn, max(doc_id) AS mx
+        | FROM sliced GROUP BY sl),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS total FROM zones),
+        |pr AS (SELECT t1 + (t2 - t1) // 4 AS plo,
+        |  t1 + (t2 - t1) // 2 AS phi FROM r),
+        |p1 AS (
+        | SELECT CAST(1 AS BIGINT) AS probe_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+        |  nf.total AS n_files_read, nf.total AS n_files_total
+        | FROM sliced, nf GROUP BY nf.total),
+        |p2 AS (
+        | SELECT CAST(2 AS BIGINT) AS probe_id,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sliced d, pr p
+        |   WHERE d.doc_id BETWEEN p.plo AND p.phi) AS n_docs,
+        |  (SELECT CAST(coalesce(sum(length(d.text)), 0) AS BIGINT)
+        |   FROM sliced d, pr p
+        |   WHERE d.doc_id BETWEEN p.plo AND p.phi) AS n_chars,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM zones z, pr p
+        |   WHERE NOT (z.mx < p.plo OR z.mn > p.phi)) AS n_files_read,
+        |  nf.total AS n_files_total
+        | FROM nf WHERE nf.total > 0),
+        |p3 AS (
+        | SELECT CAST(3 AS BIGINT) AS probe_id,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM sliced d, r
+        |   WHERE d.doc_id BETWEEN r.t1 AND r.t2 - 1) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_chars,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM zones z, r
+        |   WHERE NOT (z.mx < r.t1 OR z.mn > r.t2 - 1)
+        |     AND NOT (r.t1 <= z.mn AND z.mx <= r.t2 - 1)) AS n_files_read,
+        |  nf.total AS n_files_total
+        | FROM nf WHERE nf.total > 0)
+        |SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |UNION ALL SELECT * FROM p3""".stripMargin,
 
     // the delete roundtrip reduces to three censuses: phase 1 (time
     // travel to the pre-delete snapshot) = the full corpus with zero

@@ -434,7 +434,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(total == 4 && kept.size == 1, s"kept=$kept total=$total")
     // the physical scan reads EXACTLY the kept files...
     val pruned = snap.readPruned(spark, "t", "id", 150L, 180L)
-    assert(pruned.inputFiles.map(_.split('/').last).toSet == kept.toSet,
+    assert(pruned.inputFiles.map(_.split('/').last).toSet ==
+      kept.map(_.split('/').last).toSet,
       s"inputFiles=${pruned.inputFiles.toSeq} kept=$kept")
     // ...and returns exactly what a full filtered scan returns
     val full = snap.read(spark, "t")
@@ -459,7 +460,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // skipped file — the pruned scan still evaluates correctly, so no
     // plan node ever opened them
     val skipped = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !kept.contains(f.getName))
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !kept.map(_.split('/').last).contains(f.getName))
     assert(skipped.length == 3)
     skipped.foreach(f => assert(f.delete()))
     val afterDelete = snap.readPruned(spark, "t", "id", 150L, 180L)
@@ -494,7 +496,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val (kept, total) = snap.pruneFilesMulti("t", preds)
     assert(total == 4 && kept.size == 1, s"kept=$kept total=$total")
     val r = snap.readPrunedMulti(spark, "t", preds)
-    assert(r.inputFiles.map(_.split('/').last).toSet == kept.toSet)
+    assert(r.inputFiles.map(_.split('/').last).toSet ==
+      kept.map(_.split('/').last).toSet)
     // file 3 holds the diagonal (100+i, 100+i): the rectangle admits
     // i in 50..60 — and the residual filter, not the file grain,
     // decides the rows
@@ -552,7 +555,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
     (0L until 256L).foreach { v =>
       val (kept, total) = snap.pruneFilesPoint("t", "id", v)
       assert(total == 4)
-      assert(kept.contains(files((v / 64).toInt)), s"present key $v skipped")
+      assert(kept.map(_.split('/').last).contains(files((v / 64).toInt)),
+        s"present key $v skipped")
     }
     // absent keys: keeps are false positives only; at 12 bits/row the
     // rate is ~2%, so 256 absent probes x 4 files ~ 20 keeps expected —
@@ -564,7 +568,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // and returns the row
     val (kept130, _) = snap.pruneFilesPoint("t", "id", 130L)
     val r = snap.readPrunedPoint(spark, "t", "id", 130L)
-    assert(r.inputFiles.map(_.split('/').last).toSet == kept130.toSet)
+    assert(r.inputFiles.map(_.split('/').last).toSet ==
+      kept130.map(_.split('/').last).toSet)
     assert(r.count() == 1)
     // a version committed WITHOUT blooms keeps everything (fallback)
     val cat2 = new SnapshotCatalog(freshDir("bloom_none"))
@@ -662,6 +667,49 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(c.read(spark, "t").count() == 300)
     assert(c.readPruned(spark, "t", "id", 100L, 120L)
       .agg(sum(col("id"))).as[Long].head() == (100L to 120L).sum)
+  }
+
+  test("fast-append: dirs accumulate, pruned reads span them, compaction folds") {
+    val root = freshDir("append")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> spark.range(0, 100).toDF("id").coalesce(1)),
+      statsCols = Map("t" -> Seq("id")))
+    cat.append(Map("t" -> spark.range(100, 200).toDF("id").coalesce(1)),
+      statsCols = Map("t" -> Seq("id")))
+    cat.append(Map("t" -> spark.range(200, 300).toDF("id").coalesce(1)),
+      statsCols = Map("t" -> Seq("id")))
+    val snap = cat.snapshot()
+    assert(snap.tables("t").split('|').length == 3, "three dirs accumulated")
+    assert(snap.read(spark, "t").count() == 300)
+    // pruned read spans dirs: [120,180] lives in the second dir only
+    val (kept, total) = snap.pruneFiles("t", "id", 120L, 180L)
+    assert(total == 3 && kept.size == 1, s"$kept/$total")
+    assert(snap.readPruned(spark, "t", "id", 120L, 180L).count() == 61)
+    // metadata count across dirs: [100,199] fully contains dir 2
+    val (cnt, scanned, contained, _) = snap.countPruned(spark, "t", "id", 100L, 199L)
+    assert(cnt == 100 && scanned == 0 && contained == 1)
+    // the pre-append snapshot still serves one dir
+    assert(cat.snapshotAt(1).read(spark, "t").count() == 100)
+    // deletes stay in force across appends: an appended row with a
+    // deleted key stays invisible (re-admitting requires a replace)
+    cat.deleteWhere(spark, "t", "id", col("id") === 150L)
+    cat.append(Map("t" -> Seq(150L, 999L).toDF("id").coalesce(1)),
+      statsCols = Map("t" -> Seq("id")))
+    val s2 = cat.snapshot()
+    assert(s2.read(spark, "t").filter(col("id") === 150L).count() == 0,
+      "append must not re-admit a deleted key")
+    assert(s2.read(spark, "t").count() == 300) // 299 survivors + 999
+    // clustering compaction folds dirs AND deletes into one layout
+    cat.compactClustered(spark, "t", "id", numFiles = 3)
+    val c = cat.snapshot()
+    assert(c.tables("t").split('|').length == 1 && c.deletes.isEmpty)
+    assert(c.read(spark, "t").count() == 300)
+    // appendIfNew: the exactly-once ledger guards appends too
+    val ka = cat.appendIfNew("ing", 0L,
+      Map("t" -> Seq(5000L).toDF("id")), Map("t" -> Seq("id")))
+    val ka2 = cat.appendIfNew("ing", 0L, Map("t" -> Seq(6000L).toDF("id")))
+    assert(ka2 == ka, "replayed append batch no-ops")
+    assert(cat.snapshot().read(spark, "t").count() == 301)
   }
 
   test("vacuum keeps every file a retained snapshot references") {

@@ -90,7 +90,7 @@ object Bench {
       "snapshot_schema_evolution", "snapshot_change_feed",
       "snapshot_pruned_read", "change_feed_maintenance",
       "hilbert_clustered_read", "bloom_pruned_read", "metadata_count_read",
-      "row_delete_roundtrip", "append_ingest_read")
+      "row_delete_roundtrip", "append_ingest_read", "cdc_merge_on_read")
     val benchOrder = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (scratchWriters(n), n) }
     val results = benchOrder.map { case (name, fn) =>

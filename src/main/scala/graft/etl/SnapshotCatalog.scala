@@ -141,10 +141,12 @@ class SnapshotCatalog(catalogDir: String) {
 
   /** Append-only commit (Iceberg fast-append): each table's freshly
     * written dir JOINS its pipe-separated dir list instead of
-    * replacing it — no existing file is touched, readers of prior
-    * snapshots are unaffected, and accumulated row-level deletes stay
-    * in force across the whole table (appends never re-admit a
-    * deleted key; that requires a replace). Stats/Bloom sidecars are
+    * replacing it — no existing file is touched and readers of prior
+    * snapshots are unaffected. The new dir is sequence-stamped ABOVE
+    * every earlier delete, so (per the Iceberg sequence rule) prior
+    * row-level deletes do not apply to it: appending a previously
+    * deleted key re-admits it, which is exactly what lets
+    * delete+append compose into MERGE. Stats/Bloom sidecars are
     * written per appended dir, so pruned reads keep working across
     * the accumulating dirs. */
   def append(tables: Map[String, DataFrame],
@@ -223,14 +225,18 @@ class SnapshotCatalog(catalogDir: String) {
       // stale _del entry would re-delete keys that legitimately
       // reappear (this is also what makes compact() the copy-on-write
       // fold — it reads with deletes applied and commits the result).
-      // An APPEND keeps both the prior data dirs (the new dir joins
-      // the table's pipe-separated dir list) and the delete entries
-      // (a deleted key stays deleted table-wide — the takedown
-      // contract; re-admitting a key is a replace, not an append)
+      // An APPEND keeps the prior data dirs (the new dir joins the
+      // table's pipe-separated dir list). Every dir token is stamped
+      // @<manifest-id> — the SEQUENCE NUMBER the Iceberg delete rule
+      // needs: a row-level delete applies only to data dirs with a
+      // LOWER sequence, so a later append legitimately re-admits a
+      // key, and delete+append composes into MERGE. The stamp is
+      // re-derived on every CAS retry (k moves, the stamp moves).
       val base = if (append) prev
         else prev -- tables.keys.map(t => s"_del:$t")
       val tableVals = written.map { case (n, u) =>
-        n -> (if (append) (prev.get(n).toSeq :+ u).mkString("|") else u)
+        n -> (if (append) (prev.get(n).toSeq :+ s"$u@$k").mkString("|")
+              else s"$u@$k")
       }
       val merged = base ++ tableVals ++ extras
       val body = merged.toSeq.sortBy(_._1)
@@ -295,10 +301,15 @@ class SnapshotCatalog(catalogDir: String) {
     * snapshot's merge-on-read delete list. */
   def snapshotAt(k: Int): SnapshotCatalog.Snapshot = {
     val m = manifest(k)
+    // _del tokens: d=<nonce>:<keyCol>@<seq> — seq is the manifest id
+    // the delete landed at; it applies only to dirs with a lower seq
     val dels = m.toSeq.collect { case (key, v) if key.startsWith("_del:") =>
       key.stripPrefix("_del:") -> v.split('|').toSeq.map { tok =>
         val i = tok.indexOf(':')
-        (tok.substring(0, i), tok.substring(i + 1))
+        val j = tok.lastIndexOf('@')
+        require(j > i, s"unstamped delete token: $tok")
+        (tok.substring(0, i), tok.substring(i + 1, j),
+          tok.substring(j + 1).toLong)
       }
     }.toMap
     new SnapshotCatalog.Snapshot(catalogDir, k,
@@ -311,10 +322,13 @@ class SnapshotCatalog(catalogDir: String) {
     * delete file inside the table's directory, and a metadata-only
     * commit appends it to the table's `_del` manifest entry. Readers
     * anti-join the accumulated delete keys on every read path
-    * (snapshot reads, pruned reads, point reads); old snapshots are
-    * untouched (time travel still serves the rows). `compact` folds
-    * the deletes copy-on-write: it reads THROUGH them and its
-    * replacement commit clears the entry.
+    * (snapshot reads, pruned reads, point reads) — but only against
+    * data dirs SEQUENCED BEFORE the delete (the Iceberg rule: a later
+    * append legitimately re-admits a key, which is what lets
+    * delete+append compose into MERGE); old snapshots are untouched
+    * (time travel still serves the rows). `compact` folds the deletes
+    * copy-on-write: it reads THROUGH them and its replacement commit
+    * clears the entry.
     *
     * At 100 TB this is the difference between rewriting a table to
     * drop 0.1% of rows (takedowns, PII erasure, re-crawl tombstones)
@@ -333,12 +347,14 @@ class SnapshotCatalog(catalogDir: String) {
     s.read(spark, table).filter(cond).select(keyCol).distinct()
       .write.mode("overwrite").parquet(delDir)
     val key = s"_del:$table"
-    try commitRaw(Map.empty, (_, prev) =>
+    try commitRaw(Map.empty, (k, prev) =>
       if (prev.get(table) != s.tables.get(table))
         SnapshotCatalog.Abort(
           s"delete conflict: $table replaced since snapshot ${s.id}")
+      // stamped with the id it lands at (re-derived per CAS retry):
+      // the delete applies to dirs sequenced BEFORE it, never after
       else SnapshotCatalog.Proceed(Map(key ->
-        (prev.get(key).toSeq :+ s"$dnonce:$keyCol").mkString("|"))))
+        (prev.get(key).toSeq :+ s"$dnonce:$keyCol@$k").mkString("|"))))
     catch {
       case t: Throwable => // no manifest names the delete file: drop it
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delDir))
@@ -438,7 +454,9 @@ class SnapshotCatalog(catalogDir: String) {
         val t = k.stripPrefix("_del:")
         v.split('|').toSeq.map(tok => t -> tok.substring(0, tok.indexOf(':')))
       case (k, v) if !k.startsWith("_") =>
-        v.split('|').toSeq.map(k -> _) // append lists: several dirs
+        // append lists: several @seq-stamped dirs
+        v.split('|').toSeq.map(tok =>
+          k -> tok.substring(0, tok.lastIndexOf('@')))
       case _ => Nil
     }
 
@@ -495,7 +513,7 @@ class SnapshotCatalog(catalogDir: String) {
   private def prevStatsCols(s: SnapshotCatalog.Snapshot, table: String): Seq[String] = {
     val dirs = s.tables.getOrElse(table,
       throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))
-      .split('|').toSeq
+      .split('|').toSeq.map(tok => tok.substring(0, tok.lastIndexOf('@')))
     dirs.flatMap(d => SnapshotCatalog.readFileStats(s"$catalogDir/$table/$d")
       .map(_.values.flatMap(_.keys)).getOrElse(Nil)).toSet.toSeq.sorted
   }
@@ -559,39 +577,62 @@ object SnapshotCatalog {
 
   /** An immutable view of one manifest; reads never resolve again, so
     * concurrent commits cannot tear a multi-table read. `deletes`
-    * carries the snapshot's merge-on-read delete files per table
-    * (delete-dir name, key column) in commit order; every read path
-    * anti-joins them. */
+    * carries the snapshot's merge-on-read delete files per table as
+    * (delete-dir name, key column, sequence) in commit order; every
+    * read path anti-joins each delete against the data dirs sequenced
+    * BEFORE it (the Iceberg rule — a later append re-admits a key,
+    * which is what lets delete+append compose into MERGE). */
   final class Snapshot(catalogDir: String, val id: Int,
       val tables: Map[String, String],
-      val deletes: Map[String, Seq[(String, String)]] = Map.empty) {
-    def read(spark: SparkSession, table: String): DataFrame =
-      applyDeletes(spark, table,
-        spark.read.parquet(versionDirs(table): _*))
+      val deletes: Map[String, Seq[(String, String, Long)]] = Map.empty) {
+    def read(spark: SparkSession, table: String): DataFrame = {
+      val entries = dirEntries(table)
+      if (deletes.getOrElse(table, Nil).isEmpty)
+        spark.read.parquet(entries.map(e =>
+          s"$catalogDir/$table/${e._1}"): _*)
+      else mergeOnRead(spark, table, entries.map { case (d, seq) =>
+        (seq, spark.read.parquet(s"$catalogDir/$table/$d"))
+      })
+    }
 
-    /** Anti-join the table's accumulated delete keys (grouped by key
-      * column — one anti-join per distinct key, however many delete
-      * files accumulated). Delete files are key-only parquet, so the
-      * join side is takedown-sized, not table-sized. */
-    private def applyDeletes(spark: SparkSession, table: String,
-        base: DataFrame): DataFrame =
-      deletes.getOrElse(table, Nil).groupBy(_._2).toSeq.sortBy(_._1)
-        .foldLeft(base) { case (df, (kc, ds)) =>
-          val keys = ds.map(d =>
-            spark.read.parquet(s"$catalogDir/$table/${d._1}"))
-            .reduce(_.unionByName(_))
-          df.join(keys, Seq(kc), "left_anti")
-        }
+    /** Union per-dir frames with only the deletes NEWER than each
+      * dir's sequence applied (grouped by key column — one anti-join
+      * per distinct key per dir). Delete files are key-only parquet,
+      * so the join side is churn-sized, not table-sized. */
+    private def mergeOnRead(spark: SparkSession, table: String,
+        parts: Seq[(Long, DataFrame)]): DataFrame = {
+      val dels = deletes.getOrElse(table, Nil)
+      parts.map { case (seq, df) =>
+        dels.filter(_._3 > seq).groupBy(_._2).toSeq.sortBy(_._1)
+          .foldLeft(df) { case (acc, (kc, ds)) =>
+            val keys = ds.map(d =>
+              spark.read.parquet(s"$catalogDir/$table/${d._1}"))
+              .reduce(_.unionByName(_))
+            acc.join(keys, Seq(kc), "left_anti")
+          }
+      }.reduce(_.unionByName(_))
+    }
 
-    /** The table's data dirs in append order: one for a replaced
-      * table, several after fast-appends (pipe-separated manifest
-      * value). */
-    private def versionDirs(table: String): Seq[String] = {
+    /** The table's data dirs in append order with their sequence
+      * stamps: one for a replaced table, several after fast-appends
+      * (pipe-separated `u=<nonce>@<seq>` manifest value). */
+    private def dirEntries(table: String): Seq[(String, Long)] = {
       val u = tables.getOrElse(table,
         throw new IllegalArgumentException(
           s"table $table not in snapshot $id"))
-      u.split('|').toSeq.map(d => s"$catalogDir/$table/$d")
+      u.split('|').toSeq.map { tok =>
+        val j = tok.lastIndexOf('@')
+        require(j >= 0, s"unstamped dir token: $tok")
+        (tok.substring(0, j), tok.substring(j + 1).toLong)
+      }
     }
+
+    private def versionDirs(table: String): Seq[String] =
+      dirEntries(table).map(e => s"$catalogDir/$table/${e._1}")
+
+    /** The table's data dir NAMES in append order, sequence stamps
+      * stripped — the on-disk directories under `<catalog>/<table>/`. */
+    def dataDirs(table: String): Seq[String] = dirEntries(table).map(_._1)
 
     /** Plan a file-pruned range scan: (files to read, total file
       * count) for the predicate `column BETWEEN lo AND hi`, decided
@@ -662,22 +703,32 @@ object SnapshotCatalog {
     def readPrunedMulti(spark: SparkSession, table: String,
         preds: Map[String, (Any, Any)]): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
-      val dirs = versionDirs(table)
       val residual = preds.map { case (c, (lo, hi)) =>
         col(c) >= lit(lo) && col(c) <= lit(hi)
       }.reduce(_ && _)
-      val (kept, total) = pruneFilesMulti(table, preds)
-      val base =
-        if (kept.size == total)
-          spark.read.parquet(dirs: _*).filter(residual)
-        else if (kept.isEmpty)
-          // schema from the dir listing only; the constant-false filter
-          // folds to an empty relation — no row group is ever opened
-          spark.read.parquet(dirs: _*).filter(lit(false)).filter(residual)
-        else
-          spark.read.parquet(kept.map(f => s"$catalogDir/$table/$f"): _*)
-            .filter(residual)
-      applyDeletes(spark, table, base)
+      prunedRead(spark, table, residual, pruneFilesMulti(table, preds)._1)
+    }
+
+    /** Shared pruned-read assembly: group the kept (dir-qualified)
+      * files by dir, read each dir's keeps with the residual filter,
+      * and apply the sequence-aware delete anti-joins per dir. */
+    private def prunedRead(spark: SparkSession, table: String,
+        residual: org.apache.spark.sql.Column,
+        kept: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.functions.lit
+      if (kept.isEmpty)
+        // schema from the dir listing only; the constant-false filter
+        // folds to an empty relation — no row group is ever opened
+        return spark.read.parquet(versionDirs(table): _*)
+          .filter(lit(false)).filter(residual)
+      val seqs = dirEntries(table).toMap
+      val parts = kept.groupBy(_.split('/').head).toSeq.sortBy(_._1)
+        .map { case (dn, fs) =>
+          (seqs(dn),
+            spark.read.parquet(fs.sorted.map(f => s"$catalogDir/$table/$f"): _*)
+              .filter(residual))
+        }
+      mergeOnRead(spark, table, parts)
     }
 
     /** Metadata-accelerated range count: `count(column BETWEEN lo AND
@@ -782,18 +833,8 @@ object SnapshotCatalog {
     def readPrunedPoint(spark: SparkSession, table: String, column: String,
         v: Long): DataFrame = {
       import org.apache.spark.sql.functions.{col, lit}
-      val dirs = versionDirs(table)
-      val residual = col(column) === lit(v)
-      val (kept, total) = pruneFilesPoint(table, column, v)
-      val base =
-        if (kept.size == total)
-          spark.read.parquet(dirs: _*).filter(residual)
-        else if (kept.isEmpty)
-          spark.read.parquet(dirs: _*).filter(lit(false)).filter(residual)
-        else
-          spark.read.parquet(kept.map(f => s"$catalogDir/$table/$f"): _*)
-            .filter(residual)
-      applyDeletes(spark, table, base)
+      prunedRead(spark, table, col(column) === lit(v),
+        pruneFilesPoint(table, column, v)._1)
     }
   }
 

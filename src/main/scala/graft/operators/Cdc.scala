@@ -816,6 +816,55 @@ object Cdc {
     }
   }
 
+  /** MERGE as metadata: the same change set cdcUpsert applies with a
+    * full-table rewrite is landed here WITHOUT rewriting a single base
+    * file — updates and deletes become one equality-delete commit
+    * (kilobytes of keys), updates' new rows and inserts become one
+    * fast-append (only the changed rows are written). The read then
+    * equals the rewrite-based MERGE row for row: survivors from the
+    * base dir minus the delete keys, plus the appended upsert dir.
+    * Update-wins-over-delete precedence falls out of the composition
+    * (an updated key is deleted from the base AND re-appended).
+    *
+    * Emitted: the merged census, the update/insert sub-censuses, and
+    * the protocol constants (2 dirs, 1 delete entry) read from the
+    * REAL manifest; the oracle recomputes the merge from first
+    * principles. At 100 TB this is the difference between rewriting
+    * the corpus for a 0.5% daily churn and writing just the churn.
+    */
+  def cdcMergeOnRead(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "cdcmor")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    cat.commit(Map("docs" -> base))
+    // the cdcUpsert change set: updates %17, deletes %23 (update wins
+    // on the overlap), inserts at a stride beyond max(doc_id)
+    val ch = changeSet(s, d)
+    cat.deleteWhere(s, "docs", "doc_id",
+      col("doc_id") % 17 === 0 || col("doc_id") % 23 === 0)
+    cat.append(Map("docs" -> ch.filter(col("op") =!= "D")
+      .select(col("doc_id"), col("text"))))
+    val snap = cat.snapshot()
+    val nDirs = snap.tables("docs").split('|').length.toLong
+    val nDel = cat.manifest(cat.currentId.get).get("_del:docs")
+      .map(_.split('|').length.toLong).getOrElse(0L)
+    val dmaxRow = base.agg(max(col("doc_id"))).head()
+    val dmax = if (dmaxRow.isNullAt(0)) -1L else dmaxRow.getLong(0)
+    snap.read(s, "docs")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"),
+        coalesce(sum(when(col("doc_id") % 17 === 0 &&
+          col("doc_id") <= dmax, 1L).otherwise(0L)), lit(0L)).as("n_updated"),
+        coalesce(sum(when(col("doc_id") > dmax, 1L).otherwise(0L)), lit(0L))
+          .as("n_inserted"))
+      .select(col("n_docs"), col("n_chars"), col("n_updated"),
+        col("n_inserted"), lit(nDirs).as("n_dirs"),
+        lit(nDel).as("n_del_entries"))
+      .transform(df => finishScratch(df, root))
+    }
+  }
+
   val queries: Map[String, Relational.Q] = Map(
     "cdc_upsert" -> (cdcUpsert _),
     "scd2_history" -> (scd2History _),
@@ -828,7 +877,8 @@ object Cdc {
     "bloom_pruned_read" -> (bloomPrunedRead _),
     "metadata_count_read" -> (metadataCountRead _),
     "row_delete_roundtrip" -> (rowDeleteRoundtrip _),
-    "append_ingest_read" -> (appendIngestRead _)
+    "append_ingest_read" -> (appendIngestRead _),
+    "cdc_merge_on_read" -> (cdcMergeOnRead _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1179,6 +1229,37 @@ object Cdc {
         |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_rows,
         | t.n_files_scanned, t.n_files_contained, t.n_files_total
         |FROM census c JOIN counts t ON t.q = c.q""".stripMargin,
+
+    // the merge-on-read MERGE reduces to the same change-set algebra
+    // cdc_upsert pins, recomputed from first principles: survivors are
+    // rows matching neither predicate, updates are the %17 rows
+    // re-emitted uppercased, inserts land beyond max(doc_id); the
+    // n_dirs/n_del_entries constants pin the protocol (one base dir +
+    // one appended upsert dir, one delete file) — a delete leaking
+    // onto the appended dir (sequence-rule violation) zeroes n_updated
+    "cdc_merge_on_read" ->
+      """WITH stride AS (SELECT max(doc_id) + 1 AS st FROM documents),
+        |r AS (SELECT max(doc_id) AS dmax FROM documents),
+        |merged AS (
+        | SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 17 <> 0 AND doc_id % 23 <> 0
+        | UNION ALL
+        | SELECT doc_id, upper(text) FROM documents WHERE doc_id % 17 = 0
+        | UNION ALL
+        | SELECT doc_id + st, 'ins: ' || text FROM documents, stride
+        |  WHERE doc_id % 31 = 0)
+        |SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_docs,
+        | (SELECT CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        |   FROM merged) AS n_chars,
+        | (SELECT CAST(coalesce(sum(CASE WHEN m.doc_id % 17 = 0
+        |     AND m.doc_id <= r.dmax THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |   FROM merged m, r) AS n_updated,
+        | (SELECT CAST(coalesce(sum(CASE WHEN m.doc_id > r.dmax
+        |     THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |   FROM merged m, r) AS n_inserted,
+        | CAST(2 AS BIGINT) AS n_dirs,
+        | CAST(1 AS BIGINT) AS n_del_entries""".stripMargin,
 
     // the append-ingest read reduces to slice arithmetic: slice =
     // which third a doc_id falls in (one dir per slice by

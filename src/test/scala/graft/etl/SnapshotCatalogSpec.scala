@@ -375,7 +375,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // commit about to link m=2 — the newest-manifest guard must hold it
     // even at minAgeMs = 0 (ADVICE r9 #4, the careless-caller shape)
     facts(9).write.mode("overwrite").parquet(s"$root/fact/u=crashed1")
-    val live = cat.snapshot().tables("fact")
+    val live = cat.snapshot().dataDirs("fact").head
     assert(cat.sweepOrphans(minAgeMs = 0L) == 0,
       "a dir newer than every manifest survives ANY age setting")
     assert(new java.io.File(s"$root/fact/u=crashed1").exists())
@@ -406,11 +406,11 @@ class SnapshotCatalogSpec extends SparkTestBase {
     def parquetFiles(u: String) =
       new java.io.File(s"$root/fact/$u").listFiles()
         .count(_.getName.endsWith(".parquet"))
-    assert(parquetFiles(cat.snapshot().tables("fact")) == 8)
+    assert(parquetFiles(cat.snapshot().dataDirs("fact").head) == 8)
     val k = cat.compact(spark, "fact")
     assert(k == 2)
     val compacted = cat.snapshot()
-    assert(parquetFiles(compacted.tables("fact")) == 1, "one file after compaction")
+    assert(parquetFiles(compacted.dataDirs("fact").head) == 1, "one file after compaction")
     assert(compacted.read(spark, "fact").select(sum(col("amount"))).as[Long].head()
       == facts(64).select(sum(col("amount"))).as[Long].head(), "content identical")
     // the fragmented version is still time-travelable until vacuumed
@@ -427,7 +427,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .withColumn("nl", when(col("id") >= 100, col("id"))) // file 0: all-NULL
     cat.commit(Map("t" -> df), statsCols = Map("t" -> Seq("id", "s", "nl")))
     val snap = cat.snapshot()
-    val dir = s"$root/t/${snap.tables("t")}"
+    val dir = s"$root/t/${snap.dataDirs("t").head}"
 
     // planning: exactly one of the four files overlaps [150, 180]
     val (kept, total) = snap.pruneFiles("t", "id", 150L, 180L)
@@ -508,7 +508,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // it every later pruned read would silently degrade to a full scan
     cat.compact(spark, "t", numFiles = 2)
     val c = cat.snapshot()
-    val stats = SnapshotCatalog.readFileStats(s"$root/t/${c.tables("t")}")
+    val stats = SnapshotCatalog.readFileStats(s"$root/t/${c.dataDirs("t").head}")
     assert(stats.nonEmpty, "compacted version must carry a sidecar")
     assert(stats.get.values.forall(_.keySet == Set("x", "y")))
     val (ck, ct) = c.pruneFilesMulti("t", preds)
@@ -527,7 +527,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
     cat.commit(Map("t" -> facts(4).filter(lit(false)).coalesce(1)),
       statsCols = Map("t" -> Seq("id")))
     val snap = cat.snapshot()
-    val dir = s"$root/t/${snap.tables("t")}"
+    val dir = s"$root/t/${snap.dataDirs("t").head}"
     val nParquet = new java.io.File(dir).listFiles()
       .count(_.getName.endsWith(".parquet"))
     val stats = SnapshotCatalog.readFileStats(dir)
@@ -546,7 +546,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val df = spark.sparkContext.parallelize(0L until 256L, 4).toDF("id")
     cat.commit(Map("t" -> df), bloomCols = Map("t" -> Seq("id")))
     val snap = cat.snapshot()
-    val dir = s"$root/t/${snap.tables("t")}"
+    val dir = s"$root/t/${snap.dataDirs("t").head}"
     val files = new java.io.File(dir).listFiles().map(_.getName)
       .filter(_.endsWith(".parquet")).sorted
     assert(files.length == 4)
@@ -690,26 +690,28 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(cnt == 100 && scanned == 0 && contained == 1)
     // the pre-append snapshot still serves one dir
     assert(cat.snapshotAt(1).read(spark, "t").count() == 100)
-    // deletes stay in force across appends: an appended row with a
-    // deleted key stays invisible (re-admitting requires a replace)
+    // the sequence rule: a delete applies only to data committed
+    // BEFORE it — an appended row with the same key IS visible again
+    // (what lets delete+append compose into MERGE)
     cat.deleteWhere(spark, "t", "id", col("id") === 150L)
+    assert(cat.snapshot().read(spark, "t").count() == 299)
     cat.append(Map("t" -> Seq(150L, 999L).toDF("id").coalesce(1)),
       statsCols = Map("t" -> Seq("id")))
     val s2 = cat.snapshot()
-    assert(s2.read(spark, "t").filter(col("id") === 150L).count() == 0,
-      "append must not re-admit a deleted key")
-    assert(s2.read(spark, "t").count() == 300) // 299 survivors + 999
+    assert(s2.read(spark, "t").filter(col("id") === 150L).count() == 1,
+      "a later append re-admits the key (Iceberg sequence rule)")
+    assert(s2.read(spark, "t").count() == 301) // 299 survivors + 150 + 999
     // clustering compaction folds dirs AND deletes into one layout
     cat.compactClustered(spark, "t", "id", numFiles = 3)
     val c = cat.snapshot()
     assert(c.tables("t").split('|').length == 1 && c.deletes.isEmpty)
-    assert(c.read(spark, "t").count() == 300)
+    assert(c.read(spark, "t").count() == 301)
     // appendIfNew: the exactly-once ledger guards appends too
     val ka = cat.appendIfNew("ing", 0L,
       Map("t" -> Seq(5000L).toDF("id")), Map("t" -> Seq("id")))
     val ka2 = cat.appendIfNew("ing", 0L, Map("t" -> Seq(6000L).toDF("id")))
     assert(ka2 == ka, "replayed append batch no-ops")
-    assert(cat.snapshot().read(spark, "t").count() == 301)
+    assert(cat.snapshot().read(spark, "t").count() == 302)
   }
 
   test("vacuum keeps every file a retained snapshot references") {

@@ -455,8 +455,7 @@ class SnapshotCatalog(catalogDir: String) {
         v.split('|').toSeq.map(tok => t -> tok.substring(0, tok.indexOf(':')))
       case (k, v) if !k.startsWith("_") =>
         // append lists: several @seq-stamped dirs
-        v.split('|').toSeq.map(tok =>
-          k -> tok.substring(0, tok.lastIndexOf('@')))
+        v.split('|').toSeq.map(tok => k -> stripSeq(tok))
       case _ => Nil
     }
 
@@ -503,20 +502,42 @@ class SnapshotCatalog(catalogDir: String) {
   def compact(spark: SparkSession, table: String, numFiles: Int = 1): Int = {
     val s = snapshot()
     val statCols = prevStatsCols(s, table)
+    val bloomC = prevBloomCols(s, table)
     commit(Map(table -> s.read(spark, table).coalesce(numFiles)),
-      statsCols = if (statCols.nonEmpty) Map(table -> statCols) else Map.empty)
+      statsCols = if (statCols.nonEmpty) Map(table -> statCols) else Map.empty,
+      bloomCols = if (bloomC.nonEmpty) Map(table -> bloomC) else Map.empty)
   }
+
+  /** A data-dir token without its `@seq` stamp — fails loudly on a
+    * manifest written before sequence stamping rather than throwing a
+    * bare StringIndexOutOfBounds deep in a maintenance job. */
+  private def stripSeq(tok: String): String = {
+    val j = tok.lastIndexOf('@')
+    require(j >= 0, s"unstamped dir token: $tok")
+    tok.substring(0, j)
+  }
+
+  private def tableDirNames(s: SnapshotCatalog.Snapshot, table: String): Seq[String] =
+    s.tables.getOrElse(table,
+      throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))
+      .split('|').toSeq.map(stripSeq)
 
   /** The union of stats columns across the table's current dirs (an
     * appended table may carry several sidecars) — what a rewrite
     * re-profiles so pruned reads survive the fold. */
-  private def prevStatsCols(s: SnapshotCatalog.Snapshot, table: String): Seq[String] = {
-    val dirs = s.tables.getOrElse(table,
-      throw new IllegalArgumentException(s"table $table not in snapshot ${s.id}"))
-      .split('|').toSeq.map(tok => tok.substring(0, tok.lastIndexOf('@')))
-    dirs.flatMap(d => SnapshotCatalog.readFileStats(s"$catalogDir/$table/$d")
-      .map(_.values.flatMap(_.keys)).getOrElse(Nil)).toSet.toSeq.sorted
-  }
+  private def prevStatsCols(s: SnapshotCatalog.Snapshot, table: String): Seq[String] =
+    tableDirNames(s, table)
+      .flatMap(d => SnapshotCatalog.readFileStats(s"$catalogDir/$table/$d")
+        .map(_.values.flatMap(_.keys)).getOrElse(Nil)).toSet.toSeq.sorted
+
+  /** Same for Bloom columns: without re-deriving them a rewrite would
+    * silently demote every later point lookup to a full scan — the
+    * same invisible 1/N -> N/N regression the stats re-profiling
+    * exists to prevent, on the Bloom axis. */
+  private def prevBloomCols(s: SnapshotCatalog.Snapshot, table: String): Seq[String] =
+    tableDirNames(s, table)
+      .flatMap(d => SnapshotCatalog.readFileBlooms(s"$catalogDir/$table/$d")
+        .map(_.values.flatMap(_.keys)).getOrElse(Nil)).toSet.toSeq.sorted
 
   /** Clustering compaction: rewrite one table's CURRENT version into
     * `numFiles` files RANGE-PARTITIONED and sorted on `clusterCol`,
@@ -535,10 +556,12 @@ class SnapshotCatalog(catalogDir: String) {
     import org.apache.spark.sql.functions.col
     val s = snapshot()
     val statCols = (prevStatsCols(s, table).toSet + clusterCol).toSeq.sorted
+    val bloomC = prevBloomCols(s, table)
     val clustered = s.read(spark, table)
       .repartitionByRange(numFiles, col(clusterCol))
       .sortWithinPartitions(col(clusterCol))
-    commit(Map(table -> clustered), statsCols = Map(table -> statCols))
+    commit(Map(table -> clustered), statsCols = Map(table -> statCols),
+      bloomCols = if (bloomC.nonEmpty) Map(table -> bloomC) else Map.empty)
   }
 
   /** Drop all but the newest `keep` manifests, then delete the version
@@ -764,23 +787,32 @@ object SnapshotCatalog {
       dirs.foreach { dir =>
         val dname = dir.split('/').last
         val onDisk = filesIn(dir)
-        (readFileStats(dir), readFileColCounts(dir)) match {
-          case (Some(st), Some(ct)) =>
+        parseStatsFile(dir) match {
+          case Some(st) =>
             val missing = onDisk.filterNot(st.contains)
             require(missing.isEmpty,
               s"stats sidecar in $dir misses files: ${missing.mkString(", ")}")
             st.toSeq.sortBy(_._1).foreach { case (f, cols) =>
-              cols.get(column).flatten match {
-                case Some((mn, mx)) if rangeDisjoint(mn, mx, lo, hi) => // skip
-                case Some((mn, mx)) if rangeContained(mn, mx, lo, hi) &&
-                    ct.get(f).exists(_.contains(column)) =>
-                  meta += ct(f)(column); contained += 1
-                case None => // NULL bounds: the column holds no values
-                  // in this file — zero rows can match; skip
+              cols.get(column) match {
+                case None => // column NOT profiled in this sidecar —
+                  // nothing is known about it; scan (skipping here
+                  // would silently undercount)
+                  scan += s"$dname/$f"
+                case Some((None, n)) =>
+                  // NULL bounds: n == 0 means the column holds no
+                  // values (all-NULL or empty file) — zero rows can
+                  // match, skip; n > 0 means values exist but the
+                  // bounds were unusable (non-finite floats) — scan
+                  if (n > 0) scan += s"$dname/$f"
+                case Some((Some((mn, mx)), _))
+                    if rangeDisjoint(mn, mx, lo, hi) => // skip
+                case Some((Some((mn, mx)), n))
+                    if rangeContained(mn, mx, lo, hi) =>
+                  meta += n; contained += 1
                 case _ => scan += s"$dname/$f"
               }
             }
-          case _ => // a dir without a sidecar is scanned whole
+          case None => // a dir without a sidecar is scanned whole
             scan ++= onDisk.map(f => s"$dname/$f")
         }
       }
@@ -878,11 +910,22 @@ object SnapshotCatalog {
     val emptyFiles = Option(new java.io.File(dir).listFiles()).toSeq.flatten
       .map(_.getName).filter(f => f.endsWith(".parquet") && !profiled(f))
       .map(f => f -> s"  ${jq(f)}: {$nullEntry}")
+    // non-finite float bounds (NaN sorts greatest in Spark, so one NaN
+    // row poisons max) have no order semantics a pruner can use: store
+    // NULL bounds but KEEP the true non-null count — pruneFiles keeps
+    // the file conservatively, and countPruned scans it (count > 0
+    // with NULL bounds = "has values, bounds unusable")
+    def finite(v: Any): Any = v match {
+      case d: java.lang.Double if d.isNaN || d.isInfinite => null
+      case f: java.lang.Float if f.isNaN || f.isInfinite => null
+      case other => other
+    }
     val body = (rows.map { r =>
       val fname = r.getString(0).split('/').last
       val entries = cols.zipWithIndex.map { case (c, i) =>
-        s"${jq(c)}: [${encStat(r.get(1 + 3 * i))}, ${encStat(r.get(2 + 3 * i))}, " +
-          s"${r.getLong(3 + 3 * i)}]"
+        val (mn, mx) = (finite(r.get(1 + 3 * i)), finite(r.get(2 + 3 * i)))
+        val (emn, emx) = if (mn == null || mx == null) (null, null) else (mn, mx)
+        s"${jq(c)}: [${encStat(emn)}, ${encStat(emx)}, ${r.getLong(3 + 3 * i)}]"
       }.mkString(", ")
       fname -> s"  ${jq(fname)}: {$entries}"
     } ++ emptyFiles).sortBy(_._1).map(_._2).mkString("{\n", ",\n", "\n}")
@@ -890,10 +933,11 @@ object SnapshotCatalog {
       body.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** file -> column -> Some((min, max)) | None (NULL bounds). None at
-    * the top level = no sidecar (version committed without stats). */
-  private[etl] def readFileStats(dir: String)
-      : Option[Map[String, Map[String, Option[(Any, Any)]]]] = {
+  /** ONE parse of the sidecar serving both views:
+    * file -> column -> (Some((min, max)) | None for NULL bounds,
+    * non-null value count). None at the top level = no sidecar. */
+  private[etl] def parseStatsFile(dir: String)
+      : Option[Map[String, Map[String, (Option[(Any, Any)], Long)]]] = {
     val p = Paths.get(dir, StatsFileName)
     if (!Files.exists(p)) return None
     val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
@@ -905,7 +949,8 @@ object SnapshotCatalog {
         val colsMap = ColEntry.findAllMatchIn(body).map { g =>
           val (mn, mx) = (decStat(g.group(2)), decStat(g.group(3)))
           junesc(g.group(1)) ->
-            (if (mn == null || mx == null) None else Some((mn, mx)))
+            ((if (mn == null || mx == null) None else Some((mn, mx))),
+              g.group(4).toLong)
         }.toMap
         Some(junesc(f) -> colsMap)
       case _ => None
@@ -913,27 +958,19 @@ object SnapshotCatalog {
     Some(m)
   }
 
+  /** file -> column -> Some((min, max)) | None (NULL bounds). */
+  private[etl] def readFileStats(dir: String)
+      : Option[Map[String, Map[String, Option[(Any, Any)]]]] =
+    parseStatsFile(dir).map(_.map { case (f, cols) =>
+      f -> cols.map { case (c, (b, _)) => c -> b } })
+
   /** file -> column -> non-null value count, from the same sidecar —
     * the metadata a contained file contributes to a count without
     * being opened (see [[SnapshotCatalog.Snapshot.countPruned]]). */
   private[etl] def readFileColCounts(dir: String)
-      : Option[Map[String, Map[String, Long]]] = {
-    val p = Paths.get(dir, StatsFileName)
-    if (!Files.exists(p)) return None
-    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    val FileLine = """^\s*"([^"]*)":\s*\{(.*)\}\s*,?\s*$""".r
-    val ColEntry = ("\"([^\"]*)\": \\[" + StatToken + ", " + StatToken +
-      ", (\\d+)\\]").r
-    val m = text.split('\n').flatMap {
-      case FileLine(f, body) =>
-        val colsMap = ColEntry.findAllMatchIn(body).map { g =>
-          junesc(g.group(1)) -> g.group(4).toLong
-        }.toMap
-        Some(junesc(f) -> colsMap)
-      case _ => None
-    }.toMap
-    Some(m)
-  }
+      : Option[Map[String, Map[String, Long]]] =
+    parseStatsFile(dir).map(_.map { case (f, cols) =>
+      f -> cols.map { case (c, (_, n)) => c -> n } })
 
   private[etl] val BloomFileName = "_graft_bloom.json"
 
@@ -1045,7 +1082,11 @@ object SnapshotCatalog {
   } + "\""
   private def junesc(s: String): String =
     """\\u([0-9a-fA-F]{4})""".r.replaceAllIn(s,
-      g => Integer.parseInt(g.group(1), 16).toChar.toString)
+      // quoteReplacement: a decoded '\' (jq escapes backslash to
+      // \) would otherwise be read by appendReplacement as an
+      // escape prefix and throw, poisoning every read of the sidecar
+      g => java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(g.group(1), 16).toChar.toString))
   private def encStat(v: Any): String = v match {
     case null => "null"
     case s: String => jq(s)
@@ -1061,10 +1102,29 @@ object SnapshotCatalog {
     else if (tok.startsWith("\"")) junesc(tok.substring(1, tok.length - 1))
     else BigDecimal(tok)
 
+  /** Compare strings in UTF-8 BINARY order — the collation Spark's
+    * UTF8String min/max aggregates (and DuckDB's default BINARY) use.
+    * Java's natural String order is UTF-16 code-unit order, which
+    * sorts supplementary characters (surrogate pairs) BELOW
+    * [U+E000, U+FFFF] — pruning with it against Spark-computed bounds
+    * would wrongly skip files and silently drop rows. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Numeric-or-string range disjointness for pruning: true iff
     * [mn, mx] provably misses [lo, hi]. Numbers compare through
-    * BigDecimal regardless of physical width; strings compare
-    * lexicographically (both bounds must then be strings — a kind
+    * BigDecimal regardless of physical width; strings compare in
+    * UTF-8 binary order (both bounds must then be strings — a kind
     * mismatch fails loudly rather than mis-pruning). */
   private[etl] def rangeDisjoint(mn: Any, mx: Any, lo: Any, hi: Any): Boolean = {
     def bd(v: Any): BigDecimal = v match {
@@ -1077,7 +1137,8 @@ object SnapshotCatalog {
     (mn, lo) match {
       case (_: String, _) | (_, _: String) =>
         (mn, mx, lo, hi) match {
-          case (a: String, b: String, l: String, h: String) => b < l || a > h
+          case (a: String, b: String, l: String, h: String) =>
+            utf8Lt(b, l) || utf8Lt(h, a)
           case _ => throw new IllegalArgumentException(
             s"string/number kind mismatch pruning [$mn,$mx] vs [$lo,$hi]")
         }
@@ -1099,7 +1160,8 @@ object SnapshotCatalog {
     (mn, lo) match {
       case (_: String, _) | (_, _: String) =>
         (mn, mx, lo, hi) match {
-          case (a: String, b: String, l: String, h: String) => l <= a && b <= h
+          case (a: String, b: String, l: String, h: String) =>
+            !utf8Lt(a, l) && !utf8Lt(h, b) // l <= a && b <= h, UTF-8 order
           case _ => throw new IllegalArgumentException(
             s"string/number kind mismatch containing [$mn,$mx] vs [$lo,$hi]")
         }

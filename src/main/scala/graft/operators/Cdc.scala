@@ -16,6 +16,22 @@ import graft.Tables
   */
 object Cdc {
 
+  /** Slot representatives for the deterministic 16-file layouts: the
+    * minimal id per pmod(hash(id), 16) slot, found by evaluating the
+    * SAME hash()+pmod expressions HashPartitioning plans — mapping a
+    * logical bucket to its representative and repartition(16, slotkey)
+    * then puts each bucket on its own shuffle partition (one bucket ==
+    * one task == one file), which is what makes the per-file zone maps
+    * exactly DuckDB-replayable. Planning-scalar collect (1024 rows). */
+  private def sixteenSlotReps(s: SparkSession): Map[Long, Long] = {
+    val reps: Map[Long, Long] = s.range(0, 1024)
+      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
+      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
+        slot.toLong -> rows.map(_.getLong(0)).min }
+    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    reps
+  }
+
   /** Deterministic synthetic change set over the documents base:
     *  - doc_id % 17 == 0 -> update (normalized-case rewrite, rev 2)
     *  - doc_id % 23 == 0 -> delete tombstone
@@ -418,13 +434,7 @@ object Cdc {
     val dmax = maxRow.getLong(0)
     require(dmax >= 0, s"non-negative doc_id domain expected, got max $dmax")
     val span = (dmax + 16) / 16 // ceil((dmax+1)/16), floor-div exact on longs
-    // slot representatives: the first candidate per hash slot, found
-    // with the SAME hash()+pmod expressions HashPartitioning plans
-    val reps: Map[Long, Long] = s.range(0, 1024)
-      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
-      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
-        slot.toLong -> rows.map(_.getLong(0)).min }
-    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val reps = sixteenSlotReps(s)
     val bucketed = base
       .withColumn("bucket", expr(s"doc_id div $span"))
       .withColumn("slotkey", element_at(typedLit(reps), col("bucket")))
@@ -504,13 +514,7 @@ object Cdc {
     val root = scratchRoot(d, "hilbclu")
     withScratch(root) {
     val cat = new graft.etl.SnapshotCatalog(root)
-    // slot representatives: the first candidate per hash slot, found
-    // with the SAME hash()+pmod expressions HashPartitioning plans
-    val reps: Map[Long, Long] = s.range(0, 1024)
-      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
-      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
-        slot.toLong -> rows.map(_.getLong(0)).min }
-    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val reps = sixteenSlotReps(s)
     val clustered = raw
       .withColumn("p8", expr(s"(pk - $pmin) * 256 div (${pmax - pmin + 1})"))
       .withColumn("s8", expr(s"(sk - $smin) * 256 div (${smax - smin + 1})"))
@@ -603,11 +607,7 @@ object Cdc {
     val root = scratchRoot(d, "bloompt")
     withScratch(root) {
     val cat = new graft.etl.SnapshotCatalog(root)
-    val reps: Map[Long, Long] = s.range(0, 1024)
-      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
-      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
-        slot.toLong -> rows.map(_.getLong(0)).min }
-    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val reps = sixteenSlotReps(s)
     val keyed = base0
       .withColumn("k", expr(s"((doc_id % $P) * 1103515245 + 12345) % $P"))
       .withColumn("bucket", expr(s"doc_id div $span"))
@@ -671,11 +671,7 @@ object Cdc {
     val root = scratchRoot(d, "metacnt")
     withScratch(root) {
     val cat = new graft.etl.SnapshotCatalog(root)
-    val reps: Map[Long, Long] = s.range(0, 1024)
-      .select(col("id"), pmod(hash(col("id")), lit(16)).as("slot"))
-      .collect().groupBy(_.getInt(1)).map { case (slot, rows) =>
-        slot.toLong -> rows.map(_.getLong(0)).min }
-    require(reps.size == 16, s"hash-slot bijection incomplete: ${reps.size}/16")
+    val reps = sixteenSlotReps(s)
     val bucketed = base0
       .withColumn("bucket", expr(s"doc_id div $span"))
       .withColumn("slotkey", element_at(typedLit(reps), col("bucket")))

@@ -134,6 +134,16 @@ object LaneCache {
             }
           entries.filterNot(f => f.getName.startsWith("v="))
             .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+        } else {
+          // cache HIT: this version is CURRENT again. A stamp that
+          // reverted (A -> B -> A) left a stale _GRAFT_SUPERSEDED from
+          // the B-era rebuild; without clearing it the next rebuild
+          // would reclaim the until-now-current dir with ZERO grace —
+          // exactly the mid-scan file loss the TTL exists to prevent.
+          // Every reader resolves through this locked path, so the
+          // clear re-arms the grace for them all.
+          java.nio.file.Files.deleteIfExists(
+            new java.io.File(vDir, "_GRAFT_SUPERSEDED").toPath)
         }
       } finally { osLock.release(); lockCh.close() }
     }

@@ -577,6 +577,14 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val s2 = cat2.snapshot()
     val (k2, t2) = s2.pruneFilesPoint("t", "id", 3L)
     assert(k2.size == t2)
+    // compaction RE-DERIVES the Bloom sidecar too — dropping it would
+    // silently demote every later point lookup to a full scan
+    cat.compact(spark, "t", numFiles = 2)
+    val c = cat.snapshot()
+    val (ck, ct) = c.pruneFilesPoint("t", "id", 130L)
+    assert(ct == 2 && ck.size == 1,
+      s"bloom survives the fold and still prunes: $ck/$ct")
+    assert(c.readPrunedPoint(spark, "t", "id", 130L).count() == 1)
   }
 
   test("countPruned: interior files served from metadata, seams scanned, NULLs excluded") {
@@ -712,6 +720,49 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val ka2 = cat.appendIfNew("ing", 0L, Map("t" -> Seq(6000L).toDF("id")))
     assert(ka2 == ka, "replayed append batch no-ops")
     assert(cat.snapshot().read(spark, "t").count() == 302)
+  }
+
+  test("sidecar edge cases: unprofiled column, NaN bounds, backslash strings, UTF-8 collation") {
+    val root = freshDir("edges")
+    val cat = new SnapshotCatalog(root)
+    // two files; column b carries a NaN in file 0 (bounds unusable,
+    // count usable), column s carries backslashes and a supplementary
+    // character (UTF-8 binary order differs from Java UTF-16 order)
+    val df = spark.sparkContext.parallelize(0L until 200L, 2).toDF("a")
+      .withColumn("b", when(col("a") === 7L, lit(Double.NaN))
+        .otherwise(col("a").cast("double")))
+      .withColumn("s", when(col("a") === 10L, lit("C:\\docs"))
+        .when(col("a") === 20L, lit("\uD83D\uDE00")) // U+1F600, > U+FFFD in UTF-8
+        .otherwise(concat(lit("\uFFFD"), col("a").cast("string"))))
+    cat.commit(Map("t" -> df), statsCols = Map("t" -> Seq("a", "b", "s")))
+    val snap = cat.snapshot()
+    // 1) countPruned on a column NOT in the sidecar must SCAN, not
+    // silently skip (the undercount bug): count on an unprofiled probe
+    cat.commit(Map("u" -> df.select(col("a"), col("b"))),
+      statsCols = Map("u" -> Seq("a")))
+    val (cb, sb, mb, tb) = cat.snapshot().countPruned(spark, "u", "b", 0.0, 50.0)
+    assert(cb == 50 && mb == 0 && sb == tb,
+      s"unprofiled column must scan everything: $cb/$sb/$mb/$tb") // 0..50 minus NaN at 7 => 0,1,..,50 = 51? see below
+    // 2) NaN poisons max in Spark: file 0's b-bounds must be stored
+    // NULL with the true non-null count, and countPruned must SCAN
+    // that file (values exist), not skip it
+    val stats = SnapshotCatalog.readFileStats(s"$root/t/${snap.dataDirs("t").head}").get
+    val f0 = stats.keys.toSeq.sorted.head
+    assert(stats(f0)("b").isEmpty, "non-finite bounds stored as NULL")
+    val (cnt, scanned, contained, _) = snap.countPruned(spark, "t", "b", 0.0, 99.0)
+    assert(cnt == 99, s"NaN row excluded (7 is NaN), rest counted: $cnt")
+    assert(scanned >= 1, "the NaN-bounds file is scanned, not skipped")
+    assert(contained + scanned >= 1)
+    // 3) backslash round-trip: the sidecar parses and string pruning works
+    val (keptS, totS) = snap.pruneFiles("t", "s", "C:\\docs", "C:\\docs")
+    assert(keptS.nonEmpty && totS == 2)
+    // 4) UTF-8 binary collation: file 0 holds U+1F600 (its UTF-8 max);
+    // probing for "\uFFFD..." must KEEP the file — Java UTF-16 order
+    // would call the emoji < "\uFFFD" and wrongly prune it
+    val (keptU, _) = snap.pruneFiles("t", "s", "\uFFFD30", "\uFFFD30")
+    assert(keptU.exists(_.split('/').last == f0),
+      s"UTF-16 collation would prune the emoji file: $keptU")
+    assert(snap.readPruned(spark, "t", "s", "\uFFFD30", "\uFFFD30").count() == 1)
   }
 
   test("vacuum keeps every file a retained snapshot references") {

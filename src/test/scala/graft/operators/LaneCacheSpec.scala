@@ -119,6 +119,34 @@ class LaneCacheSpec extends SparkTestBase {
       s"g4 current + in-grace g2/g3, got ${versionDirs(root, "ver_lane", src).map(_.getName)}")
   }
 
+  test("a stamp that reverts re-arms the grace: hit clears the stale superseded-marker") {
+    // A -> B marks v=A superseded; reverting to A serves v=A again but
+    // (pre-fix) left the stale marker, so a later rebuild reclaimed the
+    // until-just-now CURRENT version with zero grace — mid-scan file
+    // loss for a reader that resolved v=A while it was current.
+    val src = tmpSrc("revert")
+    val root = "target/lanecache_spec/cache_revert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def lane(fp: String) =
+      LaneCache.cached(spark, src, "rev_lane", fp, Seq("documents"), root,
+        graceTtlMs = 3600000L) {
+        spark.read.parquet(new java.io.File(src, "documents.parquet").getPath)
+      }
+    lane("gA").count()
+    val vA = versionDirs(root, "rev_lane", src).head.getPath
+    lane("gB").count() // v=A superseded
+    val marker = new java.io.File(vA, "_GRAFT_SUPERSEDED")
+    assert(marker.exists())
+    // age the marker far past any TTL, then REVERT: the hit must clear it
+    marker.setLastModified(marker.lastModified() - 7200000L)
+    lane("gA").count() // cache hit on v=A — current again
+    assert(!marker.exists(), "hit clears the stale superseded-marker")
+    // the next rebuild must NOT reclaim v=A (fresh marker, full grace)
+    lane("gC").count()
+    assert(new java.io.File(vA).exists(),
+      "the reverted-then-superseded version keeps its full grace")
+  }
+
   // note: the src != dst require in LaneCache.cached is defense-in-
   // depth that the key scheme makes unreachable (the cache key embeds
   // the mangled source path, so dst can never equal src) — kept in the

@@ -75,6 +75,43 @@ object Bench {
       drainCaches()
       if (ok) dt else -1.0
     }
+    // Ambient-load immunity (VERDICT r10 #1): the box this bench shares
+    // can inflate a min-of-2 several-fold (r10: basket_pairs read 45.9 s
+    // in the driver artifact while a paired quiet-box TimeOne read
+    // 7.0 s), which makes the committed BENCH file refutable. Guard:
+    // bench_last.json — written by the PREVIOUS bench run at full
+    // precision and committed with the round (BENCH_r*.json only
+    // preserves a 2000-char stdout tail) — supplies per-query priors;
+    // any query whose fresh min-of-2 exceeds its prior by >1.5x gets
+    // ONE more min-of-2 pair after the rest of its stage finished (the
+    // load spike that hit it has had time to pass), and BOTH readings
+    // are emitted: the final min under the query's own key, the
+    // suspect first reading in a "retried"/"sf1_retried" map. Priors
+    // apply only when the recorded sf dir matches this run's, and only
+    // above a 0.5 s floor (sub-second timings are fixed-overhead noise
+    // where 1.5x is meaningless).
+    val priorSf = "\"sf\":\"([^\"]*)\"".r
+    def priorSection(text: String, label: String): Map[String, Double] = {
+      val i = text.indexOf("\"" + label + "\":{")
+      if (i < 0) return Map.empty
+      val start = i + label.length + 4
+      val body = text.substring(start, text.indexOf('}', start).max(start))
+      "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val priors: (Map[String, Double], Map[String, Double]) =
+      try {
+        val p = java.nio.file.Paths.get("bench_last.json")
+        if (!java.nio.file.Files.exists(p)) (Map.empty, Map.empty)
+        else {
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          if (!priorSf.findFirstMatchIn(text).exists(_.group(1) == sfDir))
+            (Map.empty, Map.empty)
+          else (priorSection(text, "queries"), priorSection(text, "sf1_queries"))
+        }
+      } catch { case _: Throwable => (Map.empty, Map.empty) }
+    def suspect(t: Double, prior: Option[Double]): Boolean =
+      t > 0.5 && prior.exists(p => p > 0 && t > 1.5 * p)
     // Deterministic bench order (VERDICT r9 #4): alphabetical, with the
     // scratch-WRITING catalog queries sequenced LAST. Two reasons:
     // (a) Map hash order reshuffled every time the registry grew, so a
@@ -91,17 +128,37 @@ object Bench {
       "snapshot_pruned_read", "change_feed_maintenance",
       "hilbert_clustered_read", "bloom_pruned_read", "metadata_count_read",
       "row_delete_roundtrip", "append_ingest_read", "cdc_merge_on_read")
+    // local-diagnostics subset (comma-separated names): lets a retry /
+    // induced-load experiment run in seconds instead of re-timing the
+    // full registry. The driver never sets it — full registry there.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val benchOrder = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (scratchWriters(n), n) }
-    val results = benchOrder.map { case (name, fn) =>
+    val firstPass = benchOrder.map { case (name, fn) =>
       val t1 = timeOnce(fn)
       val t2 = timeOnce(fn)
       // -1.0 whenever EITHER run fails: a flaky query must read as
       // failed, not as the surviving run's time
       name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+    }
+    // retry pass AFTER the whole stage: the ambient spike that hit a
+    // query mid-stage has had the rest of the stage to dissipate
+    val retried = scala.collection.mutable.Map.empty[String, Double]
+    val results = firstPass.map { case (name, t) =>
+      if (!suspect(t, priors._1.get(name))) name -> t
+      else {
+        retried(name) = t
+        val fn = SparkEntry.queries(name)
+        val (r1, r2) = (timeOnce(fn), timeOnce(fn))
+        val re = if (r1 < 0 || r2 < 0) t else math.min(r1, r2)
+        name -> math.min(t, re)
+      }
     }.toMap
     def toJson(m: Map[String, Double]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
     // Second scale factor (VERDICT r01 #9): derive a 10x corpus from
@@ -154,7 +211,7 @@ object Bench {
         // the SAME oracle SQL, and 2.8x faster at sf1 (16.6 vs 5.8 s
         // paired TimeOne) — the quadratic stays a small-sf truth pin.
         val sf1Skip = Set("lsh_band_eval", "dedup_ngram_jaccard")
-        val r1 = benchOrder.filterNot(q => sf1Skip(q._1)).map { case (n, fn) =>
+        val r0 = benchOrder.filterNot(q => sf1Skip(q._1)).map { case (n, fn) =>
           val t1 = timeAt(fn)
           val t =
             if (t1 < 1.0) t1
@@ -162,11 +219,38 @@ object Bench {
             // fails (transient load) — a real failure shows as t1 < 0
             else { val t2 = timeAt(fn); if (t2 < 0) t1 else math.min(t1, t2) }
           n -> t
+        }
+        // same deferred retry pass as the primary stage (VERDICT r10
+        // #1), against the prior run's sf1 numbers: min-of-2 again,
+        // emit the suspect first reading alongside the final min
+        val sf1Retried = scala.collection.mutable.Map.empty[String, Double]
+        val r1 = r0.map { case (n, t) =>
+          if (!suspect(t, priors._2.get(n))) n -> t
+          else {
+            sf1Retried(n) = t
+            val fn = SparkEntry.queries(n)
+            val (x1, x2) = (timeAt(fn), timeAt(fn))
+            val re = if (x1 < 0 || x2 < 0) t else math.min(x1, x2)
+            n -> math.min(t, re)
+          }
         }.toMap
-        s""","sf1_queries":${toJson(r1)},"sf1_total":${r1.values.filter(_ > 0).sum},"sf1_factor":10"""
+        val retr = if (sf1Retried.isEmpty) ""
+          else s""","sf1_retried":${toJson(sf1Retried.toMap)}"""
+        s""","sf1_queries":${toJson(r1)},"sf1_total":${r1.values.filter(_ > 0).sum},"sf1_factor":10$retr"""
       } catch { case _: Throwable => "" }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1Extra}""")
+    val retr = if (retried.isEmpty) ""
+      else s""","retried":${toJson(retried.toMap)}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$sf1Extra$retr}"""
+    println(line)
+    // the full-precision record the NEXT run's retry pass compares
+    // against (BENCH_r*.json keeps only a stdout tail); committed per
+    // round. SPARK_GRAFT_BENCH_RECORD=0 skips the write so ad-hoc
+    // local runs at other scale factors don't clobber the priors.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "1") != "0")
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
     spark.stop()
   }
 }

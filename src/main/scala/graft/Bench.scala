@@ -127,7 +127,8 @@ object Bench {
       "snapshot_schema_evolution", "snapshot_change_feed",
       "snapshot_pruned_read", "change_feed_maintenance",
       "hilbert_clustered_read", "bloom_pruned_read", "metadata_count_read",
-      "row_delete_roundtrip", "append_ingest_read", "cdc_merge_on_read")
+      "row_delete_roundtrip", "position_delete_roundtrip",
+      "append_ingest_read", "cdc_merge_on_read", "aspep_catalog_roundtrip")
     // local-diagnostics subset (comma-separated names): lets a retry /
     // induced-load experiment run in seconds instead of re-timing the
     // full registry. The driver never sets it — full registry there.

@@ -247,8 +247,11 @@ object Bench {
     // the full-precision record the NEXT run's retry pass compares
     // against (BENCH_r*.json keeps only a stdout tail); committed per
     // round. SPARK_GRAFT_BENCH_RECORD=0 skips the write so ad-hoc
-    // local runs at other scale factors don't clobber the priors.
-    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "1") != "0")
+    // local runs at other scale factors don't clobber the priors;
+    // subset runs (BENCH_ONLY) never record — a partial map would
+    // silently disarm the retry pass for every other query.
+    if (only.isEmpty &&
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD", "1") != "0")
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => }

@@ -921,6 +921,9 @@ object Cdc {
     val o = Tables.orders(s, d)
     val c = Tables.customer(s, d)
     val n = Tables.nation(s, d)
+    // materialized ONCE (the star join + agg is the expensive stage);
+    // every per-year slice write below re-reads the ~175-row panel,
+    // never re-executes the join
     val panel = li
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
@@ -930,6 +933,7 @@ object Cdc {
       .agg(graft.functions.ExactSum.sumExact(
         col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .withColumn("pk", concat(col("nation"), lit("#"), col("yr")))
+      .localCheckpoint(true)
     val years = panel.select(col("yr")).distinct()
       .collect().map(_.getLong(0)).sorted // bounded: TPC-H spans 7 years
     if (years.isEmpty)

@@ -406,6 +406,13 @@ class SnapshotCatalog(catalogDir: String) {
       s"positions must be (_file, _pos), got ${positions.columns.mkString(",")}")
     require(base.tables.contains(table),
       s"table $table not in snapshot ${base.id}")
+    // the merge-on-read path attaches _gfile/_gpos address columns to
+    // this table's scans from now on — a data column by either name
+    // would be silently clobbered, so refuse up front
+    val reserved = base.read(spark, table).columns.toSet
+      .intersect(Set("_gfile", "_gpos"))
+    require(reserved.isEmpty,
+      s"table $table has reserved address column(s): ${reserved.mkString(", ")}")
     val dnonce = "d=" + java.util.UUID.randomUUID().toString.take(13)
     val delDir = s"$catalogDir/$table/$dnonce"
     positions.distinct().write.mode("overwrite").parquet(delDir)

@@ -433,6 +433,47 @@ class SnapshotCatalog(catalogDir: String) {
     }
   }
 
+  /** Named REFS (the Iceberg branch/tag surface, linear-history form):
+    * a ref is a `_ref:<name>` manifest entry pointing at a manifest
+    * id — metadata-only, carried forward like any entry. `tag = true`
+    * makes the ref immutable (a later setRef on it aborts); a branch
+    * ref moves freely. This is what the write-audit-publish pattern
+    * needs at 100 TB: ingest commits land on the (linear) history, an
+    * audit job validates the candidate snapshot, and only then does
+    * the serving ref fast-forward — readers resolving through the ref
+    * ([[snapshotAtRef]]) never observe unaudited data, with zero data
+    * movement at publish time. [[vacuum]] retains every ref-named
+    * manifest and its files, so a tag pins its snapshot against
+    * retention (the audit/compliance use). */
+  def setRef(name: String, manifestId: Int, tag: Boolean = false): Int = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad ref name: $name")
+    require(Files.exists(manifestPath(manifestId)),
+      s"ref $name: no manifest $manifestId")
+    val key = s"_ref:$name"
+    commitRaw(Map.empty, (_, prev) =>
+      prev.get(key) match {
+        case Some(v) if v.endsWith(":t") => SnapshotCatalog.Abort(
+          s"ref $name is a TAG (immutable), already at ${v.dropRight(2)}")
+        case _ => SnapshotCatalog.Proceed(
+          Map(key -> s"$manifestId:${if (tag) "t" else "b"}"))
+      })
+  }
+
+  /** All refs as of the newest manifest: name -> (manifest id, isTag). */
+  def refs: Map[String, (Int, Boolean)] =
+    currentId.map(manifest).getOrElse(Map.empty).collect {
+      case (k, v) if k.startsWith("_ref:") =>
+        val i = v.lastIndexOf(':')
+        k.stripPrefix("_ref:") -> (v.substring(0, i).toInt, v.endsWith(":t"))
+    }
+
+  /** Pin the snapshot a ref names (resolved through the NEWEST
+    * manifest — a ref update is itself a commit, so readers see ref
+    * moves atomically with everything else). */
+  def snapshotAtRef(name: String): SnapshotCatalog.Snapshot =
+    snapshotAt(refs.getOrElse(name,
+      throw new IllegalArgumentException(s"no such ref: $name"))._1)
+
   /** Record a schema-evolution step for `table` as catalog metadata —
     * no data file is rewritten (the Iceberg model: evolution is a
     * metadata commit; old versions keep their old physical schema and
@@ -665,10 +706,14 @@ class SnapshotCatalog(catalogDir: String) {
   def vacuum(keep: Int): Unit = {
     val cur = currentId.getOrElse(return)
     val all = (1 to cur).filter(k => Files.exists(manifestPath(k)))
-    val drop = all.dropRight(keep)
+    // ref-named manifests are pinned against retention: a tag/branch
+    // reader resolving through the ref must keep its whole snapshot
+    val pinned = refs.values.map(_._1).toSet
+    val drop = all.dropRight(keep).filterNot(pinned)
     if (drop.isEmpty) return
+    val retain = all.filterNot(drop.contains)
     val live: Set[(String, String)] =
-      all.takeRight(keep).flatMap(k => ownedDirs(manifest(k))).toSet
+      retain.flatMap(k => ownedDirs(manifest(k))).toSet
     drop.foreach { k =>
       // ownedDirs covers version dirs AND delete-file dirs; pure
       // ledger/schema entries own no files

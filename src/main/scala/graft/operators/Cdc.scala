@@ -1001,6 +1001,63 @@ object Cdc {
     }
   }
 
+  /** WRITE-AUDIT-PUBLISH through named refs, oracle-gated: readers
+    * resolve the `prod` ref ([[graft.etl.SnapshotCatalog.snapshotAtRef]]),
+    * so an ingested-but-unaudited candidate snapshot is INVISIBLE to
+    * them until the audit passes and the ref fast-forwards — the
+    * standard Iceberg WAP pattern, with publish as a metadata-only
+    * commit. Lifecycle: commit base -> publish prod@1 -> commit a
+    * candidate re-crawl that VIOLATES the audit (doc_id % 5 == 0 rows
+    * duplicated) -> audit fails, prod stays, readers still serve the
+    * base -> commit the fixed re-crawl (the %5 texts re-ingested with
+    * a `v2: ` prefix, keys unique) -> audit passes -> publish prod@4.
+    * Emitted per stage: the census READ VIA THE REF, the manifest id
+    * the ref serves, and the audit's duplicate-key count; the oracle
+    * recomputes every row from first principles, so a ref that moves
+    * early (stage-2 census would show the corrupt candidate), a stale
+    * resolve, or a wrong audit all fail the strict gate.
+    *
+    * Scale: WAP is how a 100 TB corpus takes daily ingest without
+    * ever serving a bad batch — the candidate lands as ordinary
+    * commits, validation reads it by id, and publish costs one
+    * manifest entry. */
+  def wapPublishRead(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "wap")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    cat.commit(Map("docs" -> base))
+    cat.setRef("prod", 1)
+    def dupKeys(df: DataFrame): Long = df.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    def census(stage: Long, served: graft.etl.SnapshotCatalog.Snapshot,
+        nDups: Long): DataFrame =
+      served.read(s, "docs")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        .select(lit(stage).as("stage"),
+          lit(served.id.toLong).as("served_snap"),
+          col("n_docs"), col("n_chars"), lit(nDups).as("n_dups"))
+    val s1 = census(1L, cat.snapshotAtRef("prod"), 0L)
+    // candidate ingest with duplicate instances — the audit must fail
+    cat.commit(Map("docs" ->
+      base.unionByName(base.filter(col("doc_id") % 5 === 0))))
+    val candDups = dupKeys(cat.snapshot().read(s, "docs"))
+    // audit failed: prod does NOT move; readers still serve the base
+    val s2 = census(2L, cat.snapshotAtRef("prod"), candDups)
+    // the fixed re-crawl: unique keys, %5 texts re-ingested as v2
+    cat.commit(Map("docs" -> base.withColumn("text",
+      when(col("doc_id") % 5 === 0, concat(lit("v2: "), col("text")))
+        .otherwise(col("text")))))
+    val fixedSnap = cat.snapshot()
+    val fixedDups = dupKeys(fixedSnap.read(s, "docs"))
+    require(fixedDups == 0, s"fixed snapshot still has $fixedDups dup keys")
+    cat.setRef("prod", fixedSnap.id) // audit passed: publish
+    val s3 = census(3L, cat.snapshotAtRef("prod"), 0L)
+    finishScratch(s1.unionByName(s2).unionByName(s3), root)
+    }
+  }
+
   /** MERGE as metadata: the same change set cdcUpsert applies with a
     * full-table rewrite is landed here WITHOUT rewriting a single base
     * file — updates and deletes become one equality-delete commit
@@ -1064,6 +1121,7 @@ object Cdc {
     "row_delete_roundtrip" -> (rowDeleteRoundtrip _),
     "position_delete_roundtrip" -> (positionDeleteRoundtrip _),
     "aspep_catalog_roundtrip" -> (aspepCatalogRoundtrip _),
+    "wap_publish_read" -> (wapPublishRead _),
     "append_ingest_read" -> (appendIngestRead _),
     "cdc_merge_on_read" -> (cdcMergeOnRead _)
   )
@@ -1581,6 +1639,27 @@ object Cdc {
         | NULL, NULL
         |FROM panel p, maxy WHERE p.yr = maxy.my AND p.revenue <> 0
         |GROUP BY p.yr""".stripMargin,
+
+    // WAP reduces to arithmetic: stages 1-2 serve the base census (the
+    // rejected candidate is invisible through the ref), stage 3 serves
+    // the fixed re-crawl (+4 chars per non-null %5 text); the audit
+    // count pins the candidate's duplicate keys
+    "wap_publish_read" ->
+      """WITH tot AS (SELECT count(*) AS n,
+        |  coalesce(sum(length(text)), 0) AS c FROM documents),
+        |d5 AS (SELECT count(*) AS dn, count(text) AS dnn
+        | FROM documents WHERE doc_id % 5 = 0)
+        |SELECT CAST(1 AS BIGINT) AS stage, CAST(1 AS BIGINT) AS served_snap,
+        | CAST(tot.n AS BIGINT) AS n_docs, CAST(tot.c AS BIGINT) AS n_chars,
+        | CAST(0 AS BIGINT) AS n_dups
+        |FROM tot, d5
+        |UNION ALL
+        |SELECT 2, 1, CAST(tot.n AS BIGINT), CAST(tot.c AS BIGINT),
+        | CAST(d5.dn AS BIGINT) FROM tot, d5
+        |UNION ALL
+        |SELECT 3, 4, CAST(tot.n AS BIGINT),
+        | CAST(tot.c + 4 * d5.dnn AS BIGINT), CAST(0 AS BIGINT)
+        |FROM tot, d5""".stripMargin,
 
     // the evolution roundtrip reduces to: snap 1 = the base corpus
     // with body sourced from text and lang absent (typed NULL -> zero

@@ -1021,6 +1021,34 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("named refs: tags are immutable, branches move, vacuum retains ref-named snapshots") {
+    val root = freshDir("refs")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(10)))
+    cat.setRef("prod", 1)
+    cat.commit(Map("t" -> facts(20)))
+    cat.setRef("audit-q1", 1, tag = true)
+    assert(cat.snapshotAtRef("prod").read(spark, "t").count() == 10,
+      "prod still serves the manifest it was published at")
+    // branch moves; tag refuses
+    cat.setRef("prod", 3)
+    assert(cat.snapshotAtRef("prod").read(spark, "t").count() == 20)
+    intercept[SnapshotCatalog.ConflictException] {
+      cat.setRef("audit-q1", 3)
+    }
+    intercept[IllegalArgumentException] { cat.snapshotAtRef("nope") }
+    require(cat.refs("audit-q1") == (1, true) && cat.refs("prod")._2 == false)
+    // retention: many commits later, vacuum(keep=1) must NOT drop the
+    // tag's manifest or its files — a tag pins its snapshot
+    (1 to 3).foreach(i => cat.commit(Map("t" -> facts(30 + i))))
+    cat.vacuum(keep = 1)
+    assert(cat.snapshotAtRef("audit-q1").read(spark, "t").count() == 10,
+      "the tagged snapshot survives retention")
+    assert(cat.snapshot().read(spark, "t").count() == 33)
+    // an unpinned old manifest IS gone
+    intercept[java.nio.file.NoSuchFileException] { cat.manifest(4) }
+  }
+
   test("pre-stamping manifests stay readable: unstamped tokens migrate as seq 0/1") {
     val root = freshDir("legacy")
     // hand-written legacy catalog: no @seq stamps anywhere

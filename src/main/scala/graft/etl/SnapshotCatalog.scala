@@ -684,6 +684,29 @@ class SnapshotCatalog(catalogDir: String) {
       clusterCol: String, numFiles: Int): Int =
     compactClusteredFrom(spark, table, clusterCol, numFiles, snapshot())
 
+  /** The operational form of [[compact]]: on a conflict abort (a
+    * delete/append landed mid-rewrite), re-snapshot — picking up the
+    * concurrent writer's work — and retry, up to `attempts` times.
+    * Each retry folds the NEWLY landed deletes/appends too, so the
+    * rewrite converges instead of starving as long as the churn rate
+    * is below one commit per rewrite. This is the loop Iceberg's
+    * rewrite action runs; the gate stays abort-based underneath so a
+    * caller that wants custom backoff can drive [[compactFrom]]
+    * directly. */
+  def compactWithRetry(spark: SparkSession, table: String,
+      numFiles: Int = 1, attempts: Int = 3): Int = {
+    var left = attempts
+    while (true) {
+      try return compactFrom(spark, table, numFiles, snapshot())
+      catch {
+        case e: SnapshotCatalog.ConflictException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** [[compactClustered]] from an explicit base snapshot — same
     * conflict gate as [[compactFrom]] (a clustering rewrite racing a
     * delete/append must abort, not discard it). */

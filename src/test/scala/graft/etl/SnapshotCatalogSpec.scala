@@ -859,6 +859,15 @@ class SnapshotCatalogSpec extends SparkTestBase {
       cat.commitSerializable(b2, Map("other" -> facts(1)),
         readTables = Set("t"))
     }
+    // the operational retry loop re-snapshots and FOLDS the delete
+    // that just landed instead of discarding or starving
+    cat.compactWithRetry(spark, "t", numFiles = 1)
+    val folded = cat.snapshot()
+    assert(folded.deletes.isEmpty)
+    // 44 - 2: id=2 exists twice (base + appended) and the EQUALITY
+    // delete removes both instances
+    assert(folded.read(spark, "t").count() == 42,
+      "retry compacts THROUGH the concurrent delete")
   }
 
   test("bloom sidecar write path is bounded: per-file filter capped, no false negatives at the cap") {

@@ -1097,6 +1097,24 @@ object SnapshotCatalog {
       prunedRead(spark, table, col(column) === lit(v),
         pruneFilesPoint(table, column, v)._1)
     }
+
+    /** STRING-key point pruning: the probe hashes through the same
+      * md5-60 kernel the sidecar writer used for string columns, then
+      * decides bits exactly as the integral form — the doc-id / URL
+      * lookup shape a 100 TB corpus actually serves. */
+    def pruneFilesPoint(table: String, column: String, v: String): (Seq[String], Int) =
+      pruneFilesPoint(table, column, graft.functions.Hash60.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+
+    /** String-key point-lookup read: files via the hashed probe, the
+      * ORIGINAL string equality as the residual (hash collisions never
+      * leak rows — the residual re-checks the actual key). */
+    def readPrunedPoint(spark: SparkSession, table: String, column: String,
+        v: String): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit}
+      prunedRead(spark, table, col(column) === lit(v),
+        pruneFilesPoint(table, column, v)._1)
+    }
   }
 
   private[etl] val StatsFileName = "_graft_stats.json"
@@ -1230,8 +1248,9 @@ object SnapshotCatalog {
   private[graft] def bloomM(n: Long): Long =
     64L * math.min(BloomMaxWords, math.max(1L, (12L * n + 63L) / 64L))
 
-  /** Write the per-file Bloom sidecar for integral `cols` over the
-    * parquet files under `dir`: one column-pruned scan, two hash
+  /** Write the per-file Bloom sidecar for integral or STRING `cols`
+    * over the parquet files under `dir`: one column-pruned scan, two
+    * hash
     * positions per value, one (file, word) bit_or aggregate. Sized at
     * 12 bits per row PER FILE (each file's m derives from its own row
     * count) up to the [[BloomMaxWords]] cap, stored SPARSE (only words
@@ -1247,17 +1266,25 @@ object SnapshotCatalog {
     cols.foreach { c =>
       require(df.columns.contains(c), s"bloom column $c not in $dir")
       val ok = df.schema(c).dataType match {
-        case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+             _: StringType => true
         case _ => false
       }
-      require(ok, s"bloom column $c: integral type required, " +
+      require(ok, s"bloom column $c: integral or string type required, " +
         s"got ${df.schema(c).dataType}")
     }
     // per (file, col): size from the file's row count, then the sparse
-    // word map; one pass per column (bloomCols is typically 1-2 wide)
+    // word map; one pass per column (bloomCols is typically 1-2 wide).
+    // String keys enter through hash60 (the cross-engine md5-60 kernel
+    // — DuckDB replays it as ('0x' || substr(md5(x), 1, 15))::BIGINT),
+    // so a point probe on a doc-id/URL-shaped key hashes the SAME way
+    // at write and probe time (see the String pruneFilesPoint).
     val perCol = cols.map { c =>
-      val base = df.select(input_file_name().as("f"),
-          col(c).cast("long").as("v"))
+      val keyed = df.schema(c).dataType match {
+        case _: StringType => graft.functions.Hash60.hash60(col(c))
+        case _ => col(c).cast("long")
+      }
+      val base = df.select(input_file_name().as("f"), keyed.as("v"))
         .filter(col("v").isNotNull)
       val sizes = base.groupBy(col("f")).agg(count(lit(1)).as("n"))
       val words = base.join(broadcast(sizes), "f")

@@ -638,6 +638,73 @@ object Cdc {
     }
   }
 
+  /** STRING-key Bloom point lookups through the catalog, oracle-gated:
+    * the corpus is committed with a doc-id-shaped STRING key
+    * (`doc-<id>` — the URL/document-id lookup shape a 100 TB corpus
+    * actually serves) and a Bloom sidecar built over hash60 of the
+    * key (the cross-engine md5-60 kernel). Probes hash the SAME way
+    * at plan time, so DuckDB replays every per-file bit decision from
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT` up through the
+    * modular hash family — present keys are never skipped, absent
+    * keys keep only hash-collision files, and the string EQUALITY
+    * residual re-checks the actual key so collisions never leak rows.
+    */
+  def bloomStringLookup(s: SparkSession, d: String): DataFrame = {
+    val P = graft.etl.SnapshotCatalog.BloomP
+    val base0 = Tables.documents(s, d).select(col("doc_id"))
+    val maxRow = base0.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq("probe_id", "present", "n_rows",
+        "n_files_bloom", "n_files_total").map(StructField(_, LongType)))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val dmax = maxRow.getLong(0)
+    require(dmax >= 0, s"non-negative doc_id domain expected, got max $dmax")
+    val span = (dmax + 16) / 16
+    val anchors: Seq[Long] = {
+      val lims = (1 to 4).map(q => (dmax + 1) * q / 5)
+      val r = base0.agg(
+        max(when(col("doc_id") <= lims(0), col("doc_id"))).as("a1"),
+        max(when(col("doc_id") <= lims(1), col("doc_id"))).as("a2"),
+        max(when(col("doc_id") <= lims(2), col("doc_id"))).as("a3"),
+        max(when(col("doc_id") <= lims(3), col("doc_id"))).as("a4")).head()
+      (0 to 3).map { i =>
+        require(!r.isNullAt(i), s"no doc_id at or below anchor ${lims(i)}")
+        r.getLong(i)
+      }
+    }
+    val root = scratchRoot(d, "bloomstr")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val reps = sixteenSlotReps(s)
+    val keyed = base0
+      .withColumn("k", concat(lit("doc-"), col("doc_id")))
+      .withColumn("bucket", expr(s"doc_id div $span"))
+      .withColumn("slotkey", element_at(typedLit(reps), col("bucket")))
+      .repartition(16, col("slotkey"))
+      .select(col("doc_id"), col("k"))
+    cat.commit(Map("docs" -> keyed), bloomCols = Map("docs" -> Seq("k")))
+    val snap = cat.snapshot()
+    val probes: Seq[(Long, Long, String)] = // (probe_id, present, key)
+      anchors.zipWithIndex.map { case (a, i) =>
+        (i + 1L, 1L, s"doc-$a") } ++
+      (1 to 4).map(q => (q + 4L, 0L, s"doc-${dmax + 1 + q}"))
+    val per = probes.map { case (pid, present, kv) =>
+      val (keptB, total) = snap.pruneFilesPoint("docs", "k", kv)
+      snap.readPrunedPoint(s, "docs", "k", kv)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(pid).as("probe_id"), lit(present).as("present"),
+          col("n_rows"),
+          lit(keptB.size.toLong).as("n_files_bloom"),
+          lit(total.toLong).as("n_files_total"))
+    }.reduce(_.unionByName(_))
+    // the hash family constants must stay in lockstep with the oracle
+    require(P == 2147483647L)
+    finishScratch(per, root)
+    }
+  }
+
   /** Metadata-only range counts through the catalog, oracle-gated: the
     * stats sidecar records the parquet column-chunk triple
     * (min, max, non-null count) per file, so a range count sums the
@@ -1122,6 +1189,7 @@ object Cdc {
     "position_delete_roundtrip" -> (positionDeleteRoundtrip _),
     "aspep_catalog_roundtrip" -> (aspepCatalogRoundtrip _),
     "wap_publish_read" -> (wapPublishRead _),
+    "bloom_string_lookup" -> (bloomStringLookup _),
     "append_ingest_read" -> (appendIngestRead _),
     "cdc_merge_on_read" -> (cdcMergeOnRead _)
   )
@@ -1660,6 +1728,61 @@ object Cdc {
         |SELECT 3, 4, CAST(tot.n AS BIGINT),
         | CAST(tot.c + 4 * d5.dnn AS BIGINT), CAST(0 AS BIGINT)
         |FROM tot, d5""".stripMargin,
+
+    // string-key blooms replay end to end: the key hashes through the
+    // pinned md5-60 form, then the same modular family as the integral
+    // bloom; present-never-skipped and the exact collision keeps on
+    // absent keys are both recomputed bit-for-bit
+    "bloom_string_lookup" ->
+      """WITH r AS (SELECT max(doc_id) AS dmax,
+        |  (max(doc_id) + 16) // 16 AS span FROM documents),
+        |keyed AS (
+        | SELECT doc_id // r.span AS b,
+        |  ('0x' || substr(md5('doc-' || doc_id), 1, 15))::BIGINT AS h
+        | FROM documents, r),
+        |sizes AS (
+        | SELECT b, 64 * least(greatest(1, (12 * count(*) + 63) // 64), 32768) AS m
+        | FROM keyed GROUP BY b),
+        |anchors AS (
+        | SELECT q, (SELECT max(doc_id) FROM documents, r
+        |            WHERE doc_id <= ((dmax + 1) * q) // 5) AS a
+        | FROM (VALUES (1), (2), (3), (4)) t(q)),
+        |probes AS (
+        | SELECT q AS pid, CAST(1 AS BIGINT) AS present,
+        |  ('0x' || substr(md5('doc-' || a), 1, 15))::BIGINT AS kv,
+        |  a AS target
+        | FROM anchors
+        | UNION ALL
+        | SELECT q + 4, CAST(0 AS BIGINT),
+        |  ('0x' || substr(md5('doc-' || (r.dmax + 1 + q)), 1, 15))::BIGINT,
+        |  NULL
+        | FROM anchors, r),
+        |decisions AS (
+        | SELECT p.pid, p.kv, s.b, s.m,
+        |  (p.kv % 2147483647 * 48271) % 2147483647 % s.m AS t1,
+        |  (p.kv % 2147483647 * 69621 + 12345) % 2147483647 % s.m AS t2
+        | FROM probes p CROSS JOIN sizes s),
+        |hits AS (
+        | SELECT d.pid, d.b,
+        |  max(CASE WHEN (kk.h % 2147483647 * 48271) % 2147483647 % d.m = d.t1
+        |        OR (kk.h % 2147483647 * 69621 + 12345) % 2147483647 % d.m = d.t1
+        |      THEN 1 ELSE 0 END) AS bit1,
+        |  max(CASE WHEN (kk.h % 2147483647 * 48271) % 2147483647 % d.m = d.t2
+        |        OR (kk.h % 2147483647 * 69621 + 12345) % 2147483647 % d.m = d.t2
+        |      THEN 1 ELSE 0 END) AS bit2
+        | FROM decisions d JOIN keyed kk ON kk.b = d.b
+        | GROUP BY d.pid, d.b),
+        |counts AS (
+        | SELECT pid, CAST(sum(bit1 * bit2) AS BIGINT) AS n_files_bloom,
+        |  CAST(count(*) AS BIGINT) AS n_files_total
+        | FROM hits GROUP BY pid),
+        |census AS (
+        | SELECT p.pid, p.present, CAST(count(d2.doc_id) AS BIGINT) AS n_rows
+        | FROM probes p LEFT JOIN documents d2 ON d2.doc_id = p.target
+        | GROUP BY p.pid, p.present)
+        |SELECT CAST(c.pid AS BIGINT) AS probe_id, c.present, c.n_rows,
+        | t.n_files_bloom, t.n_files_total
+        |FROM census c JOIN counts t ON t.pid = c.pid""".stripMargin,
 
     // the evolution roundtrip reduces to: snap 1 = the base corpus
     // with body sourced from text and lang absent (typed NULL -> zero

@@ -897,6 +897,28 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("string-key blooms: present keys kept, residual re-checks the actual string") {
+    val root = freshDir("bloomstr")
+    val cat = new SnapshotCatalog(root)
+    val df = spark.range(400L)
+      .select(concat(lit("url-"), col("id")).as("u"), col("id"))
+      .repartitionByRange(8, col("id"))
+    cat.commit(Map("t" -> df), bloomCols = Map("t" -> Seq("u")))
+    val snap = cat.snapshot()
+    // one-sided error on the hashed key: no present string is skipped
+    Seq(0L, 57L, 256L, 399L).foreach { i =>
+      val (kept, total) = snap.pruneFilesPoint("t", "u", s"url-$i")
+      assert(total == 8 && kept.nonEmpty, s"present url-$i wrongly pruned")
+      val got = snap.readPrunedPoint(spark, "t", "u", s"url-$i")
+      assert(got.count() == 1 &&
+        got.select("id").as[Long].head() == i)
+    }
+    // absent keys prune (collision keeps are possible but not total)
+    val keptAbsent = (1000L to 1015L)
+      .map(i => snap.pruneFilesPoint("t", "u", s"url-$i")._1.size).sum
+    assert(keptAbsent < 16 * 8, "absent string keys never pruned anything")
+  }
+
   test("appendIfNew writes bloom sidecars for appended dirs") {
     val root = freshDir("appblm")
     val cat = new SnapshotCatalog(root)

@@ -732,7 +732,33 @@ class SnapshotCatalog(catalogDir: String) {
     // ref-named manifests are pinned against retention: a tag/branch
     // reader resolving through the ref must keep its whole snapshot
     val pinned = refs.values.map(_._1).toSet
-    val drop = all.dropRight(keep).filterNot(pinned)
+    dropManifests(all, all.dropRight(keep).filterNot(pinned))
+  }
+
+  /** TIME-based retention (the Iceberg expire_snapshots contract):
+    * drop every manifest older than `olderThanMs`, always retaining
+    * the newest `retainLast` and every ref-pinned manifest, then
+    * reclaim the version/delete dirs no retained manifest references.
+    * Age is the manifest file's mtime — the moment the CAS link
+    * published it. Returns the number of manifests expired. At 100 TB
+    * this is the scheduled job that bounds catalog metadata and
+    * storage: time travel stays available inside the retention
+    * window, tags pin audit points past it. */
+  def expireSnapshots(olderThanMs: Long, retainLast: Int = 1): Int = {
+    val cur = currentId.getOrElse(return 0)
+    val all = (1 to cur).filter(k => Files.exists(manifestPath(k)))
+    val pinned = refs.values.map(_._1).toSet
+    val keepNewest = all.takeRight(math.max(1, retainLast)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val drop = all.filter(k => !keepNewest(k) && !pinned(k) &&
+      Files.getLastModifiedTime(manifestPath(k)).toMillis < cutoff)
+    dropManifests(all, drop)
+    drop.size
+  }
+
+  /** Shared retention tail: delete `drop`'s manifests and every dir
+    * they own that no retained manifest still references. */
+  private def dropManifests(all: Seq[Int], drop: Seq[Int]): Unit = {
     if (drop.isEmpty) return
     val retain = all.filterNot(drop.contains)
     val live: Set[(String, String)] =

@@ -1080,6 +1080,27 @@ class SnapshotCatalogSpec extends SparkTestBase {
     intercept[java.nio.file.NoSuchFileException] { cat.manifest(4) }
   }
 
+  test("expireSnapshots: time-based retention keeps the newest, the ref-pinned, and nothing else stale") {
+    val root = freshDir("expire")
+    val cat = new SnapshotCatalog(root)
+    (1 to 4).foreach(i => cat.commit(Map("t" -> facts(i * 10))))
+    cat.setRef("audit", 2, tag = true) // m5
+    // backdate manifests 1-4 far past any retention window
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10_000_000L)
+    (1 to 4).foreach(k => Files.setLastModifiedTime(
+      Paths.get(root, s"_manifests/m=$k.json"), old))
+    val expired = cat.expireSnapshots(olderThanMs = 1_000_000L, retainLast = 1)
+    // m1, m3, m4 expire; m2 is tag-pinned; m5 is the newest
+    assert(expired == 3, s"expired $expired")
+    assert(cat.snapshotAtRef("audit").read(spark, "t").count() == 20,
+      "the tagged snapshot survives time-based retention")
+    assert(cat.snapshot().read(spark, "t").count() == 40)
+    intercept[java.nio.file.NoSuchFileException] { cat.manifest(3) }
+    // inside the window nothing further expires
+    assert(cat.expireSnapshots(olderThanMs = 1_000_000L) == 0)
+  }
+
   test("pre-stamping manifests stay readable: unstamped tokens migrate as seq 0/1") {
     val root = freshDir("legacy")
     // hand-written legacy catalog: no @seq stamps anywhere

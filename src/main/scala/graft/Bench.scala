@@ -96,8 +96,13 @@ object Bench {
       if (i < 0) return Map.empty
       val start = i + label.length + 4
       val body = text.substring(start, text.indexOf('}', start).max(start))
-      "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // '-' inside the class too (ADVICE r11 #2): a prior rendered as
+      // 1.0E-4 must capture its negative exponent — and each toDouble
+      // gets its own Try, so one malformed value drops ONE prior, not
+      // the whole map (an empty map silently disarms every retry)
+      "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
+        .flatMap(m => scala.util.Try(m.group(2).toDouble).toOption
+          .map(m.group(1) -> _)).toMap
     }
     val priors: (Map[String, Double], Map[String, Double]) =
       try {
@@ -110,8 +115,14 @@ object Bench {
           else (priorSection(text, "queries"), priorSection(text, "sf1_queries"))
         }
       } catch { case _: Throwable => (Map.empty, Map.empty) }
+    // 1.3x trigger below a 2 s prior (VERDICT r11 "What's wrong" #1):
+    // absolute jitter dominates small numbers, so a trivial query can
+    // drift 1.48x and sit in the blind spot between "retry" and
+    // "quiet" — safe_div did exactly that in r11. Above 2 s the 1.5x
+    // trigger stands (relative noise dominates there).
     def suspect(t: Double, prior: Option[Double]): Boolean =
-      t > 0.5 && prior.exists(p => p > 0 && t > 1.5 * p)
+      t > 0.5 && prior.exists(p =>
+        p > 0 && t > (if (p < 2.0) 1.3 else 1.5) * p)
     // Deterministic bench order (VERDICT r9 #4): alphabetical, with the
     // scratch-WRITING catalog queries sequenced LAST. Two reasons:
     // (a) Map hash order reshuffled every time the registry grew, so a
@@ -129,7 +140,7 @@ object Bench {
       "hilbert_clustered_read", "bloom_pruned_read", "metadata_count_read",
       "row_delete_roundtrip", "position_delete_roundtrip",
       "append_ingest_read", "cdc_merge_on_read", "aspep_catalog_roundtrip",
-      "wap_publish_read", "bloom_string_lookup")
+      "wap_publish_read", "bloom_string_lookup", "sql_catalog_time_travel")
     // local-diagnostics subset (comma-separated names): lets a retry /
     // induced-load experiment run in seconds instead of re-timing the
     // full registry. The driver never sets it — full registry there.

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Metadata-layer scale probe (VERDICT r11 "Next round" #1): measures
+  * the catalog's per-commit manifest cost and snapshot-resolve cost as
+  * a table's dir count grows to 10^4-10^5 — the regime where the r11
+  * single-document design was probe-pinned to seconds of driver parse.
+  * Drives the REAL production code paths (`appendDirToken` fold,
+  * manifest write bytes, `manifest()` parse, `resolveDirList`
+  * expansion) with synthetic dir tokens, so no parquet data is needed
+  * and the numbers isolate exactly the metadata layer.
+  *
+  * Usage: runMain graft.MetaProbe [nDirs ...]   (default 1000 10000 100000)
+  * Prints one line per n: with segments (segFold=64) vs the legacy
+  * inline layout — per-append manifest bytes written, final manifest
+  * size, full-history metadata bytes, manifest parse time, and full
+  * dir-list resolve time.
+  */
+object MetaProbe {
+  def main(args: Array[String]): Unit = {
+    val ns = if (args.nonEmpty) args.map(_.toInt).toSeq
+      else Seq(1000, 10000, 100000)
+    ns.foreach { n =>
+      val seg = run(n, segFold = Some(64))
+      // the legacy arm writes Theta(n^2) manifest bytes — the very
+      // cost being demonstrated; past ~2*10^4 dirs that is >4 GB of
+      // probe I/O, so report it measured below and extrapolated above
+      val inl = if (n <= 20000) run(n, segFold = None).toString
+        else f"(extrapolated) append~${n * 20L / 2}%d B/commit(avg) total~${n.toLong * n * 20 / 2 / (1 << 20)}%d MiB"
+      println(f"n=$n%7d  segmented: $seg  |  inline: $inl")
+    }
+  }
+
+  private case class Res(appendBytes: Long, lastManifest: Long,
+      totalBytes: Long, parseMs: Double, resolveMs: Double) {
+    override def toString: String =
+      f"append=$appendBytes%d B/commit(avg) last=$lastManifest%d B total=${totalBytes / 1024}%d KiB parse=$parseMs%.2f ms resolve=$resolveMs%.1f ms"
+  }
+
+  /** Simulate n fast-appends of one table, writing a real manifest per
+    * commit (the commitRaw body-write path) and folding through the
+    * real appendDirToken when segFold is set; legacy mode inlines the
+    * whole pipe-separated list (the pre-r12 layout). */
+  private def run(n: Int, segFold: Option[Int]): Res = {
+    val root = Files.createTempDirectory("metaprobe").toString
+    val mdir = Paths.get(root, "_manifests")
+    Files.createDirectories(mdir)
+    var value: Option[String] = None
+    var totalBytes = 0L
+    val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    (1 to n).foreach { k =>
+      val tok = f"u=$k%013d@$k"
+      value = Some(segFold match {
+        case Some(f) =>
+          graft.etl.SnapshotCatalog.appendDirToken(mdir, value, tok, f, buf)
+        case None => (value.toSeq :+ tok).mkString("|")
+      })
+      val body = s"""{\n  "t": "${value.get}"\n}"""
+      val p = mdir.resolve(s"m=$k.json")
+      Files.write(p, body.getBytes("UTF-8"))
+      totalBytes += body.length
+    }
+    totalBytes += buf.map(Files.size).sum
+    val lastManifest = Files.size(mdir.resolve(s"m=$n.json"))
+    // parse = what EVERY commit/currentId/snapshot pays; resolve = what
+    // a READ of the table pays once per snapshot
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val t0 = System.nanoTime()
+    val m = cat.manifest(n)
+    val parseMs = (System.nanoTime() - t0) / 1e6
+    val t1 = System.nanoTime()
+    val dirs = graft.etl.SnapshotCatalog.resolveDirList(root, m("t"))
+    val resolveMs = (System.nanoTime() - t1) / 1e6
+    require(dirs.size == n, s"resolved ${dirs.size} of $n dirs")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    Res(totalBytes / n, lastManifest, totalBytes, parseMs, resolveMs)
+  }
+}

@@ -1125,6 +1125,52 @@ object Cdc {
     }
   }
 
+  /** The catalog's PLAIN-SQL serving surface, oracle-gated (VERDICT
+    * r11 "What's missing" #2): the scratch SnapshotCatalog is
+    * registered as a DSv2 catalog (`spark.sql.catalog.<name>` conf,
+    * [[graft.sources.GraftTableCatalog]]) and every read below goes
+    * through `spark.sql(...)` — no API call touches the data path.
+    * Lifecycle: commit docs v1 -> publish ref `prod`@1 -> commit v2
+    * (every text re-ingested with a `v2: ` prefix). Channels: (1)
+    * `VERSION AS OF 1` (time travel by manifest id — serves v1), (2)
+    * `VERSION AS OF 'prod'` (time travel by NAMED REF — the WAP
+    * serving path, still v1), (3) the bare table name (newest
+    * snapshot — v2). The oracle recomputes all three censuses from
+    * first principles, so a catalog that resolves the wrong manifest,
+    * a ref that reads the head, or a stale current all fail the
+    * strict gate. The DSv2 scan plans EXACTLY the snapshot's resolved
+    * file set (spec-pinned in GraftTableCatalogSpec via inputFiles),
+    * with parquet pushdown intact — SQL users pay no read penalty
+    * over the API. */
+  def sqlCatalogTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "sqlcat")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    cat.commit(Map("docs" -> base)) // m1
+    cat.setRef("prod", 1) // m2
+    cat.commit(Map("docs" ->
+      base.withColumn("text", concat(lit("v2: "), col("text"))))) // m3
+    // register the scratch catalog under a per-invocation name (the
+    // catalog manager caches instances by name, and concurrent
+    // Verify/Bench JVM invocations each own a UUID-named scratch)
+    val cn = "gsql_" + java.util.UUID.randomUUID().toString.take(8)
+      .replace("-", "")
+    s.conf.set(s"spark.sql.catalog.$cn",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cn.path", root)
+    def census(stage: Long, from: String): DataFrame =
+      s.sql(s"""SELECT count(*) AS n_docs,
+                coalesce(sum(length(text)), 0L) AS n_chars
+                FROM $from""")
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_chars"))
+    val out = census(1L, s"$cn.docs VERSION AS OF 1")
+      .unionByName(census(2L, s"$cn.docs VERSION AS OF 'prod'"))
+      .unionByName(census(3L, s"$cn.docs"))
+    finishScratch(out, root)
+    }
+  }
+
   /** MERGE as metadata: the same change set cdcUpsert applies with a
     * full-table rewrite is landed here WITHOUT rewriting a single base
     * file — updates and deletes become one equality-delete commit
@@ -1189,6 +1235,7 @@ object Cdc {
     "position_delete_roundtrip" -> (positionDeleteRoundtrip _),
     "aspep_catalog_roundtrip" -> (aspepCatalogRoundtrip _),
     "wap_publish_read" -> (wapPublishRead _),
+    "sql_catalog_time_travel" -> (sqlCatalogTimeTravel _),
     "bloom_string_lookup" -> (bloomStringLookup _),
     "append_ingest_read" -> (appendIngestRead _),
     "cdc_merge_on_read" -> (cdcMergeOnRead _)
@@ -1728,6 +1775,20 @@ object Cdc {
         |SELECT 3, 4, CAST(tot.n AS BIGINT),
         | CAST(tot.c + 4 * d5.dnn AS BIGINT), CAST(0 AS BIGINT)
         |FROM tot, d5""".stripMargin,
+
+    // SQL time travel: stage 1 (VERSION AS OF 1) and stage 2 (ref
+    // 'prod') both serve v1; stage 3 (bare name) serves v2 = every
+    // text prefixed with 'v2: ' (+4 chars per NON-NULL text)
+    "sql_catalog_time_travel" ->
+      """WITH tot AS (SELECT count(*) AS n,
+        |  coalesce(sum(length(text)), 0) AS c, count(text) AS nn
+        | FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS stage, CAST(n AS BIGINT) AS n_docs,
+        | CAST(c AS BIGINT) AS n_chars FROM tot
+        |UNION ALL
+        |SELECT 2, CAST(n AS BIGINT), CAST(c AS BIGINT) FROM tot
+        |UNION ALL
+        |SELECT 3, CAST(n AS BIGINT), CAST(c + 4 * nn AS BIGINT) FROM tot""".stripMargin,
 
     // string-key blooms replay end to end: the key hashes through the
     // pinned md5-60 form, then the same modular family as the integral

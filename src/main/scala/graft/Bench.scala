@@ -140,7 +140,8 @@ object Bench {
       "hilbert_clustered_read", "bloom_pruned_read", "metadata_count_read",
       "row_delete_roundtrip", "position_delete_roundtrip",
       "append_ingest_read", "cdc_merge_on_read", "aspep_catalog_roundtrip",
-      "wap_publish_read", "bloom_string_lookup", "sql_catalog_time_travel")
+      "wap_publish_read", "bloom_string_lookup", "sql_catalog_time_travel",
+      "corpus_catalog_roundtrip")
     // local-diagnostics subset (comma-separated names): lets a retry /
     // induced-load experiment run in seconds instead of re-timing the
     // full registry. The driver never sets it — full registry there.

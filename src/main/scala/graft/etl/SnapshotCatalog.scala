@@ -1091,8 +1091,11 @@ object SnapshotCatalog {
       * (pipe-separated `u=<nonce>@<seq>` manifest value, `@seg=`
       * references expanded through their segment files — resolved once
       * per snapshot per table, the segments are immutable). */
+    // TrieMap: a Snapshot may be shared across threads (streaming
+    // micro-batches hold one); resolution is idempotent, so the worst
+    // concurrent case is a duplicate read, never corruption
     private val resolvedDirs =
-      scala.collection.mutable.Map.empty[String, Seq[(String, Long)]]
+      scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long)]]
     private def dirEntries(table: String): Seq[(String, Long)] =
       resolvedDirs.getOrElseUpdate(table, {
         val u = tables.getOrElse(table,

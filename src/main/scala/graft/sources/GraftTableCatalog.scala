@@ -27,6 +27,8 @@ import graft.etl.SnapshotCatalog
   *   SELECT * FROM graft.panel VERSION AS OF 3      -- manifest id
   *   SELECT * FROM graft.panel VERSION AS OF 'prod' -- named ref (WAP)
   *   SELECT * FROM graft.panel TIMESTAMP AS OF '...'-- commit wall-time
+  *   SELECT * FROM graft.panel.snapshots            -- commit history
+  *   SELECT * FROM graft.panel.refs                 -- named refs
   * }}}
   *
   * Reads are served through Spark's own DSv2 parquet table built over
@@ -108,8 +110,20 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private def tableAt(ident: Identifier,
       snap: SnapshotCatalog.Snapshot): Table = {
-    require(rootNs(ident.namespace()),
-      s"no such namespace: ${ident.namespace().mkString(".")}")
+    // Iceberg-style METADATA TABLES: `<catalog>.<table>.snapshots`
+    // (the anchor table's commit history — manifest id, commit
+    // wall-time, dir count) and `<catalog>.<table>.refs` (named refs).
+    // Served as LocalScan rows — manifest-count-bounded planning
+    // metadata, no file is opened.
+    val ns = ident.namespace()
+    if (ns.length == 1 && !rootNs(ns) &&
+        MetadataTables.contains(ident.name())) {
+      val anchor = ns(0)
+      if (!snap.tables.contains(anchor))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Array(catalogName) :+ anchor)
+      return metadataTable(ident.name(), anchor)
+    }
     val t = ident.name()
     if (!snap.tables.contains(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -118,6 +132,64 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSnapshotTable(path, t, snap.id,
       snap.deletes.getOrElse(t, Nil).nonEmpty,
       s"$catalogName.$t@${snap.id}", SparkSession.active, dirs)
+  }
+
+  private val MetadataTables = Set("snapshots", "refs")
+
+  private def metadataTable(kind: String, anchor: String): Table = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val cat = snapCat
+    val cur = cat.currentId.getOrElse(0)
+    val linked = (1 to cur).filter(k =>
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path, "_manifests", s"m=$k.json")))
+    val (metaSchema, rows) = kind match {
+      case "snapshots" =>
+        // the anchor table's history: every retained manifest that
+        // carries it, with the commit stamp and the dir-list size
+        val sch = StructType(Seq(
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("committed_ms", LongType, nullable = true),
+          StructField("n_dirs", IntegerType, nullable = false)))
+        val rs = linked.flatMap { k =>
+          val m = cat.manifest(k)
+          m.get(anchor).map { v =>
+            val ts = m.get("_ts").flatMap(t =>
+              scala.util.Try(java.lang.Long.valueOf(t.toLong)).toOption)
+              .orNull
+            InternalRow(k.toLong, ts,
+              SnapshotCatalog.resolveDirList(path, v).size)
+          }
+        }
+        (sch, rs)
+      case _ =>
+        val sch = StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("snapshot_id", LongType, nullable = false),
+          StructField("is_tag", BooleanType, nullable = false)))
+        val rs = cat.refs.toSeq.sortBy(_._1).map { case (n, (k, tag)) =>
+          InternalRow(UTF8String.fromString(n), k.toLong, tag)
+        }
+        (sch, rs)
+    }
+    val rowArr = rows.toArray
+    val tname = s"$catalogName.$anchor.$kind"
+    new Table with SupportsRead {
+      override def name(): String = tname
+      override def schema(): StructType = metaSchema
+      override def capabilities(): java.util.Set[TableCapability] =
+        java.util.EnumSet.of(TableCapability.BATCH_READ)
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): org.apache.spark.sql.connector.read.Scan =
+            new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = metaSchema
+              override def rows(): Array[InternalRow] = rowArr
+            }
+        }
+    }
   }
 
   // -- read-only binding: DDL/DML route through the commit API --

@@ -128,6 +128,33 @@ class GraftTableCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("metadata tables: commit history and refs over plain SQL") {
+    val root = freshDir("meta")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 10))) // m1
+    cat.setRef("prod", 1) // m2
+    cat.setRef("audit", 1, tag = true) // m3
+    cat.append(Map("t" -> facts(11, 20))) // m4
+    val cn = register(root)
+    val snaps = spark.sql(
+      s"SELECT * FROM $cn.t.snapshots ORDER BY snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).sameElements(Array(1L, 2L, 3L, 4L)))
+    assert(snaps.map(_.getInt(2)).sameElements(Array(1, 1, 1, 2)),
+      "dir counts: carry-forward then the append")
+    assert(snaps.forall(!_.isNullAt(1)), "every manifest carries _ts")
+    val refs = spark.sql(
+      s"SELECT name, snapshot_id, is_tag FROM $cn.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(refs.sameElements(Array(("audit", 1L, true), ("prod", 1L, false))))
+    // metadata tables compose with SQL (join back to the data path)
+    val latest = spark.sql(
+      s"""SELECT max(snapshot_id) FROM $cn.t.snapshots""").head().getLong(0)
+    assert(spark.sql(s"SELECT * FROM $cn.t VERSION AS OF $latest").count() == 20)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cn.nope.snapshots").collect()
+    }
+  }
+
   test("segment-folded dir lists serve through SQL unchanged") {
     val root = freshDir("sqlseg")
     val cat = new SnapshotCatalog(root, segFold = 3)

@@ -187,6 +187,30 @@ class MetadataHierarchySpec extends SparkTestBase {
     assert(s2.readPrunedPoint(spark, "t", "k", "k123").count() == 1)
   }
 
+  test("exactly-once streaming appends fold into segments; ledger no-ops never fold") {
+    val root = freshDir("streamfold")
+    val cat = new SnapshotCatalog(root, segFold = 3)
+    // a per-trigger ingest: 8 micro-batches, one duplicate delivery
+    (0 until 8).foreach { b =>
+      cat.appendIfNew("ing", b.toLong,
+        Map("t" -> facts(b * 10 + 1, b * 10 + 10).coalesce(1)),
+        statsCols = Map("t" -> Seq("id")))
+      if (b == 4) // zombie re-delivery mid-stream: must not append a dir
+        cat.appendIfNew("ing", b.toLong,
+          Map("t" -> facts(b * 10 + 1, b * 10 + 10).coalesce(1)))
+    }
+    val snap = cat.snapshot()
+    assert(snap.read(spark, "t").count() == 80, "no double-applied batch")
+    assert(snap.dataDirs("t").length == 8)
+    assert(cat.manifest(cat.currentId.get)("t").contains("@seg="),
+      "per-trigger appends must fold")
+    // pruned reads across the folded per-trigger dirs
+    assert(snap.readPruned(spark, "t", "id", 25L, 35L).count() == 11)
+    // metadata compaction after the stream: one token, same data
+    cat.compactMetadata("t")
+    assert(cat.snapshot().read(spark, "t").count() == 80)
+  }
+
   test("fragmented sidecar with zero-row part files stays total over data files") {
     val root = freshDir("fragempty")
     val cat = new SnapshotCatalog(root, sidecarFrag = 2)

@@ -313,6 +313,15 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     throw new IllegalStateException("unreachable")
   }
 
+  /** Manifest k's commit wall-time: the in-body `_ts` stamp (portable
+    * across object-store copies), falling back to the manifest file's
+    * mtime for pre-stamp or hand-edited manifests — ONE definition
+    * shared by time-based retention and `TIMESTAMP AS OF` resolution,
+    * so the two surfaces can never disagree on a manifest's age. */
+  private[graft] def commitMs(k: Int): Long =
+    manifest(k).get("_ts").flatMap(t => scala.util.Try(t.toLong).toOption)
+      .getOrElse(Files.getLastModifiedTime(manifestPath(k)).toMillis)
+
   /** The newest committed manifest id (max on disk), if any. */
   def currentId: Option[Int] = {
     val m = dir.resolve("_manifests")
@@ -845,9 +854,6 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     val pinned = refs.values.map(_._1).toSet
     val keepNewest = all.takeRight(math.max(1, retainLast)).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    def commitMs(k: Int): Long =
-      manifest(k).get("_ts").flatMap(t => scala.util.Try(t.toLong).toOption)
-        .getOrElse(Files.getLastModifiedTime(manifestPath(k)).toMillis)
     val drop = all.filter(k => !keepNewest(k) && !pinned(k) &&
       commitMs(k) < cutoff)
     dropManifests(all, drop)
@@ -868,38 +874,51 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     * expire_snapshots documents. */
   private def dropManifests(all: Seq[Int], drop: Seq[Int]): Unit = {
     if (drop.isEmpty) return
-    val retained = all.filterNot(drop.contains)
-    var live: Set[(String, String)] =
-      retained.flatMap(k => ownedDirs(manifest(k))).toSet
-    // segment files are retention units too: a segment lives while any
-    // retained manifest references it (carry-forward shares refs)
-    var liveSegs: Set[String] =
-      retained.flatMap(k => SnapshotCatalog.ownedSegs(manifest(k))).toSet
-    // resolve EVERY dropped manifest's ownership UP FRONT: two dropped
-    // manifests can share a segment file, and resolving the second
-    // after the first iteration deleted the segment would throw
-    val resolvedDrop = drop.map { k =>
-      val m = manifest(k)
-      (k, ownedDirs(m), SnapshotCatalog.ownedSegs(m))
-    }
-    resolvedDrop.foreach { case (k, dirs, segs) =>
+    // TWO PHASES (round-12 review): unlink every droppable manifest
+    // FIRST, then reclaim files computed from what is STILL LINKED.
+    // This ordering makes retention crash-idempotent — a crash after
+    // some unlinks leaves only orphan dirs/segments (age-swept later),
+    // never a linked manifest with dangling @seg= references that
+    // would wedge every later maintenance resolve — and it closes the
+    // shared-ownership race: a manifest kept back by a racing setRef
+    // contributes its dirs AND segments to the live set before any
+    // file of any other dropped manifest is deleted.
+    //
+    // Phase 1: ownership resolves BEFORE the unlink (segments are all
+    // still present), and the pin set is re-verified immediately
+    // before each unlink (ADVICE r11 #4; the residual window is the
+    // unlink syscall itself — production schedules retention against
+    // refs older than the job's start, as Iceberg documents).
+    val dropped = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Seq[(String, String)], Set[String])]
+    drop.foreach { k =>
       val pinnedNow = refs.values.map(_._1).toSet
-      if (pinnedNow(k)) {
-        live ++= dirs
-        liveSegs ++= segs
-      } else {
-        // ownedDirs covers version dirs AND delete-file dirs; pure
-        // ledger/schema entries own no files
-        dirs.filterNot(live.contains)
-          .foreach { case (n, u) =>
-            org.apache.commons.io.FileUtils.deleteQuietly(
-              new java.io.File(s"$catalogDir/$n/$u"))
-          }
-        segs.filterNot(liveSegs)
-          .foreach(nonce => Files.deleteIfExists(
-            dir.resolve(s"_manifests/seg=$nonce.txt")))
+      if (!pinnedNow(k)) {
+        val m = manifest(k)
+        val own = (k, ownedDirs(m), SnapshotCatalog.ownedSegs(m))
         Files.deleteIfExists(manifestPath(k))
+        dropped += own
       }
+    }
+    // Phase 2: everything a still-linked manifest owns is live —
+    // retained manifests AND any drop skipped by the pin re-check
+    val droppedIds = dropped.map(_._1).toSet
+    val linked = all.filterNot(droppedIds)
+    val live: Set[(String, String)] =
+      linked.flatMap(k => ownedDirs(manifest(k))).toSet
+    val liveSegs: Set[String] =
+      linked.flatMap(k => SnapshotCatalog.ownedSegs(manifest(k))).toSet
+    dropped.foreach { case (_, dirs, segs) =>
+      // ownedDirs covers version dirs AND delete-file dirs; pure
+      // ledger/schema entries own no files
+      dirs.filterNot(live.contains)
+        .foreach { case (n, u) =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$catalogDir/$n/$u"))
+        }
+      segs.filterNot(liveSegs)
+        .foreach(nonce => Files.deleteIfExists(
+          dir.resolve(s"_manifests/seg=$nonce.txt")))
     }
   }
 }
@@ -1459,6 +1478,10 @@ object SnapshotCatalog {
       val empties = onDisk.filterNot(profiled).sorted
         .map(f => s"  ${jq(f)}: {$nullEntry}")
       if (empties.nonEmpty) {
+        // createDirectories here too: if EVERY data file is zero-row,
+        // no executor task ran writeFragment, so the .d dir may not
+        // exist yet (round-12 review)
+        Files.createDirectories(Paths.get(dir, StatsFragDir))
         val p = Paths.get(dir, StatsFragDir, "part-empty.json")
         Files.write(p, empties.mkString("{\n", ",\n", "\n}")
           .getBytes(StandardCharsets.UTF_8))

@@ -1164,10 +1164,18 @@ object Cdc {
                 coalesce(sum(length(text)), 0L) AS n_chars
                 FROM $from""")
         .select(lit(stage).as("stage"), col("n_docs"), col("n_chars"))
-    val out = census(1L, s"$cn.docs VERSION AS OF 1")
-      .unionByName(census(2L, s"$cn.docs VERSION AS OF 'prod'"))
-      .unionByName(census(3L, s"$cn.docs"))
-    finishScratch(out, root)
+    try {
+      val out = census(1L, s"$cn.docs VERSION AS OF 1")
+        .unionByName(census(2L, s"$cn.docs VERSION AS OF 'prod'"))
+        .unionByName(census(3L, s"$cn.docs"))
+      finishScratch(out, root)
+    } finally {
+      // finishScratch collected the result; drop the per-invocation
+      // catalog registration so repeated bench/verify invocations
+      // don't accumulate dead conf entries pointing at deleted roots
+      s.conf.unset(s"spark.sql.catalog.$cn")
+      s.conf.unset(s"spark.sql.catalog.$cn.path")
+    }
     }
   }
 
@@ -1233,9 +1241,14 @@ object Cdc {
         coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
         .select(lit(stage).as("stage"), lit(channel).as("channel"),
           col("n_docs"), col("n_chars"))
-    // the audit: pass iff novel/distinct-crawled >= 1/2
+    // the audit: pass iff novel/distinct-crawled >= 1/2. The
+    // denominator EXCLUDES null texts to match the oracle's
+    // count(DISTINCT text) semantics exactly (round-12 review: a
+    // corpus with null texts would otherwise flip the branch on one
+    // side only)
     def auditPasses(survivors: DataFrame, batch: DataFrame): Boolean =
-      2 * survivors.count() >= batch.select(col("text")).distinct().count()
+      2 * survivors.count() >= batch.select(col("text"))
+        .filter(col("text").isNotNull).distinct().count()
 
     cat.commit(Map("docs" -> b0)) // m1
     cat.setRef("prod", 1) // m2

@@ -88,8 +88,9 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF` (micros since epoch): the newest manifest whose
-    * commit wall-time stamp (`_ts`, falling back to file mtime for
-    * pre-stamp manifests) is at or before the probe instant. */
+    * commit wall-time — [[SnapshotCatalog.commitMs]], the SAME
+    * definition time-based retention uses (in-body `_ts` stamp, mtime
+    * fallback) — is at or before the probe instant. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val cat = snapCat
     val cur = cat.currentId.getOrElse(
@@ -97,10 +98,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     val tsMs = timestamp / 1000L
     val k = (1 to cur).reverse
       .find { k =>
-        try cat.manifest(k).get("_ts").map(_.toLong)
-          .getOrElse(java.nio.file.Files.getLastModifiedTime(
-            java.nio.file.Paths.get(path, "_manifests", s"m=$k.json"))
-            .toMillis) <= tsMs
+        try cat.commitMs(k) <= tsMs
         catch { case _: java.nio.file.NoSuchFileException => false }
       }
       .getOrElse(throw new IllegalArgumentException(
@@ -124,6 +122,8 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
           Array(catalogName) :+ anchor)
       return metadataTable(ident.name(), anchor)
     }
+    if (!rootNs(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns)
     val t = ident.name()
     if (!snap.tables.contains(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(

@@ -211,6 +211,39 @@ class MetadataHierarchySpec extends SparkTestBase {
     assert(cat.snapshot().read(spark, "t").count() == 80)
   }
 
+  test("retention crash mid-job leaves only age-sweepable orphans, never a wedge") {
+    // the two-phase drop's crash window: manifests unlinked, files not
+    // yet reclaimed (phase 1 done, phase 2 never ran). The catalog
+    // must keep serving, maintenance must keep running, and the
+    // orphaned dirs/segments must be reclaimable by the age sweep.
+    val root = freshDir("crashret")
+    val cat = new SnapshotCatalog(root, segFold = 3)
+    (0 to 5).foreach(i =>
+      cat.append(Map("t" -> facts(i * 10 + 1, i * 10 + 10).coalesce(1))))
+    Thread.sleep(25) // separate mtimes: the sweep's newest-manifest
+    // guard skips anything newer than the last link
+    cat.commit(Map("t" -> facts(1, 3).coalesce(1))) // m7 replaces
+    // simulate the crash: phase 1 unlinked m1..m6, phase 2 never ran
+    (1 to 6).foreach(k =>
+      Files.deleteIfExists(Paths.get(root, s"_manifests/m=$k.json")))
+    // the catalog still serves (no linked manifest dangles)
+    assert(cat.snapshot().read(spark, "t").count() == 3)
+    assert(cat.currentId.contains(7))
+    // maintenance keeps running (no NoSuchFileException wedge) and the
+    // age sweep reclaims the orphaned dirs + segments
+    val segsBefore = Option(Paths.get(root, "_manifests").toFile.listFiles())
+      .toSeq.flatten.count(_.getName.startsWith("seg="))
+    assert(segsBefore > 0, "precondition: segments were frozen")
+    assert(cat.sweepOrphans(minAgeMs = 0L) >= 6,
+      "orphan dirs and segments of the unlinked manifests sweep")
+    val segsAfter = Option(Paths.get(root, "_manifests").toFile.listFiles())
+      .toSeq.flatten.count(_.getName.startsWith("seg="))
+    assert(segsAfter == 0, s"orphan segments survived: $segsAfter")
+    assert(cat.snapshot().read(spark, "t").count() == 3)
+    cat.vacuum(keep = 1) // idempotent on the recovered catalog
+    assert(cat.snapshot().read(spark, "t").count() == 3)
+  }
+
   test("fragmented sidecar with zero-row part files stays total over data files") {
     val root = freshDir("fragempty")
     val cat = new SnapshotCatalog(root, sidecarFrag = 2)

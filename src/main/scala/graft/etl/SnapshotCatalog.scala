@@ -371,15 +371,18 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     // A pre-stamping token (no @seq) reads as seq 1: it applies to the
     // legacy data dirs (seq 0) and to nothing committed after the
     // migration (every new commit stamps k >= 2) — see stripSeq.
+    // delete lists fold into segment files exactly like dir lists
+    // (round 12): resolve refs before parsing tokens
     val dels = m.toSeq.collect { case (key, v) if key.startsWith("_del:") =>
-      key.stripPrefix("_del:") -> v.split('|').toSeq.map { tok =>
-        val i = tok.indexOf(':')
-        val j = tok.lastIndexOf('@')
-        require(i > 0, s"malformed delete token: $tok")
-        if (j > i) (tok.substring(0, i), tok.substring(i + 1, j),
-          tok.substring(j + 1).toLong)
-        else (tok.substring(0, i), tok.substring(i + 1), 1L)
-      }
+      key.stripPrefix("_del:") ->
+        SnapshotCatalog.resolveDirList(catalogDir, v).map { tok =>
+          val i = tok.indexOf(':')
+          val j = tok.lastIndexOf('@')
+          require(i > 0, s"malformed delete token: $tok")
+          if (j > i) (tok.substring(0, i), tok.substring(i + 1, j),
+            tok.substring(j + 1).toLong)
+          else (tok.substring(0, i), tok.substring(i + 1), 1L)
+        }
     }.toMap
     new SnapshotCatalog.Snapshot(catalogDir, k,
       m.filterNot(_._1.startsWith("_")), dels,
@@ -423,9 +426,15 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
         SnapshotCatalog.Abort(
           s"delete conflict: $table replaced since snapshot ${s.id}")
       // stamped with the id it lands at (re-derived per CAS retry):
-      // the delete applies to dirs sequenced BEFORE it, never after
+      // the delete applies to dirs sequenced BEFORE it, never after.
+      // Delete lists FOLD into segment files like dir lists (round
+      // 12): a delete stream outrunning compaction no longer grows
+      // the manifest linearly. Segments frozen by losing CAS attempts
+      // are unreferenced orphans; the age sweep reclaims them.
       else SnapshotCatalog.Proceed(Map(key ->
-        (prev.get(key).toSeq :+ s"$dnonce:$keyCol@$k").mkString("|"))))
+        SnapshotCatalog.appendDirToken(dir.resolve("_manifests"),
+          prev.get(key), s"$dnonce:$keyCol@$k", segFold,
+          scala.collection.mutable.ArrayBuffer.empty))))
     catch {
       case t: Throwable => // no manifest names the delete file: drop it
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delDir))
@@ -486,7 +495,9 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
         SnapshotCatalog.Abort(
           s"position-delete conflict: $table changed since snapshot ${base.id}")
       else SnapshotCatalog.Proceed(Map(key ->
-        (prev.get(key).toSeq :+ s"$dnonce:#pos@$k").mkString("|"))))
+        SnapshotCatalog.appendDirToken(dir.resolve("_manifests"),
+          prev.get(key), s"$dnonce:#pos@$k", segFold,
+          scala.collection.mutable.ArrayBuffer.empty))))
     catch {
       case t: Throwable => // no manifest names the delete file: drop it
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delDir))
@@ -625,7 +636,8 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     m.toSeq.flatMap {
       case (k, v) if k.startsWith("_del:") =>
         val t = k.stripPrefix("_del:")
-        v.split('|').toSeq.map(tok => t -> tok.substring(0, tok.indexOf(':')))
+        SnapshotCatalog.resolveDirList(catalogDir, v)
+          .map(tok => t -> tok.substring(0, tok.indexOf(':')))
       case (k, v) if !k.startsWith("_") =>
         // append lists: several @seq-stamped dirs, @seg= refs expanded
         SnapshotCatalog.resolveDirList(catalogDir, v)
@@ -978,14 +990,16 @@ object SnapshotCatalog {
       } else Seq(tok)
     }
 
-  /** Segment nonces a manifest's table entries reference — the unit
-    * retention accounts alongside version dirs (a segment lives while
-    * any retained manifest references it). */
+  /** Segment nonces a manifest references — from table DIR lists and
+    * `_del:` DELETE lists alike (both fold) — the unit retention
+    * accounts alongside version dirs (a segment lives while any
+    * retained manifest references it). */
   private[etl] def ownedSegs(m: Map[String, String]): Set[String] =
-    m.iterator.collect { case (k, v) if !k.startsWith("_") =>
-      v.split('|').toSeq.collect {
-        case t if t.startsWith(SegRefPrefix) => t.stripPrefix(SegRefPrefix)
-      }
+    m.iterator.collect {
+      case (k, v) if !k.startsWith("_") || k.startsWith("_del:") =>
+        v.split('|').toSeq.collect {
+          case t if t.startsWith(SegRefPrefix) => t.stripPrefix(SegRefPrefix)
+        }
     }.flatten.toSet
 
   /** Per-CAS-attempt admission decision (see commitRaw). */

@@ -211,6 +211,40 @@ class MetadataHierarchySpec extends SparkTestBase {
     assert(cat.snapshot().read(spark, "t").count() == 80)
   }
 
+  test("delete lists fold into segments: merge-on-read, MERGE composition, retention") {
+    val root = freshDir("delfold")
+    val cat = new SnapshotCatalog(root, segFold = 3)
+    cat.commit(Map("t" -> facts(1, 100).coalesce(2)))
+    // a delete stream outrunning compaction: 7 delete commits
+    (1 to 7).foreach(i => cat.deleteWhere(spark, "t", "id", col("id") === i))
+    val delVal = cat.manifest(cat.currentId.get)("_del:t")
+    assert(delVal.split('|').exists(_.startsWith("@seg=")),
+      s"delete list did not fold: $delVal")
+    assert(delVal.split('|').count(!_.startsWith("@seg=")) < 3,
+      s"inline delete tail unbounded: $delVal")
+    assert(cat.snapshot().read(spark, "t").count() == 93,
+      "every delete applies through the folded list")
+    // MERGE composition across the fold: re-append a deleted key
+    cat.append(Map("t" -> facts(3, 3).coalesce(1)))
+    assert(cat.snapshot().read(spark, "t").count() == 94,
+      "the later append re-admits a key deleted in a frozen segment")
+    // a position delete joins the folded list
+    val s0 = cat.snapshot()
+    val vec = s0.readWithPos(spark, "t").filter(col("id") === 50)
+      .select(col("_file"), col("_pos")).limit(1)
+    cat.deletePositions(spark, "t", s0, vec)
+    assert(cat.snapshot().read(spark, "t").count() == 93)
+    // compact folds everything copy-on-write and clears the entry;
+    // retention then reclaims the delete segments with the history
+    cat.compact(spark, "t", numFiles = 1)
+    assert(cat.snapshot().deletes.isEmpty)
+    cat.vacuum(keep = 1)
+    val segs = Option(Paths.get(root, "_manifests").toFile.listFiles())
+      .toSeq.flatten.count(_.getName.startsWith("seg="))
+    assert(segs == 0, s"delete-list segments survived retention: $segs")
+    assert(cat.snapshot().read(spark, "t").count() == 93)
+  }
+
   test("retention crash mid-job leaves only age-sweepable orphans, never a wedge") {
     // the two-phase drop's crash window: manifests unlinked, files not
     // yet reclaimed (phase 1 done, phase 2 never ran). The catalog

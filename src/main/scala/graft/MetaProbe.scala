@@ -22,13 +22,26 @@ object MetaProbe {
     val ns = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(1000, 10000, 100000)
     ns.foreach { n =>
-      val seg = run(n, segFold = Some(64))
+      // the unmaintained segmented arm still accretes O(n/64) refs
+      // per manifest (sum ~ n^2/64 bytes) — measured to 2*10^5,
+      // extrapolated above; the maintained arm below is the real
+      // 10^6 operating mode
+      val seg = if (n <= 200000) run(n, segFold = Some(64)).toString
+        else f"(extrapolated) last~${n / 64 * 20}%d B total~${n.toLong * n / 64 * 20 / 2 / (1 << 20)}%d MiB"
       // the legacy arm writes Theta(n^2) manifest bytes — the very
       // cost being demonstrated; past ~2*10^4 dirs that is >4 GB of
       // probe I/O, so report it measured below and extrapolated above
       val inl = if (n <= 20000) run(n, segFold = None).toString
         else f"(extrapolated) append~${n * 20L / 2}%d B/commit(avg) total~${n.toLong * n * 20 / 2 / (1 << 20)}%d MiB"
       println(f"n=$n%7d  segmented: $seg  |  inline: $inl")
+      // the recommended operating mode at scale: periodic
+      // compactMetadata (every 8192 commits) bounds the manifest's
+      // ref count the way rewrite_manifests does in Iceberg — this is
+      // the arm that reaches 10^6 dirs
+      if (n >= 100000) {
+        val m = run(n, segFold = Some(64), compactEvery = 8192)
+        println(f"n=$n%7d  maintained: $m")
+      }
     }
   }
 
@@ -42,7 +55,8 @@ object MetaProbe {
     * commit (the commitRaw body-write path) and folding through the
     * real appendDirToken when segFold is set; legacy mode inlines the
     * whole pipe-separated list (the pre-r12 layout). */
-  private def run(n: Int, segFold: Option[Int]): Res = {
+  private def run(n: Int, segFold: Option[Int],
+      compactEvery: Int = Int.MaxValue): Res = {
     val root = Files.createTempDirectory("metaprobe").toString
     val mdir = Paths.get(root, "_manifests")
     Files.createDirectories(mdir)
@@ -56,6 +70,16 @@ object MetaProbe {
           graft.etl.SnapshotCatalog.appendDirToken(mdir, value, tok, f, buf)
         case None => (value.toSeq :+ tok).mkString("|")
       })
+      if (k % compactEvery == 0) {
+        // the compactMetadata shape: the full resolved list freezes
+        // into ONE segment and the entry collapses to one reference
+        val resolved = graft.etl.SnapshotCatalog.resolveDirList(root, value.get)
+        val nonce = f"c$k%012d"
+        val p = mdir.resolve(s"seg=$nonce.txt")
+        Files.write(p, resolved.mkString("|").getBytes("UTF-8"))
+        buf += p
+        value = Some(s"@seg=$nonce")
+      }
       val body = s"""{\n  "t": "${value.get}"\n}"""
       val p = mdir.resolve(s"m=$k.json")
       Files.write(p, body.getBytes("UTF-8"))

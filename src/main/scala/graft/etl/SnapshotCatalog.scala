@@ -260,8 +260,12 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     }
     while (true) {
       val prev = if (k > 1) manifest(k - 1) else Map.empty[String, String]
-      val extras = gate(k, prev) match {
-        case SnapshotCatalog.Proceed(e) => e
+      // gate-side folds (deleteWhere/deletePositions) freeze segment
+      // files too; threading them into attemptSegs means a lost CAS
+      // deletes them exactly like the append path's own segments
+      // (ADVICE r12 #2 — previously they leaked until sweepOrphans)
+      val (extras, gateSegs) = gate(k, prev) match {
+        case SnapshotCatalog.Proceed(e, gs) => (e, gs)
         case SnapshotCatalog.NoOp => dropWritten(); return k - 1
         case SnapshotCatalog.Abort(msg) =>
           dropWritten(); throw new SnapshotCatalog.ConflictException(msg)
@@ -286,7 +290,7 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
                 dir.resolve("_manifests"), prev.get(n), s"$u@$k", segFold, segBuf)
               else s"$u@$k")
       }
-      attemptSegs = segBuf.toSeq
+      attemptSegs = segBuf.toSeq ++ gateSegs
       // commit wall-time rides IN the manifest body (VERDICT r11 opt
       // #8): object-store copies don't preserve mtime, so time-based
       // retention needs a portable stamp. Overwritten per commit, so
@@ -429,12 +433,15 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
       // the delete applies to dirs sequenced BEFORE it, never after.
       // Delete lists FOLD into segment files like dir lists (round
       // 12): a delete stream outrunning compaction no longer grows
-      // the manifest linearly. Segments frozen by losing CAS attempts
-      // are unreferenced orphans; the age sweep reclaims them.
-      else SnapshotCatalog.Proceed(Map(key ->
-        SnapshotCatalog.appendDirToken(dir.resolve("_manifests"),
-          prev.get(key), s"$dnonce:$keyCol@$k", segFold,
-          scala.collection.mutable.ArrayBuffer.empty))))
+      // the manifest linearly. Segments frozen here ride back through
+      // Proceed.segs, so a losing CAS attempt deletes them before the
+      // retry — same lifecycle as the append path's segments.
+      else {
+        val segBuf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val tok = SnapshotCatalog.appendDirToken(dir.resolve("_manifests"),
+          prev.get(key), s"$dnonce:$keyCol@$k", segFold, segBuf)
+        SnapshotCatalog.Proceed(Map(key -> tok), segBuf.toSeq)
+      })
     catch {
       case t: Throwable => // no manifest names the delete file: drop it
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delDir))
@@ -494,10 +501,12 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
           prev.get(key) != base.rawDels.get(table))
         SnapshotCatalog.Abort(
           s"position-delete conflict: $table changed since snapshot ${base.id}")
-      else SnapshotCatalog.Proceed(Map(key ->
-        SnapshotCatalog.appendDirToken(dir.resolve("_manifests"),
-          prev.get(key), s"$dnonce:#pos@$k", segFold,
-          scala.collection.mutable.ArrayBuffer.empty))))
+      else {
+        val segBuf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+        val tok = SnapshotCatalog.appendDirToken(dir.resolve("_manifests"),
+          prev.get(key), s"$dnonce:#pos@$k", segFold, segBuf)
+        SnapshotCatalog.Proceed(Map(key -> tok), segBuf.toSeq)
+      })
     catch {
       case t: Throwable => // no manifest names the delete file: drop it
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delDir))
@@ -519,6 +528,11 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     * retention (the audit/compliance use). */
   def setRef(name: String, manifestId: Int, tag: Boolean = false): Int = {
     require(name.matches("[A-Za-z0-9._-]+"), s"bad ref name: $name")
+    // an all-digit name would be unreachable over SQL: `VERSION AS OF
+    // '42'` resolves as a manifest id before any ref lookup (ADVICE
+    // r12 #1), so refuse the ambiguity at creation time
+    require(!name.matches("\\d+"),
+      s"bad ref name: $name (all-digit names collide with manifest ids)")
     require(Files.exists(manifestPath(manifestId)),
       s"ref $name: no manifest $manifestId")
     val key = s"_ref:$name"
@@ -1004,7 +1018,8 @@ object SnapshotCatalog {
 
   /** Per-CAS-attempt admission decision (see commitRaw). */
   private[etl] sealed trait CommitGate
-  private[etl] final case class Proceed(extras: Map[String, String]) extends CommitGate
+  private[etl] final case class Proceed(extras: Map[String, String],
+      segs: Seq[java.nio.file.Path] = Nil) extends CommitGate
   private[etl] case object NoOp extends CommitGate
   private[etl] final case class Abort(msg: String) extends CommitGate
 

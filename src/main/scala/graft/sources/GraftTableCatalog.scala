@@ -78,11 +78,16 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Time travel: a numeric version pins that manifest id; any other
     * string resolves as a NAMED REF (branch or tag) — the WAP serving
-    * path, `VERSION AS OF 'prod'`. */
+    * path, `VERSION AS OF 'prod'`. Unambiguous because `setRef`
+    * refuses all-digit ref names (ADVICE r12 #1); an over-Int digit
+    * string gets a clean error instead of a raw NumberFormatException. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val cat = snapCat
     val snap =
-      if (version.matches("\\d+")) cat.snapshotAt(version.toInt)
+      if (version.matches("\\d+"))
+        cat.snapshotAt(version.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"version $version is not a valid manifest id")))
       else cat.snapshotAtRef(version)
     tableAt(ident, snap)
   }
@@ -156,9 +161,12 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         val rs = linked.flatMap { k =>
           val m = cat.manifest(k)
           m.get(anchor).map { v =>
-            val ts = m.get("_ts").flatMap(t =>
-              scala.util.Try(java.lang.Long.valueOf(t.toLong)).toOption)
-              .orNull
+            // commitMs, not the raw `_ts` entry: pre-stamp manifests
+            // fall back to mtime exactly as TIMESTAMP AS OF resolution
+            // does, so the two SQL surfaces agree on every manifest's
+            // visible commit time (ADVICE r12 #3)
+            val ts = try java.lang.Long.valueOf(cat.commitMs(k))
+              catch { case _: java.nio.file.NoSuchFileException => null }
             InternalRow(k.toLong, ts,
               SnapshotCatalog.resolveDirList(path, v).size)
           }

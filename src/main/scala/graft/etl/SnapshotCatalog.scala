@@ -1393,6 +1393,78 @@ object SnapshotCatalog {
       prunedRead(spark, table, col(column) === lit(v),
         pruneFilesPoint(table, column, v)._1)
     }
+
+    /** SQL-path sidecar planning (VERDICT r12 next #1 — plan parity
+      * for selective SQL reads): decide the kept file set for a
+      * CONJUNCTION of pushed-down predicates. `ranges` are
+      * (column, lo?, hi?) interval conjuncts — one-sided bounds
+      * allowed, a missing bound substitutes the file's own bound so
+      * the existing [[rangeDisjoint]] math applies unchanged; `points`
+      * are (column, values) equality/IN conjuncts — OR across a
+      * conjunct's values, AND across conjuncts. A point value consults
+      * BOTH sidecars: the Bloom (either bit unset -> provably absent,
+      * the one-sided-error rule of [[pruneFilesPoint]], string keys
+      * hashed through the same md5-60 kernel the writer used) and the
+      * zone map ([v, v] disjointness). EVERY unknown keeps the file —
+      * missing sidecar, uncovered file or column, unusable bounds with
+      * values present, kind mismatch, unprobeable value type — and the
+      * one provable skip beyond interval math is a file whose sidecar
+      * records ZERO non-null values for a predicate column (no row can
+      * satisfy a range or equality on it). Unlike [[pruneFilesMulti]]
+      * this never throws: the SQL scan re-applies every pushed filter
+      * to the rows it reads, so over-keeping is always correct, and a
+      * state the API planner would refuse must degrade to a plain scan
+      * rather than fail a query a bare parquet read would serve. */
+    def pruneFilesSql(table: String,
+        ranges: Seq[(String, Option[Any], Option[Any])],
+        points: Seq[(String, Seq[Any])]): (Seq[String], Int) = {
+      val perDir = versionDirs(table).map { dir =>
+        val dname = dir.split('/').last
+        val onDisk = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+          .map(_.getName).filter(_.endsWith(".parquet")).sorted
+        val stats = try parseStatsFile(dir) catch { case _: Exception => None }
+        val blooms = try readFileBlooms(dir) catch { case _: Exception => None }
+        def colStats(f: String, c: String): Option[(Option[(Any, Any)], Long)] =
+          stats.flatMap(_.get(f)).flatMap(_.get(c))
+        def rangeAdmits(f: String, c: String,
+            lo: Option[Any], hi: Option[Any]): Boolean =
+          colStats(f, c) match {
+            case None => true // unprofiled file/column: keep
+            case Some((None, n)) => n > 0 // no values at all: skip
+            case Some((Some((mn, mx)), _)) =>
+              try !rangeDisjoint(mn, mx, lo.getOrElse(mn), hi.getOrElse(mx))
+              catch { case _: RuntimeException => true } // kind mismatch
+          }
+        def bloomAdmits(f: String, c: String, v: Any): Boolean =
+          blooms.flatMap(_.get(f)).flatMap(_.get(c)) match {
+            case None => true // unprofiled file/column: keep
+            case Some((m, words)) =>
+              val probe: Option[Long] = v match {
+                case n: java.lang.Byte => Some(n.toLong)
+                case n: java.lang.Short => Some(n.toLong)
+                case n: java.lang.Integer => Some(n.toLong)
+                case n: java.lang.Long => Some(n)
+                case s: String => Some(graft.functions.Hash60.md5Hash60(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+                case _ => None // not a bloomable key type: keep
+              }
+              probe.forall { x =>
+                def bit(pos: Long): Boolean = {
+                  val w = (pos / 64).toInt
+                  (words.getOrElse(w, 0L) & (1L << (pos % 64).toInt)) != 0L
+                }
+                bit(bloomH1(x) % m) && bit(bloomH2(x) % m)
+              }
+          }
+        val kept = onDisk.filter { f =>
+          ranges.forall { case (c, lo, hi) => rangeAdmits(f, c, lo, hi) } &&
+            points.forall { case (c, vs) => vs.isEmpty || vs.exists(v =>
+              bloomAdmits(f, c, v) && rangeAdmits(f, c, Some(v), Some(v))) }
+        }
+        (kept.map(f => s"$dname/$f"), onDisk.size)
+      }
+      (perDir.flatMap(_._1), perDir.map(_._2).sum)
+    }
   }
 
   private[etl] val StatsFileName = "_graft_stats.json"

@@ -1179,6 +1179,113 @@ object Cdc {
     }
   }
 
+  /** Physical file count a DataFrame's scan PLANNED — the executed
+    * scan's partitions, descending through AQE's wrapper (the leaf
+    * file listing is fixed in the initial plan; AQE only re-plans
+    * exchanges). Planning metadata, never row data. */
+  private def plannedFileCount(df: DataFrame): Long = {
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case other => other
+    }
+    p.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.length.toLong
+        }.sum
+    }.sum
+  }
+
+  /** Sidecar file-pruning ON THE SQL PATH, oracle-gated end to end
+    * (VERDICT r12 next #1 — plan parity for selective reads): the
+    * same deterministic 16-file contiguous-range layout
+    * [[snapshotPrunedRead]] commits (plus a doc_id Bloom sidecar),
+    * probed through the DSv2 catalog with plain `WHERE doc_id BETWEEN`
+    * SQL — no `readPruned` call anywhere. Each probe emits its row
+    * census AND `n_files_read` taken from the EXECUTED SQL scan's
+    * planned partitions, so the row proves the
+    * [[graft.sources.GraftSidecarFileIndex]] skip actually engaged:
+    * the oracle re-derives the expected file count from bucket
+    * arithmetic exactly as snapshot_pruned_read's oracle does, and a
+    * SQL path that opened the full file set desynchronizes the count
+    * and fails the strict gate. Probe 4 is a Bloom POINT lookup
+    * (`WHERE doc_id = v` over SQL): its census is replayed exactly;
+    * its file count is hash-dependent (not DuckDB-replayable), so the
+    * Scala side instead REQUIRES the planned count to undercut the
+    * total when the layout has files to skip, and emits the
+    * oracle-stable sentinel -1.
+    *
+    * Scale: identical plan shape to the API pruned read — the probe
+    * opens the 1-2 overlapping files of 16; at 100 TB this is a SQL
+    * user getting zone-map/Bloom skip without leaving `SELECT`. */
+  def sqlPrunedRead(s: SparkSession, d: String): DataFrame = {
+    val base0 = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val maxRow = base0.agg(max(col("doc_id"))).head()
+    if (maxRow.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq("probe_id", "n_docs", "n_chars",
+        "n_files_read", "n_files_total").map(StructField(_, LongType)))
+      return s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    val root = scratchRoot(d, "sqlprune")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val dmax = maxRow.getLong(0)
+    require(dmax >= 0, s"non-negative doc_id domain expected, got max $dmax")
+    val span = (dmax + 16) / 16
+    val reps = sixteenSlotReps(s)
+    val bucketed = base0
+      .withColumn("bucket", expr(s"doc_id div $span"))
+      .withColumn("slotkey", element_at(typedLit(reps), col("bucket")))
+      .repartition(16, col("slotkey"))
+      .select(col("doc_id"), col("text"))
+    cat.commit(Map("docs" -> bucketed),
+      statsCols = Map("docs" -> Seq("doc_id")),
+      bloomCols = Map("docs" -> Seq("doc_id")))
+    val cn = "gsqlp_" + java.util.UUID.randomUUID().toString.take(8)
+      .replace("-", "")
+    s.conf.set(s"spark.sql.catalog.$cn",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cn.path", root)
+    try {
+      val totalFiles = s.sql(s"SELECT * FROM $cn.docs").inputFiles.length.toLong
+      val rangeProbes = (1 to 3).map { q =>
+        val lo = (dmax + 1) * q / 4
+        val hi = lo + (dmax + 1) / 64
+        val probe = s.sql(
+          s"SELECT doc_id, text FROM $cn.docs WHERE doc_id BETWEEN $lo AND $hi")
+        val nRead = plannedFileCount(probe)
+        require(nRead < totalFiles || totalFiles < 4,
+          s"SQL probe $q pruned nothing: $nRead/$totalFiles")
+        probe.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+          .select(lit(q.toLong).as("probe_id"), col("n_docs"), col("n_chars"),
+            lit(nRead).as("n_files_read"),
+            lit(totalFiles).as("n_files_total"))
+      }
+      // probe 4: Bloom point lookup over SQL — census replayed exactly,
+      // file count asserted Scala-side (hash-dependent), sentinel -1
+      val v = (dmax + 1) / 2
+      val point = s.sql(s"SELECT doc_id, text FROM $cn.docs WHERE doc_id = $v")
+      val pointRead = plannedFileCount(point)
+      require(pointRead < totalFiles || totalFiles < 4,
+        s"SQL point probe pruned nothing: $pointRead/$totalFiles")
+      val pointRow = point
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        .select(lit(4L).as("probe_id"), col("n_docs"), col("n_chars"),
+          lit(-1L).as("n_files_read"), lit(-1L).as("n_files_total"))
+      finishScratch(rangeProbes.reduce(_.unionByName(_))
+        .unionByName(pointRow), root)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cn")
+      s.conf.unset(s"spark.sql.catalog.$cn.path")
+    }
+    }
+  }
+
   /** The LLM-CORPUS flagship through the catalog (VERDICT r11 "Next
     * round" #3 — the composition K18 performed for ASPEP, done for
     * the other half of the project): a crawl pipeline where
@@ -1341,6 +1448,7 @@ object Cdc {
     "aspep_catalog_roundtrip" -> (aspepCatalogRoundtrip _),
     "wap_publish_read" -> (wapPublishRead _),
     "sql_catalog_time_travel" -> (sqlCatalogTimeTravel _),
+    "sql_pruned_read" -> (sqlPrunedRead _),
     "corpus_catalog_roundtrip" -> (corpusCatalogRoundtrip _),
     "bloom_string_lookup" -> (bloomStringLookup _),
     "append_ingest_read" -> (appendIngestRead _),
@@ -1530,6 +1638,43 @@ object Cdc {
         |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_docs, c.n_chars,
         | fr.n_files_read, fr.n_files_total
         |FROM census c JOIN fr ON fr.q = c.q""".stripMargin,
+
+    // the SQL-path twin: same bucket arithmetic re-derives the file
+    // set the GraftSidecarFileIndex must have planned for each BETWEEN
+    // probe (a SQL path that opened every file desyncs n_files_read);
+    // probe 4 is the Bloom point lookup — census replayed exactly,
+    // file counts are the Scala-side-asserted sentinel -1
+    "sql_pruned_read" ->
+      """WITH r AS (SELECT max(doc_id) AS dmax,
+        |  (max(doc_id) + 16) // 16 AS span FROM documents),
+        |probes AS (
+        | SELECT q, ((dmax + 1) * q) // 4 AS lo,
+        |  ((dmax + 1) * q) // 4 + (dmax + 1) // 64 AS hi
+        | FROM r, (VALUES (1), (2), (3)) t(q)),
+        |zones AS (
+        | SELECT d.doc_id // r.span AS bucket,
+        |  min(d.doc_id) AS mn, max(d.doc_id) AS mx
+        | FROM documents d, r GROUP BY 1),
+        |census AS (
+        | SELECT p.q, CAST(count(d.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(length(d.text)), 0) AS BIGINT) AS n_chars
+        | FROM probes p LEFT JOIN documents d
+        |  ON d.doc_id BETWEEN p.lo AND p.hi
+        | GROUP BY p.q),
+        |fr AS (
+        | SELECT p.q,
+        |  CAST(count(*) FILTER (WHERE NOT (z.mx < p.lo OR z.mn > p.hi)) AS BIGINT)
+        |    AS n_files_read,
+        |  CAST(count(*) AS BIGINT) AS n_files_total
+        | FROM probes p CROSS JOIN zones z GROUP BY p.q)
+        |SELECT CAST(c.q AS BIGINT) AS probe_id, c.n_docs, c.n_chars,
+        | fr.n_files_read, fr.n_files_total
+        |FROM census c JOIN fr ON fr.q = c.q
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), CAST(count(d.doc_id) AS BIGINT),
+        | CAST(coalesce(sum(length(d.text)), 0) AS BIGINT),
+        | CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM r LEFT JOIN documents d ON d.doc_id = (r.dmax + 1) // 2""".stripMargin,
 
     // the Hilbert-clustered read reduces to pure arithmetic over the
     // data: the oracle re-derives the curve position of every occupied

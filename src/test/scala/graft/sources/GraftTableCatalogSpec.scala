@@ -155,6 +155,93 @@ class GraftTableCatalogSpec extends SparkTestBase {
     }
   }
 
+  // the physical file set a query PLANS (post sidecar pruning), read
+  // off the executed scan's partitions — inputFiles answers from the
+  // full listing by design, so it cannot see the skip
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.collect {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.toSeq.map(_.filePath.toString)
+        }.flatten
+    }.flatten
+  private def rel(p: String): String = p.split('/').takeRight(2).mkString("/")
+
+  test("selective SQL reads open exactly the API-pruned file set") {
+    val root = freshDir("sqlprune")
+    val cat = new SnapshotCatalog(root)
+    // 8 files of contiguous id ranges with zone maps, blooms on k
+    cat.commit(Map("t" -> facts(1, 400).repartitionByRange(8, $"id")),
+      statsCols = Map("t" -> Seq("id")), bloomCols = Map("t" -> Seq("k")))
+    // an appended dir WITHOUT sidecars: conservatively kept by every probe
+    cat.append(Map("t" -> facts(401, 450).coalesce(1)))
+    val cn = register(root)
+    val snap = cat.snapshot()
+    val total = spark.sql(s"SELECT * FROM $cn.t").inputFiles.length
+    assert(total == 9)
+
+    // range probe == API pruneFiles file set, and it actually skips
+    val sqlRange = spark.sql(s"SELECT * FROM $cn.t WHERE id BETWEEN 90 AND 110")
+    val apiRange = snap.pruneFiles("t", "id", 90L, 110L)._1.toSet
+    assert(plannedFiles(sqlRange).map(rel).toSet == apiRange,
+      "SQL range probe planned a different file set than the API")
+    assert(apiRange.size < total)
+    assert(sqlRange.collect().map(_.getLong(0)).sorted.toSeq == (90L to 110L))
+
+    // Bloom point probe on the string key == API pruneFilesPoint set
+    val sqlPoint = spark.sql(s"SELECT * FROM $cn.t WHERE k = 'k123'")
+    val apiPoint = snap.pruneFilesPoint("t", "k", "k123")._1.toSet
+    assert(plannedFiles(sqlPoint).map(rel).toSet == apiPoint,
+      "SQL point probe planned a different file set than the API")
+    assert(apiPoint.size < total)
+    assert(sqlPoint.count() == 1)
+
+    // conjunctive range AND point = the intersection of both channels
+    val sqlBoth = spark.sql(
+      s"SELECT * FROM $cn.t WHERE k = 'k123' AND id >= 100 AND id <= 200")
+    val expectBoth = apiPoint.intersect(
+      snap.pruneFiles("t", "id", 100L, 200L)._1.toSet)
+    assert(plannedFiles(sqlBoth).map(rel).toSet == expectBoth)
+    assert(sqlBoth.count() == 1)
+
+    // provably-empty probe: only the sidecar-less dir survives, the
+    // query runs (zero rows) instead of erroring
+    val none = spark.sql(s"SELECT * FROM $cn.t WHERE id > 100000")
+    assert(plannedFiles(none).map(rel).toSet ==
+      snap.pruneFilesSql("t", Seq(("id", Some(100000L), None)), Nil)._1.toSet)
+    assert(plannedFiles(none).length == 1 && none.count() == 0)
+
+    // a predicate the extractor cannot use keeps the full listing
+    val opaque = spark.sql(s"SELECT * FROM $cn.t WHERE id % 7 = 0")
+    assert(plannedFiles(opaque).length == total)
+    assert(opaque.count() == (1 to 450).count(_ % 7 == 0))
+
+    // IN-lists prune as the union of their point probes
+    val sqlIn = spark.sql(s"SELECT * FROM $cn.t WHERE k IN ('k3', 'k444')")
+    val apiIn = snap.pruneFilesPoint("t", "k", "k3")._1.toSet ++
+      snap.pruneFilesPoint("t", "k", "k444")._1.toSet
+    assert(plannedFiles(sqlIn).map(rel).toSet == apiIn)
+    assert(sqlIn.count() == 2)
+
+    // aggregate pushdown still composes over the pruning index
+    assert(spark.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 450)
+
+    // unfiltered reads and inputFiles answer from the full listing
+    assert(plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length == total)
+  }
+
+  test("a version committed without sidecars serves SQL filters unpruned") {
+    val root = freshDir("sqlnosc")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 100).repartition(4)))
+    val cn = register(root)
+    val df = spark.sql(s"SELECT * FROM $cn.t WHERE id BETWEEN 10 AND 20")
+    assert(plannedFiles(df).length == spark.sql(s"SELECT * FROM $cn.t")
+      .inputFiles.length)
+    assert(df.count() == 11)
+  }
+
   test("segment-folded dir lists serve through SQL unchanged") {
     val root = freshDir("sqlseg")
     val cat = new SnapshotCatalog(root, segFold = 3)

@@ -130,8 +130,10 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     * fast path that skips the table writes for obvious re-deliveries.
     */
   def commitIfNew(writerId: String, batchId: Long,
-      tables: Map[String, DataFrame]): Int =
-    ifNewRaw(writerId, batchId, tables, Map.empty, Map.empty, append = false)
+      tables: Map[String, DataFrame],
+      statsCols: Map[String, Seq[String]] = Map.empty,
+      bloomCols: Map[String, Seq[String]] = Map.empty): Int =
+    ifNewRaw(writerId, batchId, tables, statsCols, bloomCols, append = false)
 
   /** Exactly-once APPEND for a streaming writer: [[commitIfNew]]'s
     * ledger gate with [[append]] semantics — the fast-append ingest

@@ -1250,7 +1250,9 @@ object Cdc {
       classOf[graft.sources.GraftTableCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cn.path", root)
     try {
-      val totalFiles = s.sql(s"SELECT * FROM $cn.docs").inputFiles.length.toLong
+      // unfiltered scan = the full listing (planned partitions, since
+      // Dataset.inputFiles only special-cases FileTable relations)
+      val totalFiles = plannedFileCount(s.sql(s"SELECT * FROM $cn.docs"))
       val rangeProbes = (1 to 3).map { q =>
         val lo = (dmax + 1) * q / 4
         val hi = lo + (dmax + 1) / 64
@@ -1282,6 +1284,62 @@ object Cdc {
     } finally {
       s.conf.unset(s"spark.sql.catalog.$cn")
       s.conf.unset(s"spark.sql.catalog.$cn.path")
+    }
+    }
+  }
+
+  /** SQL WRITES through the transactional catalog, oracle-gated end
+    * to end (VERDICT r12 next #2): the seed lands via the API, then
+    * everything else is plain SQL — `INSERT INTO` fast-appends a new
+    * sequenced dir through [[graft.etl.SnapshotCatalog.append]]
+    * (manifest 2), `INSERT OVERWRITE` commits a replacing snapshot
+    * through `commit` (manifest 3) — and the proof is read back
+    * through the same SQL surface: the head census after each write
+    * plus `VERSION AS OF` censuses pinning that NEITHER write
+    * disturbed the earlier snapshots (an overwrite that rewrote
+    * in place, an append that double-landed, or a write that bypassed
+    * the manifest protocol each desynchronize a row). The oracle
+    * replays every stage from first principles with residue
+    * arithmetic. Scale: INSERT INTO is one parquet write + one
+    * manifest link (no existing file touched); INSERT OVERWRITE is
+    * the same write with a replacing manifest — identical cost to the
+    * API commits a 100 TB pipeline already performs. */
+  def sqlWriteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "sqlwrite")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    cat.commit(Map("docs" -> docs.filter(col("doc_id") % 3 === 0))) // m1
+    val tag = java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val cn = s"gsqlw_$tag"
+    val view = s"src_$tag"
+    docs.createOrReplaceTempView(view)
+    s.conf.set(s"spark.sql.catalog.$cn",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cn.path", root)
+    def census(stage: Long, from: String): DataFrame =
+      s.sql(s"""SELECT count(*) AS n_docs,
+                coalesce(sum(length(text)), 0L) AS n_chars
+                FROM $from""")
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_chars"))
+    try {
+      s.sql(s"INSERT INTO $cn.docs SELECT doc_id, text FROM $view " +
+        "WHERE doc_id % 3 = 1") // m2: fast-append over SQL
+      val s1 = census(1L, s"$cn.docs")
+      s.sql(s"INSERT OVERWRITE $cn.docs SELECT doc_id, " +
+        s"concat('v2: ', text) AS text FROM $view WHERE doc_id % 5 = 0") // m3
+      val out = s1
+        .unionByName(census(2L, s"$cn.docs"))
+        // neither SQL write disturbed the pinned history
+        .unionByName(census(3L, s"$cn.docs VERSION AS OF 2"))
+        .unionByName(census(4L, s"$cn.docs VERSION AS OF 1"))
+      require(cat.currentId.contains(3),
+        s"expected 3 manifests after the SQL writes, got ${cat.currentId}")
+      finishScratch(out, root)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cn")
+      s.conf.unset(s"spark.sql.catalog.$cn.path")
+      s.catalog.dropTempView(view)
     }
     }
   }
@@ -1449,6 +1507,7 @@ object Cdc {
     "wap_publish_read" -> (wapPublishRead _),
     "sql_catalog_time_travel" -> (sqlCatalogTimeTravel _),
     "sql_pruned_read" -> (sqlPrunedRead _),
+    "sql_write_roundtrip" -> (sqlWriteRoundtrip _),
     "corpus_catalog_roundtrip" -> (corpusCatalogRoundtrip _),
     "bloom_string_lookup" -> (bloomStringLookup _),
     "append_ingest_read" -> (appendIngestRead _),
@@ -1675,6 +1734,27 @@ object Cdc {
         | CAST(coalesce(sum(length(d.text)), 0) AS BIGINT),
         | CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
         |FROM r LEFT JOIN documents d ON d.doc_id = (r.dmax + 1) // 2""".stripMargin,
+
+    // SQL-write lifecycle replay: stage 1 = seed (%3=0) + SQL-appended
+    // (%3=1); stage 2 = the overwrite (%5=0, 'v2: ' re-text, || keeps
+    // DuckDB NULL-propagating like Spark's concat); stages 3/4 pin the
+    // untouched history
+    "sql_write_roundtrip" ->
+      """SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length('v2: ' || text)), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     // the Hilbert-clustered read reduces to pure arithmetic over the
     // data: the oracle re-derives the curve position of every occupied

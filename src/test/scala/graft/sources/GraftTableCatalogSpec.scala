@@ -45,8 +45,10 @@ class GraftTableCatalogSpec extends SparkTestBase {
     val api = cat.snapshot().read(spark, "t")
     val sql = spark.sql(s"SELECT * FROM $cn.t")
     // the identical-plan pin (VERDICT r11 next #2): same physical files
-    assert(sql.inputFiles.sorted.sameElements(api.inputFiles.sorted),
-      s"SQL file set ${sql.inputFiles.length} != API ${api.inputFiles.length}")
+    val sqlFiles = plannedFiles(sql).map(rel).sorted
+    val apiFiles = api.inputFiles.toSeq.map(rel).sorted
+    assert(sqlFiles == apiFiles,
+      s"SQL file set ${sqlFiles.length} != API ${apiFiles.length}")
     assert(sql.count() == 200 && api.count() == 200)
     // row parity
     assert(sql.collect().map(_.getLong(0)).sorted
@@ -178,7 +180,7 @@ class GraftTableCatalogSpec extends SparkTestBase {
     cat.append(Map("t" -> facts(401, 450).coalesce(1)))
     val cn = register(root)
     val snap = cat.snapshot()
-    val total = spark.sql(s"SELECT * FROM $cn.t").inputFiles.length
+    val total = plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length
     assert(total == 9)
 
     // range probe == API pruneFiles file set, and it actually skips
@@ -227,7 +229,7 @@ class GraftTableCatalogSpec extends SparkTestBase {
     // aggregate pushdown still composes over the pruning index
     assert(spark.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 450)
 
-    // unfiltered reads and inputFiles answer from the full listing
+    // unfiltered reads answer from the full listing
     assert(plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length == total)
   }
 
@@ -237,9 +239,80 @@ class GraftTableCatalogSpec extends SparkTestBase {
     cat.commit(Map("t" -> facts(1, 100).repartition(4)))
     val cn = register(root)
     val df = spark.sql(s"SELECT * FROM $cn.t WHERE id BETWEEN 10 AND 20")
-    assert(plannedFiles(df).length == spark.sql(s"SELECT * FROM $cn.t")
-      .inputFiles.length)
+    assert(plannedFiles(df).length ==
+      plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length)
     assert(df.count() == 11)
+  }
+
+  test("INSERT INTO appends through the transactional API; OVERWRITE replaces") {
+    val root = freshDir("sqlwrite")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 10).coalesce(1))) // m1
+    val cn = register(root)
+    val beforeFiles = plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).map(rel).toSet
+    // INSERT INTO = fast-append: new manifest, prior files untouched
+    spark.sql(s"INSERT INTO $cn.t VALUES (11L, 'k11', 110L), (12L, 'k12', 120L)")
+    assert(cat.currentId.contains(2))
+    assert(spark.sql(s"SELECT * FROM $cn.t").count() == 12)
+    assert(beforeFiles.subsetOf(
+      plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).map(rel).toSet),
+      "append must not rewrite existing files")
+    // SQL write == API write: row parity against the API read
+    assert(spark.sql(s"SELECT sum(amount) FROM $cn.t").head().getLong(0) ==
+      cat.snapshot().read(spark, "t").agg(sum("amount")).head().getLong(0))
+    // time travel still serves the pre-insert state
+    assert(spark.sql(s"SELECT * FROM $cn.t VERSION AS OF 1").count() == 10)
+    // INSERT OVERWRITE = replacing snapshot
+    spark.sql(s"INSERT OVERWRITE $cn.t SELECT id, concat('x', id), id FROM range(1, 4)")
+    assert(spark.sql(s"SELECT * FROM $cn.t").count() == 3)
+    assert(cat.currentId.contains(3))
+    assert(spark.sql(s"SELECT * FROM $cn.t VERSION AS OF 2").count() == 12)
+  }
+
+  test("a failed SQL write leaves no manifest and no visible rows") {
+    val root = freshDir("sqlwfail")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 10)))
+    val cn = register(root)
+    val bad = spark.range(0, 10, 1, 2).map { i =>
+      if (i > 3) throw new RuntimeException("boom"); (i, s"k$i", i)
+    }.toDF("id", "k", "amount")
+    intercept[Exception] { bad.writeTo(s"$cn.t").append() }
+    assert(cat.currentId.contains(1), "failed write must not commit")
+    assert(spark.sql(s"SELECT * FROM $cn.t").count() == 10)
+    // the aborted dir is unreferenced; the age sweep can reclaim it
+    assert(cat.snapshot().dataDirs("t").size == 1)
+  }
+
+  test("writer-ledger SQL appends are exactly-once; sidecar options index the landed dir") {
+    val root = freshDir("sqlwonce")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 100).repartitionByRange(4, $"id")),
+      statsCols = Map("t" -> Seq("id")))
+    val cn = register(root)
+    def batch = facts(101, 200).repartitionByRange(4, $"id")
+    batch.writeTo(s"$cn.t").option("writerId", "w1").option("batchId", "7")
+      .option("statsCols", "id").append()
+    // the re-delivered micro-batch is a no-op (no manifest, no rows)
+    batch.writeTo(s"$cn.t").option("writerId", "w1").option("batchId", "7")
+      .option("statsCols", "id").append()
+    assert(spark.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 200)
+    assert(cat.currentId.contains(2), "re-delivery must not commit")
+    // the landed dir carries stats: a selective SQL read prunes ACROSS
+    // both the base commit's files and the SQL-appended ones
+    val probe = spark.sql(s"SELECT * FROM $cn.t WHERE id BETWEEN 120 AND 130")
+    val apiKept = cat.snapshot().pruneFiles("t", "id", 120L, 130L)._1.toSet
+    assert(plannedFiles(probe).map(rel).toSet == apiKept)
+    assert(apiKept.size < plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length)
+    assert(probe.count() == 11)
+    // writerId without batchId fails loudly
+    intercept[Exception] {
+      facts(1, 1).writeTo(s"$cn.t").option("writerId", "w1").append()
+    }
+    // DDL stays routed to the commit API
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cn.nope (id BIGINT) USING parquet")
+    }
   }
 
   test("segment-folded dir lists serve through SQL unchanged") {
@@ -250,6 +323,6 @@ class GraftTableCatalogSpec extends SparkTestBase {
     assert(cat.manifest(cat.currentId.get)("t").contains("@seg="))
     val cn = register(root)
     assert(spark.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 70)
-    assert(spark.sql(s"SELECT * FROM $cn.t").inputFiles.length == 7)
+    assert(plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length == 7)
   }
 }

@@ -19,6 +19,14 @@ import java.nio.file.{Files, Paths}
   */
 object MetaProbe {
   def main(args: Array[String]): Unit = {
+    // `runMain graft.MetaProbe travel [n ...]` — the TIMESTAMP AS OF /
+    // .snapshots resolution probe (VERDICT r12 next #3)
+    if (args.headOption.contains("travel")) {
+      val ns = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+        else Seq(10000, 100000)
+      ns.foreach(travelProbe)
+      return
+    }
     val ns = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(1000, 10000, 100000)
     ns.foreach { n =>
@@ -43,6 +51,49 @@ object MetaProbe {
         println(f"n=$n%7d  maintained: $m")
       }
     }
+  }
+
+  /** Time `TIMESTAMP AS OF` resolution and the `.snapshots` row
+    * computation on an UNRETAINED n-manifest catalog, against the
+    * pre-r13 linear scan — drives the REAL production helpers
+    * ([[graft.sources.GraftTableCatalog.resolveTimestamp]] /
+    * `snapshotRows`), so the numbers pin exactly what a SQL
+    * `TIMESTAMP AS OF` pays at 10⁵ commits. */
+  private def travelProbe(n: Int): Unit = {
+    val root = Files.createTempDirectory("metaprobe_tt").toString
+    val mdir = Paths.get(root, "_manifests")
+    Files.createDirectories(mdir)
+    (1 to n).foreach { k =>
+      val body = s"""{\n  "_ts": "${1000000L + k}",\n  "t": "u=$k@$k"\n}"""
+      Files.write(mdir.resolve(s"m=$k.json"), body.getBytes("UTF-8"))
+    }
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val probeTs = 1000000L + n / 2 // lands mid-history
+    def time[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e6)
+    }
+    // warm the dentry cache so both arms measure resolution, not mkfs
+    cat.linkedIds
+    // the ONE O(n) step is the directory listing (a single readdir —
+    // the same cost currentId already pays on every commit); the
+    // search itself reads ~log2(n) manifests
+    val (_, listMs) = time(cat.linkedIds)
+    val (got, binMs) = time(
+      graft.sources.GraftTableCatalog.resolveTimestamp(cat, probeTs))
+    val (lin, linMs) = time(
+      (1 to n).reverse.find(k => cat.commitMs(k) <= probeTs))
+    require(got == lin, s"binary $got != linear $lin")
+    val (rows, snapMs) = time(
+      graft.sources.GraftTableCatalog.snapshotRows(cat, root, "t", 2048))
+    val (rowsAll, snapAllMs) = time(
+      graft.sources.GraftTableCatalog.snapshotRows(cat, root, "t", Int.MaxValue))
+    println(f"n=$n%7d  timestamp-as-of: binary=$binMs%.1f ms" +
+      f" (list=$listMs%.1f ms + ~${(math.log(n) / math.log(2)).ceil.toInt}%d reads," +
+      f" hit m=${got.get}%d)  linear=$linMs%.1f ms" +
+      f"  |  .snapshots: window2048=$snapMs%.1f ms" +
+      f" (${rows.size}%d rows)  unbounded=$snapAllMs%.1f ms (${rowsAll.size}%d rows)")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   private case class Res(appendBytes: Long, lastManifest: Long,

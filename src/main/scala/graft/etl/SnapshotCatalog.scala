@@ -347,6 +347,26 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     } finally listing.close() // Files.list holds the dir handle open
   }
 
+  /** ALL committed manifest ids still on disk, ascending — ONE
+    * directory listing, no per-id existence probes (the bounded
+    * planning primitive `TIMESTAMP AS OF` and the `.snapshots`
+    * metadata table resolve through; VERDICT r12 next #3). */
+  def linkedIds: Seq[Int] = {
+    val m = dir.resolve("_manifests")
+    if (!Files.isDirectory(m)) return Nil
+    val listing = Files.list(m)
+    try {
+      val Pat = """m=(\d+)\.json""".r
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val it = listing.iterator()
+      while (it.hasNext) it.next().getFileName.toString match {
+        case Pat(k) => buf += k.toInt
+        case _ =>
+      }
+      buf.sorted.toSeq
+    } finally listing.close()
+  }
+
   /** table -> version-dir map of manifest k (immutable once linked). */
   def manifest(k: Int): Map[String, String] = {
     val raw = new String(Files.readAllBytes(manifestPath(k)),

@@ -48,12 +48,18 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var path: String = _
+  private var snapshotsLimit: Int = 2048
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     path = options.get("path")
     require(path != null,
       s"catalog $name needs spark.sql.catalog.$name.path")
+    // `.snapshots` serves the newest N retained manifests (planning
+    // metadata must stay bounded on an unretained catalog); raise via
+    // spark.sql.catalog.<name>.snapshotsLimit when a deeper audit
+    // window is actually wanted
+    snapshotsLimit = options.getInt("snapshotsLimit", 2048)
   }
 
   override def name(): String = catalogName
@@ -95,20 +101,34 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
   /** `TIMESTAMP AS OF` (micros since epoch): the newest manifest whose
     * commit wall-time — [[SnapshotCatalog.commitMs]], the SAME
     * definition time-based retention uses (in-body `_ts` stamp, mtime
-    * fallback) — is at or before the probe instant. */
+    * fallback) — is at or before the probe instant.
+    *
+    * Resolution is BOUNDED (VERDICT r12 next #3): one directory
+    * listing for the retained manifest ids, then a binary search over
+    * them — commit stamps are monotone in manifest id (each `_ts` is
+    * written at CAS-link time, ids are totally ordered by the CAS) —
+    * so an unretained 10⁵-commit catalog answers in ~17 manifest
+    * reads, not 10⁵. A manifest dropped by concurrent retention
+    * mid-search triggers a re-list (retention unlinks oldest-first,
+    * so the listing is briefly stale at its left edge only). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val cat = snapCat
-    val cur = cat.currentId.getOrElse(
-      throw new IllegalStateException(s"no committed snapshot under $path"))
     val tsMs = timestamp / 1000L
-    val k = (1 to cur).reverse
-      .find { k =>
-        try cat.commitMs(k) <= tsMs
-        catch { case _: java.nio.file.NoSuchFileException => false }
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val k = GraftTableCatalog.resolveTimestamp(cat, tsMs).getOrElse(
+          throw new IllegalArgumentException(
+            s"no snapshot at or before timestamp ${tsMs}ms in $path"))
+        return tableAt(ident, cat.snapshotAt(k))
+      } catch {
+        case e: java.nio.file.NoSuchFileException =>
+          if (attempt >= 3) throw new IllegalStateException(
+            s"manifests vanishing under concurrent retention in $path", e)
       }
-      .getOrElse(throw new IllegalArgumentException(
-        s"no snapshot at or before timestamp ${tsMs}ms in $path"))
-    tableAt(ident, cat.snapshotAt(k))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   private def tableAt(ident: Identifier,
@@ -146,31 +166,22 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
     val cat = snapCat
-    val cur = cat.currentId.getOrElse(0)
-    val linked = (1 to cur).filter(k =>
-      java.nio.file.Files.exists(
-        java.nio.file.Paths.get(path, "_manifests", s"m=$k.json")))
     val (metaSchema, rows) = kind match {
       case "snapshots" =>
-        // the anchor table's history: every retained manifest that
-        // carries it, with the commit stamp and the dir-list size
+        // the anchor table's history: the newest `snapshotsLimit`
+        // retained manifests that carry it (ONE directory listing —
+        // no per-id existence probes), with the commit stamp and the
+        // dir-list size. Dir counts memoize on the manifest VALUE:
+        // an unchanged table carries the identical value forward, so
+        // a 10⁵-manifest window costs ~distinct-values segment reads,
+        // not 10⁵ (VERDICT r12 next #3).
         val sch = StructType(Seq(
           StructField("snapshot_id", LongType, nullable = false),
           StructField("committed_ms", LongType, nullable = true),
           StructField("n_dirs", IntegerType, nullable = false)))
-        val rs = linked.flatMap { k =>
-          val m = cat.manifest(k)
-          m.get(anchor).map { v =>
-            // commitMs, not the raw `_ts` entry: pre-stamp manifests
-            // fall back to mtime exactly as TIMESTAMP AS OF resolution
-            // does, so the two SQL surfaces agree on every manifest's
-            // visible commit time (ADVICE r12 #3)
-            val ts = try java.lang.Long.valueOf(cat.commitMs(k))
-              catch { case _: java.nio.file.NoSuchFileException => null }
-            InternalRow(k.toLong, ts,
-              SnapshotCatalog.resolveDirList(path, v).size)
-          }
-        }
+        val rs = GraftTableCatalog
+          .snapshotRows(cat, path, anchor, snapshotsLimit)
+          .map { case (k, ts, nd) => InternalRow(k, ts, nd) }
         (sch, rs)
       case _ =>
         val sch = StructType(Seq(
@@ -233,6 +244,57 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft catalog is read-only over SQL")
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only over SQL")
+}
+
+object GraftTableCatalog {
+
+  /** Newest retained manifest id whose [[SnapshotCatalog.commitMs]] is
+    * at or before `tsMs` — ONE directory listing + a binary search
+    * over the monotone commit stamps (each `_ts` is written at
+    * CAS-link time, ids are totally ordered by the CAS), so a
+    * 10⁵-commit catalog answers a `TIMESTAMP AS OF` in ~17 manifest
+    * reads. Throws NoSuchFileException if concurrent retention drops
+    * a probed manifest (callers re-list and retry). */
+  private[graft] def resolveTimestamp(cat: SnapshotCatalog,
+      tsMs: Long): Option[Int] = {
+    val ids = cat.linkedIds.toIndexedSeq
+    var lo = 0
+    var hi = ids.length - 1
+    var best = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cat.commitMs(ids(mid)) <= tsMs) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (best < 0) None else Some(ids(best))
+  }
+
+  /** The `.snapshots` metadata-table rows for `anchor`: the newest
+    * `limit` retained manifests that carry it (one directory listing,
+    * no per-id existence probes), each with its commit stamp
+    * ([[SnapshotCatalog.commitMs]] — mtime fallback included, so the
+    * column can never disagree with `TIMESTAMP AS OF` resolution) and
+    * dir-list size. Dir counts MEMOIZE on the manifest value: an
+    * unchanged table carries the identical value forward commit after
+    * commit, so a deep window costs ~distinct-values segment reads,
+    * not one resolve per manifest. A manifest vanished to concurrent
+    * retention simply drops its row. */
+  private[graft] def snapshotRows(cat: SnapshotCatalog, path: String,
+      anchor: String, limit: Int): Seq[(Long, java.lang.Long, Int)] = {
+    val dirCount = scala.collection.mutable.Map.empty[String, Int]
+    cat.linkedIds.takeRight(limit).flatMap { k =>
+      val m = try cat.manifest(k)
+        catch { case _: java.nio.file.NoSuchFileException =>
+          Map.empty[String, String] }
+      m.get(anchor).map { v =>
+        val ts = try java.lang.Long.valueOf(cat.commitMs(k))
+          catch { case _: java.nio.file.NoSuchFileException =>
+            null.asInstanceOf[java.lang.Long] }
+        (k.toLong, ts, dirCount.getOrElseUpdate(v,
+          SnapshotCatalog.resolveDirList(path, v).size))
+      }
+    }
+  }
 }
 
 /** A snapshot-pinned table served over DSv2: reads plan Spark's own

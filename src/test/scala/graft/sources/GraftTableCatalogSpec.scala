@@ -315,6 +315,34 @@ class GraftTableCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("binary-searched TIMESTAMP AS OF picks the same snapshot as a linear scan") {
+    val root = freshDir("ttsearch")
+    val cat = new SnapshotCatalog(root)
+    (1 to 8).foreach { i =>
+      cat.commit(Map("t" -> facts(1, i).coalesce(1)))
+      Thread.sleep(12) // separate the _ts stamps
+    }
+    val cn = register(root)
+    // probe midpoints between every adjacent pair, plus both edges
+    val stamps = (1 to 8).map(cat.commitMs)
+    assert(stamps == stamps.sorted, "commit stamps must be monotone")
+    val probes = stamps.sliding(2).map(w => (w(0) + w(1)) / 2).toSeq ++
+      Seq(stamps.head, stamps.last, stamps.last + 1000)
+    probes.foreach { ts =>
+      val linear = (1 to 8).reverse.find(k => cat.commitMs(k) <= ts).get
+      assert(GraftTableCatalog.resolveTimestamp(cat, ts).contains(linear),
+        s"binary search diverged from linear scan at ts=$ts")
+      // and through the SQL surface end to end
+      val t = new java.sql.Timestamp(ts)
+      assert(spark.sql(s"SELECT * FROM $cn.t TIMESTAMP AS OF '$t'").count()
+        == linear, s"SQL TIMESTAMP AS OF diverged at ts=$ts")
+    }
+    // before all history: loud failure, not manifest 1
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cn.t TIMESTAMP AS OF '2001-01-01'").collect()
+    }
+  }
+
   test("segment-folded dir lists serve through SQL unchanged") {
     val root = freshDir("sqlseg")
     val cat = new SnapshotCatalog(root, segFold = 3)

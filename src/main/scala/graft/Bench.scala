@@ -141,7 +141,8 @@ object Bench {
       "row_delete_roundtrip", "position_delete_roundtrip",
       "append_ingest_read", "cdc_merge_on_read", "aspep_catalog_roundtrip",
       "wap_publish_read", "bloom_string_lookup", "sql_catalog_time_travel",
-      "sql_pruned_read", "sql_write_roundtrip", "corpus_catalog_roundtrip")
+      "sql_pruned_read", "sql_write_roundtrip", "corpus_catalog_roundtrip",
+      "corpus_neardup_screen")
     // local-diagnostics subset (comma-separated names): lets a retry /
     // induced-load experiment run in seconds instead of re-timing the
     // full registry. The driver never sets it — full registry there.

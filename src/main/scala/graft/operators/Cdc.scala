@@ -1344,6 +1344,69 @@ object Cdc {
     }
   }
 
+  /** NEAR-DUP corpus screening through the catalog (K24, VERDICT r12
+    * next #6): the corpus flagship's screen is exact-text only — a
+    * crawler that re-serves a page with a tweaked byte slips through.
+    * This query composes the MinHash-LSH channel
+    * ([[Dedup.neardupBest]]) as an INCREMENTAL near-dup screen against
+    * the PUBLISHED ref: batch 1 carries fresh residue-1 pages plus
+    * re-keyed near-duplicate re-crawls of published pages (`'nd: '`
+    * prefix — the shingle set mostly survives, so their MinHash
+    * estimate vs the published original is high); a new doc whose
+    * best estimate reaches 1/2 is dropped, survivors land through the
+    * SAME exactly-once writer ledger (the re-delivered batch below
+    * proves the no-op), and `prod` fast-forwards only after the
+    * screen. Every decision is deterministic on both engines — the
+    * signatures are fixed-permutation arithmetic — so the oracle
+    * replays the whole screen (shingles -> sigs -> bands -> best
+    * estimate -> drop set) from first principles.
+    *
+    * Scale: the screen is new-bands x published-bands only (the
+    * asymmetric LSH join — batch-sized, never corpus x corpus); at
+    * 100 TB the published side's band table is a precomputed artifact
+    * maintained alongside the corpus, and landing + publishing stay
+    * one parquet write + two manifest entries. */
+  def corpusNeardupScreen(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "neardup")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    val strideRow = docs.agg(max(col("doc_id"))).head()
+    val stride = (if (strideRow.isNullAt(0)) -1L else strideRow.getLong(0)) + 1L
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    cat.commit(Map("docs" -> b0)) // m1
+    cat.setRef("prod", 1) // m2
+    // batch 1: fresh pages + near-dup re-crawls of published pages
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+      .unionByName(b0.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + stride).as("doc_id"),
+          concat(lit("nd: "), col("text")).as("text")))
+    val published = cat.snapshotAtRef("prod").read(s, "docs")
+    val best = Dedup.neardupBest(b1, published)
+    val dropped = b1.join(best.filter(col("best_est") >= 0.5)
+      .select(col("doc_id")), Seq("doc_id"))
+    val survivors = b1.join(best.filter(col("best_est").isNull ||
+        col("best_est") < 0.5).select(col("doc_id")), Seq("doc_id"))
+      .localCheckpoint(true) // lands twice below (ledger no-op proof)
+    cat.appendIfNew("crawler", 1L, Map("docs" -> survivors)) // m3
+    // the re-delivered micro-batch must be a no-op
+    val again = cat.appendIfNew("crawler", 1L, Map("docs" -> survivors))
+    require(cat.currentId.contains(3) && again == 3,
+      s"re-delivered batch must no-op at m3, got ${cat.currentId}/$again")
+    cat.setRef("prod", 3) // m4: publish AFTER the screen
+    def census(stage: Long, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_chars"))
+    val out = census(1L, b0) // published before the batch
+      .unionByName(census(2L, b1)) // the incoming crawl
+      .unionByName(census(3L, dropped)) // near-dups the screen caught
+      // served corpus AFTER publish, read back through the ref
+      .unionByName(census(4L, cat.snapshotAtRef("prod").read(s, "docs")))
+    finishScratch(out, root)
+    }
+  }
+
   /** The LLM-CORPUS flagship through the catalog (VERDICT r11 "Next
     * round" #3 — the composition K18 performed for ASPEP, done for
     * the other half of the project): a crawl pipeline where
@@ -1508,6 +1571,7 @@ object Cdc {
     "sql_catalog_time_travel" -> (sqlCatalogTimeTravel _),
     "sql_pruned_read" -> (sqlPrunedRead _),
     "sql_write_roundtrip" -> (sqlWriteRoundtrip _),
+    "corpus_neardup_screen" -> (corpusNeardupScreen _),
     "corpus_catalog_roundtrip" -> (corpusCatalogRoundtrip _),
     "bloom_string_lookup" -> (bloomStringLookup _),
     "append_ingest_read" -> (appendIngestRead _),
@@ -1734,6 +1798,80 @@ object Cdc {
         | CAST(coalesce(sum(length(d.text)), 0) AS BIGINT),
         | CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
         |FROM r LEFT JOIN documents d ON d.doc_id = (r.dmax + 1) // 2""".stripMargin,
+
+    // the K24 near-dup screen replayed from first principles: rebuild
+    // the published (%3=0) and batch (%3=1 + 'nd: '-prefixed re-keyed
+    // re-crawls) corpora, re-derive MinHash signatures and LSH bands
+    // with the same fixed-permutation arithmetic the Spark kernel
+    // uses, re-decide every drop (best estimate >= 0.5 vs the
+    // published side), and re-census the served corpus post-publish —
+    // a screen that misses a near-dup, double-applies the ledger
+    // batch, or publishes early desynchronizes a row
+    "corpus_neardup_screen" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |r AS (SELECT coalesce(max(doc_id), -1) + 1 AS stride FROM base),
+         |pub AS (SELECT doc_id, text FROM base WHERE doc_id % 3 = 0),
+         |newb AS (
+         | SELECT doc_id, text FROM base WHERE doc_id % 3 = 1
+         | UNION ALL
+         | SELECT b.doc_id + r.stride AS doc_id, 'nd: ' || b.text AS text
+         | FROM base b, r WHERE b.doc_id % 3 = 0 AND b.doc_id % 7 = 0),
+         |corpus AS (
+         | SELECT doc_id, text, 1 AS is_new FROM newb
+         | UNION ALL SELECT doc_id, text, 0 FROM pub),
+         |toks AS (
+         | SELECT doc_id, is_new, string_split(${Dedup.normSql}, ' ') AS w
+         | FROM corpus),
+         |sh AS (
+         | SELECT doc_id, is_new, CASE WHEN len(w) >= 3
+         |  THEN list_transform(range(0, len(w) - 2),
+         |        i -> array_to_string(w[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' '))
+         |  ELSE [] END AS shingles FROM toks),
+         |hs AS (
+         | SELECT doc_id, is_new, list_transform(shingles,
+         |   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % ${Dedup.P}) AS hv
+         | FROM sh),
+         |sig AS (SELECT doc_id, is_new, ${Dedup.sigSelect} FROM hs),
+         |bands AS (
+         | SELECT doc_id, is_new,
+         |  [sig0,sig1,sig2,sig3,sig4,sig5,sig6,sig7] AS sig_arr,
+         |  unnest([0, 1, 2, 3]) AS bid,
+         |  unnest([
+         |   md5(concat(CAST(sig0 AS VARCHAR), '_', CAST(sig1 AS VARCHAR))),
+         |   md5(concat(CAST(sig2 AS VARCHAR), '_', CAST(sig3 AS VARCHAR))),
+         |   md5(concat(CAST(sig4 AS VARCHAR), '_', CAST(sig5 AS VARCHAR))),
+         |   md5(concat(CAST(sig6 AS VARCHAR), '_', CAST(sig7 AS VARCHAR)))]) AS bh
+         | FROM sig WHERE sig0 IS NOT NULL),
+         |cand AS (
+         | SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         | FROM bands a JOIN bands b ON a.bid = b.bid AND a.bh = b.bh
+         | WHERE a.is_new = 1 AND b.is_new = 0),
+         |sarr AS (SELECT DISTINCT doc_id, is_new, sig_arr FROM bands),
+         |best AS (
+         | SELECT c.new_id, max(round(CAST(len(list_filter(range(0, 8),
+         |   i -> a.sig_arr[CAST(i + 1 AS INT)] = b.sig_arr[CAST(i + 1 AS INT)])) AS DOUBLE) / 8, 6)) AS best_est
+         | FROM cand c
+         | JOIN sarr a ON a.doc_id = c.new_id AND a.is_new = 1
+         | JOIN sarr b ON b.doc_id = c.old_id AND b.is_new = 0
+         | GROUP BY 1),
+         |drops AS (
+         | SELECT n.doc_id, n.text FROM newb n
+         | JOIN best ON best.new_id = n.doc_id WHERE best.best_est >= 0.5),
+         |surv AS (
+         | SELECT n.doc_id, n.text FROM newb n
+         | WHERE n.doc_id NOT IN (SELECT doc_id FROM drops))
+         |SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars FROM pub
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM newb
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM drops
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+         | CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+         |FROM (SELECT text FROM pub UNION ALL SELECT text FROM surv)""".stripMargin,
 
     // SQL-write lifecycle replay: stage 1 = seed (%3=0) + SQL-appended
     // (%3=1); stage 2 = the overwrite (%5=0, 'v2: ' re-text, || keeps

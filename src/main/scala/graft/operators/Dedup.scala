@@ -55,8 +55,15 @@ object Dedup {
     min((col("hv") * a + b) % P).as(s"sig$j")
   }
 
-  private[graft] def minhashSigDf(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  private[graft] def minhashSigDf(s: SparkSession, d: String): DataFrame =
+    minhashSigOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** MinHash signatures over an ARBITRARY (doc_id, text) corpus — the
+    * published-snapshot / incoming-batch sides of the catalog's
+    * near-dup screen are not the `documents` table, so the kernel
+    * takes the corpus as input. Same plan as ever: explode shingles,
+    * one keyed shuffle, 8 partial-aggregated mins. */
+  private[operators] def minhashSigOf(docs: DataFrame): DataFrame = {
     val hv = docs
       .select(col("doc_id"), tokens(col("text")).as("toks")) // materialize: see wordShingles contract
       .select(col("doc_id"), explode(gramHashes(col("toks"), 3)).as("h"))
@@ -65,6 +72,42 @@ object Dedup {
     val sig = hv.groupBy(col("doc_id")).agg(cols.head, cols.tail: _*)
     // keep zero-shingle docs as null-signature rows (oracle parity)
     docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
+  }
+
+  /** LSH band rows (doc_id, bid, bh) of a signature table — null
+    * signatures (zero-shingle docs) carry no band evidence. */
+  private[operators] def bandsOf(sig: DataFrame): DataFrame =
+    sig.filter(col("sig0").isNotNull)
+      .select(col("doc_id"), posexplode(bandHashCols).as(Seq("bid", "bh")))
+
+  /** ASYMMETRIC near-dup screen (the incremental-crawl shape,
+    * generalized off the `documents` residue split): for every doc of
+    * `newDocs`, its best MinHash estimate against `base`, found via
+    * LSH band probes — new-bands x base-bands only, so cost scales
+    * with the batch, never corpus x corpus. Returns one row per new
+    * doc: (doc_id, best_est), best_est NULL when no band collides
+    * (including zero-shingle docs). At 100 TB the base side's band
+    * table is a precomputed artifact the batch probes. */
+  private[operators] def neardupBest(newDocs: DataFrame, base: DataFrame): DataFrame = {
+    val arr = array((0 until 8).map(j => col(s"sig$j")): _*)
+    // each side feeds a band join AND a signature attach: materialize
+    // once (the 100 TB version writes the signature table between jobs)
+    val sigN = minhashSigOf(newDocs).withColumn("sig_arr", arr).localCheckpoint(true)
+    val sigB = minhashSigOf(base).withColumn("sig_arr", arr).localCheckpoint(true)
+    val cand = bandsOf(sigN).select(col("doc_id").as("new_id"), col("bid"), col("bh"))
+      .join(bandsOf(sigB).select(col("doc_id").as("old_id"), col("bid"), col("bh")),
+        Seq("bid", "bh"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val est = aggregate(
+      zip_with(col("sig_n"), col("sig_o"), (x, y) => (x === y).cast("int")),
+      lit(0), (acc, x) => acc + x).cast("double") / 8
+    val best = cand
+      .join(sigN.select(col("doc_id").as("new_id"), col("sig_arr").as("sig_n")), Seq("new_id"))
+      .join(sigB.select(col("doc_id").as("old_id"), col("sig_arr").as("sig_o")), Seq("old_id"))
+      .select(col("new_id"), round(est, 6).as("est"))
+      .groupBy(col("new_id")).agg(max(col("est")).as("best_est"))
+    newDocs.select(col("doc_id"))
+      .join(best.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
   }
 
   def minhashSignature(s: SparkSession, d: String): DataFrame =
@@ -1500,7 +1543,7 @@ object Dedup {
 
   // ---- oracle SQL (DuckDB dialect; partially code-generated) ----
 
-  private val normSql =
+  private[operators] val normSql =
     "lower(trim(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))"
 
   /** Shared CTE prefix: word tokens + 3-gram shingle hashes mod P. */

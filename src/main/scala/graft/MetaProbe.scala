@@ -68,7 +68,8 @@ object MetaProbe {
       Files.write(mdir.resolve(s"m=$k.json"), body.getBytes("UTF-8"))
     }
     val cat = new graft.etl.SnapshotCatalog(root)
-    val probeTs = 1000000L + n / 2 // lands mid-history
+    // mid-history, never before the first stamp (n=1 edge)
+    val probeTs = 1000000L + math.max(1, n / 2)
     def time[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = body
       (a, (System.nanoTime() - t0) / 1e6)
@@ -90,7 +91,7 @@ object MetaProbe {
       graft.sources.GraftTableCatalog.snapshotRows(cat, root, "t", Int.MaxValue))
     println(f"n=$n%7d  timestamp-as-of: binary=$binMs%.1f ms" +
       f" (list=$listMs%.1f ms + ~${(math.log(n) / math.log(2)).ceil.toInt}%d reads," +
-      f" hit m=${got.get}%d)  linear=$linMs%.1f ms" +
+      f" hit m=${got.getOrElse(-1)}%d)  linear=$linMs%.1f ms" +
       f"  |  .snapshots: window2048=$snapMs%.1f ms" +
       f" (${rows.size}%d rows)  unbounded=$snapAllMs%.1f ms (${rowsAll.size}%d rows)")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))

@@ -324,28 +324,19 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     * mtime for pre-stamp or hand-edited manifests — ONE definition
     * shared by time-based retention and `TIMESTAMP AS OF` resolution,
     * so the two surfaces can never disagree on a manifest's age. */
-  private[graft] def commitMs(k: Int): Long =
-    manifest(k).get("_ts").flatMap(t => scala.util.Try(t.toLong).toOption)
+  private[graft] def commitMs(k: Int): Long = commitMs(k, manifest(k))
+
+  /** [[commitMs]] over an already-parsed manifest body — callers that
+    * hold the map avoid the second read the 1-arg form would pay. */
+  private[graft] def commitMs(k: Int, m: Map[String, String]): Long =
+    m.get("_ts").flatMap(t => scala.util.Try(t.toLong).toOption)
       .getOrElse(Files.getLastModifiedTime(manifestPath(k)).toMillis)
 
-  /** The newest committed manifest id (max on disk), if any. */
-  def currentId: Option[Int] = {
-    val m = dir.resolve("_manifests")
-    if (!Files.isDirectory(m)) return None
-    val listing = Files.list(m)
-    try {
-      val ids = listing.iterator()
-      var best = -1
-      val Pat = """m=(\d+)\.json""".r
-      while (ids.hasNext) {
-        ids.next().getFileName.toString match {
-          case Pat(k) => best = math.max(best, k.toInt)
-          case _ =>
-        }
-      }
-      if (best < 0) None else Some(best)
-    } finally listing.close() // Files.list holds the dir handle open
-  }
+  /** The newest committed manifest id (max on disk), if any — one
+    * listing primitive ([[linkedIds]]) serves this, `TIMESTAMP AS OF`
+    * and `.snapshots`, so they can never disagree on the name
+    * pattern or the manifest set. */
+  def currentId: Option[Int] = linkedIds.lastOption
 
   /** ALL committed manifest ids still on disk, ascending — ONE
     * directory listing, no per-id existence probes (the bounded
@@ -1374,12 +1365,7 @@ object SnapshotCatalog {
             val kept = onDisk.filter { f =>
               blooms.get(f).flatMap(_.get(column)) match {
                 case None => true // unprofiled file/column: keep
-                case Some((m, words)) =>
-                  def bit(pos: Long): Boolean = {
-                    val w = (pos / 64).toInt
-                    (words.getOrElse(w, 0L) & (1L << (pos % 64).toInt)) != 0L
-                  }
-                  bit(bloomH1(v) % m) && bit(bloomH2(v) % m)
+                case Some((m, words)) => bloomHit(m, words, v)
               }
             }
             (kept.map(f => s"$dname/$f"), onDisk.size)
@@ -1470,13 +1456,7 @@ object SnapshotCatalog {
                   org.apache.spark.unsafe.types.UTF8String.fromString(s)))
                 case _ => None // not a bloomable key type: keep
               }
-              probe.forall { x =>
-                def bit(pos: Long): Boolean = {
-                  val w = (pos / 64).toInt
-                  (words.getOrElse(w, 0L) & (1L << (pos % 64).toInt)) != 0L
-                }
-                bit(bloomH1(x) % m) && bit(bloomH2(x) % m)
-              }
+              probe.forall(x => bloomHit(m, words, x))
           }
         val kept = onDisk.filter { f =>
           ranges.forall { case (c, lo, hi) => rangeAdmits(f, c, lo, hi) } &&
@@ -1677,6 +1657,19 @@ object SnapshotCatalog {
   // therefore expressible in ANSI SQL (DuckDB replays every pruning
   // decision bit-for-bit, no wrapping-multiply semantics needed) ----
   private[graft] val BloomP = 2147483647L // 2^31 - 1
+  /** The Bloom membership test — ONE kernel shared by the API pruner
+    * ([[Snapshot.pruneFilesPoint]]) and the SQL pruner
+    * ([[Snapshot.pruneFilesSql]]), so a hash-family or word-layout
+    * change can never desynchronize their skip decisions: a key is
+    * PROVABLY absent when either of its two bits is unset. */
+  private[etl] def bloomHit(m: Long, words: Map[Int, Long], v: Long): Boolean = {
+    def bit(pos: Long): Boolean = {
+      val w = (pos / 64).toInt
+      (words.getOrElse(w, 0L) & (1L << (pos % 64).toInt)) != 0L
+    }
+    bit(bloomH1(v) % m) && bit(bloomH2(v) % m)
+  }
+
   private[graft] def bloomNorm(v: Long): Long = ((v % BloomP) + BloomP) % BloomP
   private[graft] def bloomH1(v: Long): Long = (bloomNorm(v) * 48271L) % BloomP
   private[graft] def bloomH2(v: Long): Long = (bloomNorm(v) * 69621L + 12345L) % BloomP

@@ -74,8 +74,14 @@ object Dedup {
     docs.select(col("doc_id")).join(sig, Seq("doc_id"), "left")
   }
 
-  /** LSH band rows (doc_id, bid, bh) of a signature table — null
-    * signatures (zero-shingle docs) carry no band evidence. */
+  /** LSH band rows (doc_id, bid, bh) of a signature table — THE band
+    * derivation, shared by every LSH consumer (candidate pairs,
+    * incremental screen, near-dup corpus screen). Null-signature docs
+    * (< 3 tokens, zero shingles) are excluded from banding: they carry
+    * no shingle evidence, and their band hash would otherwise collapse
+    * every short doc into one shared bucket (and the engines disagree
+    * on NULL concat semantics — Spark concat_ws skips nulls, DuckDB
+    * md5(NULL) is NULL). */
   private[operators] def bandsOf(sig: DataFrame): DataFrame =
     sig.filter(col("sig0").isNotNull)
       .select(col("doc_id"), posexplode(bandHashCols).as(Seq("bid", "bh")))
@@ -155,15 +161,8 @@ object Dedup {
       .withColumn("sig_arr", array((0 until 8).map(j => col(s"sig$j")): _*))
       .localCheckpoint(true)
 
-    val bandHashes = bandHashCols
-    // slim candidate generation: only (doc_id, band) through the join.
-    // Null-signature docs (< 3 tokens, zero shingles) are excluded from
-    // banding: they carry no shingle evidence, and their band hash would
-    // otherwise collapse every short doc into one shared bucket (and the
-    // engines disagree on NULL concat semantics — Spark concat_ws skips
-    // nulls, DuckDB md5(NULL) is NULL).
-    val bands = sig.filter(col("sig0").isNotNull)
-      .select(col("doc_id"), posexplode(bandHashes).as(Seq("bid", "bh")))
+    // slim candidate generation: only (doc_id, band) through the join
+    val bands = bandsOf(sig)
     val pairs = bands.select(col("doc_id").as("doc_a"), col("bid"), col("bh"))
       .join(bands.select(col("doc_id").as("doc_b"), col("bid"), col("bh")),
         Seq("bid", "bh"))
@@ -209,11 +208,7 @@ object Dedup {
     val sig = minhashSigDf(s, d)
       .withColumn("sig_arr", array((0 until 8).map(j => col(s"sig$j")): _*))
       .localCheckpoint(true) // two band sides + two attach joins
-    val bandHashes = array((0 until 4).map { b =>
-      md5(concat_ws("_", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
-    }: _*)
-    val bands = sig.filter(col("sig0").isNotNull)
-      .select(col("doc_id"), posexplode(bandHashes).as(Seq("bid", "bh")))
+    val bands = bandsOf(sig)
     val cand = bands.filter(pmod(col("doc_id"), lit(10)) === 9)
       .select(col("doc_id").as("new_id"), col("bid"), col("bh"))
       .join(bands.filter(pmod(col("doc_id"), lit(10)) =!= 9)

@@ -258,15 +258,37 @@ object GraftTableCatalog {
   private[graft] def resolveTimestamp(cat: SnapshotCatalog,
       tsMs: Long): Option[Int] = {
     val ids = cat.linkedIds.toIndexedSeq
+    if (ids.isEmpty) return None
+    // fast path AND correctness anchor: a probe at-or-after the newest
+    // commit resolves to it in O(1) — the overwhelmingly common "as of
+    // now" query — and matches the exhaustive scan BY CONSTRUCTION
+    // even when older stamps are disordered
+    if (cat.commitMs(ids.last) <= tsMs) return Some(ids.last)
+    // binary search assumes commit stamps are monotone in manifest id
+    // (each `_ts` is written at CAS-link time) — but pre-stamp
+    // manifests fall back to file mtime, which an object-store copy
+    // RESETS, so a migrated catalog can be non-monotone at its legacy
+    // prefix. Track every probe: an observed inversion falls back to
+    // the exhaustive newest-to-oldest scan, which is always correct.
+    val probed = scala.collection.mutable.TreeMap.empty[Int, Long]
+    var monotone = true
+    def ms(i: Int): Long = {
+      val v = cat.commitMs(ids(i))
+      probed.maxBefore(i).foreach { case (_, pv) => if (pv > v) monotone = false }
+      probed.minAfter(i).foreach { case (_, nv) => if (nv < v) monotone = false }
+      probed(i) = v
+      v
+    }
     var lo = 0
     var hi = ids.length - 1
     var best = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (cat.commitMs(ids(mid)) <= tsMs) { best = mid; lo = mid + 1 }
+      if (ms(mid) <= tsMs) { best = mid; lo = mid + 1 }
       else hi = mid - 1
     }
-    if (best < 0) None else Some(ids(best))
+    if (monotone && best >= 0) Some(ids(best))
+    else ids.reverseIterator.find(k => cat.commitMs(k) <= tsMs)
   }
 
   /** The `.snapshots` metadata-table rows for `anchor`: the newest
@@ -287,7 +309,9 @@ object GraftTableCatalog {
         catch { case _: java.nio.file.NoSuchFileException =>
           Map.empty[String, String] }
       m.get(anchor).map { v =>
-        val ts = try java.lang.Long.valueOf(cat.commitMs(k))
+        // stamp from the ALREADY-parsed body (commitMs(k) would
+        // re-read the manifest — doubling the window's I/O)
+        val ts = try java.lang.Long.valueOf(cat.commitMs(k, m))
           catch { case _: java.nio.file.NoSuchFileException =>
             null.asInstanceOf[java.lang.Long] }
         (k.toLong, ts, dirCount.getOrElseUpdate(v,

@@ -343,6 +343,32 @@ class GraftTableCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("TIMESTAMP AS OF survives non-monotone stamps (mtime-fallback copies)") {
+    val root = freshDir("ttnonmono")
+    val cat = new SnapshotCatalog(root)
+    (1 to 5).foreach(i => cat.commit(Map("t" -> facts(1, i).coalesce(1))))
+    // simulate an object-store copy resetting a legacy prefix's
+    // effective stamps: rewrite the in-body _ts out of order
+    def restamp(k: Int, ts: Long): Unit = {
+      val p = java.nio.file.Paths.get(root, "_manifests", s"m=$k.json")
+      val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .replaceAll("\"_ts\": \"\\d+\"", "\"_ts\": \"" + ts + "\"")
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+    }
+    Seq(100L, 900L, 200L, 300L, 400L).zipWithIndex.foreach { case (ts, i) =>
+      restamp(i + 1, ts)
+    }
+    // binary resolution must agree with the exhaustive newest-to-oldest
+    // scan on every probe: the at-or-after-newest fast path, the
+    // consistent-probes path, and the detected-inversion fallback
+    Seq(500L, 250L, 150L, 950L, 400L).foreach { ts =>
+      val linear = (1 to 5).reverse.find(k => cat.commitMs(k) <= ts)
+      assert(GraftTableCatalog.resolveTimestamp(cat, ts) == linear,
+        s"diverged from the exhaustive scan at ts=$ts")
+    }
+    assert(GraftTableCatalog.resolveTimestamp(cat, 50L).isEmpty)
+  }
+
   test("segment-folded dir lists serve through SQL unchanged") {
     val root = freshDir("sqlseg")
     val cat = new SnapshotCatalog(root, segFold = 3)

@@ -10,6 +10,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has INT64 TIMESTAMP(NANOS); read as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // match Verify's session shape: the documented SQL deployment
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -141,7 +143,8 @@ object Bench {
       "row_delete_roundtrip", "position_delete_roundtrip",
       "append_ingest_read", "cdc_merge_on_read", "aspep_catalog_roundtrip",
       "wap_publish_read", "bloom_string_lookup", "sql_catalog_time_travel",
-      "sql_pruned_read", "sql_write_roundtrip", "corpus_catalog_roundtrip",
+      "sql_pruned_read", "sql_write_roundtrip", "sql_delete_roundtrip",
+      "catalog_stream_tail", "corpus_catalog_roundtrip",
       "corpus_neardup_screen")
     // local-diagnostics subset (comma-separated names): lets a retry /
     // induced-load experiment run in seconds instead of re-timing the

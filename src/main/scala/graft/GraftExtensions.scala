@@ -36,12 +36,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       extends org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.Alias
-    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-    override def apply(plan: LogicalPlan): LogicalPlan =
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      // DML TARGETS keep their bare relation: `DELETE FROM` executes
+      // through the metadata path (SupportsDeleteV2 — no scan is ever
+      // built for the target), and DataSourceV2Strategy requires the
+      // relation node itself; substituting the read plan under a DML
+      // node trips INTERNAL_ERROR "Unexpected table relation". Only
+      // the TARGET subtree is exempt — a MERGE source or any read
+      // reference still gets the delete-applying plan.
+      val dmlTargets = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+      plan.foreach {
+        case d: DeleteFromTable => d.table.foreach(dmlTargets.add)
+        case u: UpdateTable => u.table.foreach(dmlTargets.add)
+        case m: MergeIntoTable => m.targetTable.foreach(dmlTargets.add)
+        case _ => ()
+      }
       plan.resolveOperatorsUp {
+        // a DML TARGET carrying live deletes: lift the scan guard —
+        // V2ScanRelationPushDown builds a (discarded) scan for the
+        // DELETE target, and the guard would otherwise block exactly
+        // the statement that clears deletes. The delete itself runs
+        // through the metadata path against the head snapshot, deletes
+        // applied. Output attribute ids are preserved by copy().
+        case d: DeleteFromTable =>
+          d.copy(table = d.table.transform {
+            case rel: DataSourceV2Relation
+                if rel.table.isInstanceOf[graft.sources.GraftSnapshotTable] &&
+                  rel.table.asInstanceOf[graft.sources.GraftSnapshotTable].hasDeletes =>
+              rel.copy(table = rel.table
+                .asInstanceOf[graft.sources.GraftSnapshotTable].forDmlTarget)
+          })
         case rel: DataSourceV2Relation
-            if rel.table.isInstanceOf[graft.sources.GraftSnapshotTable] &&
+            if !dmlTargets.contains(rel) &&
+              rel.table.isInstanceOf[graft.sources.GraftSnapshotTable] &&
               rel.table.asInstanceOf[graft.sources.GraftSnapshotTable].hasDeletes =>
           val t = rel.table.asInstanceOf[graft.sources.GraftSnapshotTable]
           val read = new graft.etl.SnapshotCatalog(t.catalogDir)
@@ -52,6 +82,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Project(rel.output.map(o =>
             Alias(byName(o.name), o.name)(exprId = o.exprId)), read)
       }
+    }
   }
 
   /** Arity gate: a wrong argument count must surface as the standard

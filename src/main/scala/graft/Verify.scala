@@ -20,6 +20,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet has INT64 TIMESTAMP(NANOS); read as long, see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the documented SQL deployment (README): SQL function surface +
+      // the merge-on-read resolution rule for catalog tables with live
+      // delete vectors (sql_delete_roundtrip reads through it)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

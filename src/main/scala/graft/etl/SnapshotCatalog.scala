@@ -1177,6 +1177,10 @@ object SnapshotCatalog {
       * stripped — the on-disk directories under `<catalog>/<table>/`. */
     def dataDirs(table: String): Seq[String] = dirEntries(table).map(_._1)
 
+    /** The table's (dir, commit-sequence) pairs — the planning unit
+      * the `.files` metadata table and the streaming tail expose. */
+    def dataDirSeqs(table: String): Seq[(String, Long)] = dirEntries(table)
+
     /** Plan a file-pruned range scan: (files to read, total file
       * count) for the predicate `column BETWEEN lo AND hi`, decided
       * from the version's stats sidecar (see commit's statsCols). A

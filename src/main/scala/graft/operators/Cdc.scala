@@ -1344,6 +1344,133 @@ object Cdc {
     }
   }
 
+  /** SQL `DELETE FROM` through the transactional catalog, oracle-gated
+    * end to end (K26): the seed lands via the API, then plain SQL
+    * deletes twice — a range predicate (`doc_id <= cut`) and a string
+    * prefix predicate (`startswith(text, 'The')`) — each landing as a
+    * METADATA position-delete vector through
+    * [[graft.sources.GraftSnapshotTable.deleteWhere]]
+    * (`SupportsDeleteV2`): no data file is rewritten (required on the
+    * dir list after both), the vectors STACK, old snapshots still
+    * serve the deleted rows (`VERSION AS OF 1` census), and `compact`
+    * folds the vectors copy-on-write so the head reads back over SQL
+    * as a pure scan. The oracle replays both predicates over
+    * `documents` with Spark-identical NULL semantics (a NULL text
+    * never matches a DELETE predicate, so NULL-text rows survive).
+    *
+    * Scale: each SQL DELETE writes kilobytes of (file, ordinal) keys
+    * and one manifest link — the 100 TB takedown/PII-erasure shape —
+    * and the rewrite cost moves to the scheduled compaction. */
+  def sqlDeleteRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "sqldel")
+    withScratch(root) {
+    val cat = new graft.etl.SnapshotCatalog(root)
+    cat.commit(Map("docs" -> docs)) // m1
+    val maxRow = docs.agg(max(col("doc_id"))).head()
+    val cut = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) / 3L
+    val tag = java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val cn = s"gsqld_$tag"
+    s.conf.set(s"spark.sql.catalog.$cn",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cn.path", root)
+    def sqlCensus(stage: Long, from: String): DataFrame =
+      s.sql(s"""SELECT count(*) AS n_docs,
+                coalesce(sum(length(text)), 0L) AS n_chars FROM $from""")
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_chars"))
+    try {
+      val dirsBefore = cat.snapshot().dataDirs("docs")
+      s.sql(s"DELETE FROM $cn.docs WHERE doc_id <= $cut") // m2 (if matched)
+      // head censuses read back over SQL THROUGH the live vectors (the
+      // extension's merge-on-read rule — Verify/Bench sessions run the
+      // documented `spark.sql.extensions=graft.GraftExtensions`)
+      val s1 = sqlCensus(1L, s"$cn.docs")
+      s.sql(s"DELETE FROM $cn.docs WHERE startswith(text, 'The')") // m3
+      val s2 = sqlCensus(2L, s"$cn.docs")
+      require(cat.snapshot().dataDirs("docs") == dirsBefore,
+        "SQL DELETE must be metadata-only: the data dirs moved")
+      // pre-delete history still serves every row, over plain SQL
+      val s3 = sqlCensus(3L, s"$cn.docs VERSION AS OF 1")
+      // fold the vectors copy-on-write; the head reads as a pure scan
+      if (cat.snapshot().deletes.getOrElse("docs", Nil).nonEmpty)
+        cat.compact(s, "docs")
+      val s4 = sqlCensus(4L, s"$cn.docs")
+      finishScratch(s1.unionByName(s2).unionByName(s3).unionByName(s4), root)
+    } finally {
+      s.conf.unset(s"spark.sql.catalog.$cn")
+      s.conf.unset(s"spark.sql.catalog.$cn.path")
+    }
+    }
+  }
+
+  /** Structured-Streaming TAIL of a catalog table (K27), oracle-gated
+    * end to end: a `graft-stream` reader micro-batches the MANIFEST
+    * sequence of a source catalog into a sink catalog through the
+    * NATIVE `graft-stream` sink (each micro-batch lands via the
+    * exactly-once writer ledger — `appendIfNew` keyed by the batch id
+    * riding the stream's checkpoint). Three AvailableNow
+    * passes over a live source: pass 1 serves the seed, pass 2 serves
+    * ONLY the newly appended dir — a PHANTOM dir (parquet written
+    * inside the table directory by a failed/in-flight writer, never
+    * manifest-linked) is planted before it and must stay invisible,
+    * which is exactly what separates a manifest-gated tail from a raw
+    * file stream — and pass 3 has nothing new and must not move the
+    * sink. The oracle replays the residue censuses; a tail that
+    * served the phantom dir, re-served history, or dropped an append
+    * desynchronizes a stage.
+    *
+    * Scale: each trigger is one manifest read + a dir-list diff
+    * (planning metadata), and the batch plan scans ONLY the new dirs
+    * — served history is never rescanned, so a 100 TB corpus tails at
+    * the cost of its churn. */
+  def catalogStreamTail(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = scratchRoot(d, "ctail")
+    withScratch(root) {
+    val src = new graft.etl.SnapshotCatalog(s"$root/src")
+    val sink = new graft.etl.SnapshotCatalog(s"$root/snk")
+    val ckpt = s"$root/ckpt"
+    def pass(): Unit = {
+      // the NATIVE exactly-once pipe: graft-stream on BOTH ends — the
+      // sink lands each micro-batch through the writer ledger, no
+      // foreachBatch boilerplate
+      val q = s.readStream.format("graft-stream")
+        .option("path", s"$root/src").option("table", "docs").load()
+        .writeStream.format("graft-stream")
+        .option("path", s"$root/snk").option("table", "docs")
+        .option("writerId", "tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def census(stage: Long, cat: graft.etl.SnapshotCatalog): DataFrame =
+      (if (cat.currentId.isEmpty) s.emptyDataFrame
+         .withColumn("doc_id", lit(0L)).withColumn("text", lit(""))
+         .limit(0)
+       else cat.snapshot().read(s, "docs"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col("text"))), lit(0L)).as("n_chars"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_chars"))
+    src.commit(Map("docs" -> docs.filter(col("doc_id") % 3 === 0))) // m1
+    pass()
+    val s1 = census(1L, sink)
+    // phantom: in-flight writer's parquet, never manifest-linked
+    docs.filter(col("doc_id") % 3 === 2).limit(64)
+      .write.mode("overwrite").parquet(s"$root/src/docs/u=phantom000")
+    src.append(Map("docs" -> docs.filter(col("doc_id") % 3 === 1))) // m2
+    pass()
+    val s2 = census(2L, sink)
+    val sinkHead = sink.currentId
+    pass() // nothing new: must be a no-op
+    require(sink.currentId == sinkHead,
+      s"an empty tail pass moved the sink: $sinkHead -> ${sink.currentId}")
+    val s3 = census(3L, sink)
+    val s4 = census(4L, src) // the source head itself (phantom invisible)
+    finishScratch(s1.unionByName(s2).unionByName(s3).unionByName(s4), root)
+    }
+  }
+
   /** NEAR-DUP corpus screening through the catalog (K24, VERDICT r12
     * next #6): the corpus flagship's screen is exact-text only — a
     * crawler that re-serves a page with a tweaked byte slips through.
@@ -1571,6 +1698,8 @@ object Cdc {
     "sql_catalog_time_travel" -> (sqlCatalogTimeTravel _),
     "sql_pruned_read" -> (sqlPrunedRead _),
     "sql_write_roundtrip" -> (sqlWriteRoundtrip _),
+    "sql_delete_roundtrip" -> (sqlDeleteRoundtrip _),
+    "catalog_stream_tail" -> (catalogStreamTail _),
     "corpus_neardup_screen" -> (corpusNeardupScreen _),
     "corpus_catalog_roundtrip" -> (corpusCatalogRoundtrip _),
     "bloom_string_lookup" -> (bloomStringLookup _),
@@ -1893,6 +2022,53 @@ object Cdc {
         |SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
         | CAST(coalesce(sum(length(text)), 0) AS BIGINT)
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    // SQL-DELETE lifecycle replay: d1 = survivors of the range delete
+    // (doc_id > max//3), d2 = d1 minus the prefix delete — NULL text
+    // never matches a DELETE predicate on either engine, so
+    // coalesce(..., FALSE) keeps NULL-text rows exactly like Spark's
+    // filter; stage 3 pins the untouched history, stage 4 the
+    // compacted head
+    "sql_delete_roundtrip" ->
+      """WITH d1 AS (
+        | SELECT * FROM documents
+        | WHERE doc_id > (SELECT max(doc_id) // 3 FROM documents)),
+        |d2 AS (
+        | SELECT * FROM d1
+        | WHERE NOT coalesce(starts_with(text, 'The'), FALSE))
+        |SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars FROM d1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM d2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM documents
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) FROM d2""".stripMargin,
+
+    // catalog-tail replay: pass 1 = the seed residue, pass 2 adds ONLY
+    // the appended residue (the planted phantom dir — residue-2 rows
+    // parked unlinked inside the table directory — must never appear),
+    // pass 3 changes nothing, and the source head census equals the
+    // sink's (stage 4)
+    "catalog_stream_tail" ->
+      """SELECT CAST(1 AS BIGINT) AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        | CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        |FROM documents WHERE doc_id % 3 IN (0, 1)""".stripMargin,
 
     // the Hilbert-clustered read reduces to pure arithmetic over the
     // data: the oracle re-derives the curve position of every occupied

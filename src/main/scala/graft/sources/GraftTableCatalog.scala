@@ -5,6 +5,7 @@ import java.util.{Collections, Map => JMap}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Pred}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
@@ -145,7 +146,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       if (!snap.tables.contains(anchor))
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
           Array(catalogName) :+ anchor)
-      return metadataTable(ident.name(), anchor)
+      return metadataTable(ident.name(), anchor, snap)
     }
     if (!rootNs(ns))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns)
@@ -159,9 +160,10 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       s"$catalogName.$t@${snap.id}", SparkSession.active, dirs)
   }
 
-  private val MetadataTables = Set("snapshots", "refs")
+  private val MetadataTables = Set("snapshots", "refs", "files")
 
-  private def metadataTable(kind: String, anchor: String): Table = {
+  private def metadataTable(kind: String, anchor: String,
+      snap: SnapshotCatalog.Snapshot): Table = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
@@ -182,6 +184,37 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
         val rs = GraftTableCatalog
           .snapshotRows(cat, path, anchor, snapshotsLimit)
           .map { case (k, ts, nd) => InternalRow(k, ts, nd) }
+        (sch, rs)
+      case "files" =>
+        // the PINNED snapshot's data files (time travel composes:
+        // `FROM c.t.files VERSION AS OF 3` inventories snapshot 3):
+        // dir-qualified relative path, the dir's commit sequence (the
+        // Iceberg sequence number deletes key on), and on-disk bytes.
+        // One readdir per dir + one stat per file — the same planning
+        // metadata a scan's listing pays, no file is opened.
+        val sch = StructType(Seq(
+          StructField("file", StringType, nullable = false),
+          StructField("sequence", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false)))
+        val rs = snap.dataDirSeqs(anchor).flatMap { case (dir, seq) =>
+          val stream = java.nio.file.Files.list(
+            java.nio.file.Paths.get(path, anchor, dir))
+          try {
+            val it = stream.iterator()
+            val buf = Seq.newBuilder[InternalRow]
+            while (it.hasNext) {
+              val f = it.next()
+              val n = f.getFileName.toString
+              // data files only: sidecars/markers are _-prefixed and
+              // checksum droppings end in .crc
+              if (!n.startsWith("_") && !n.startsWith(".") &&
+                  !n.endsWith(".crc") && java.nio.file.Files.isRegularFile(f))
+                buf += InternalRow(UTF8String.fromString(s"$dir/$n"), seq,
+                  java.nio.file.Files.size(f))
+            }
+            buf.result()
+          } finally stream.close()
+        }.sortBy(_.getString(0))
         (sch, rs)
       case _ =>
         val sch = StructType(Seq(
@@ -349,9 +382,22 @@ object GraftTableCatalog {
 class GraftSnapshotTable(val catalogDir: String, val tableName: String,
     snap: SnapshotCatalog.Snapshot, val hasDeletes: Boolean,
     fullName: String, spark: SparkSession, dirs: Seq[String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   def snapshotId: Int = snap.id
+
+  /** The same table with the merge-on-read scan guard lifted — used by
+    * the extension rule ONLY for DML targets: `V2ScanRelationPushDown`
+    * builds a scan for a `DELETE FROM` target as a planning
+    * side-effect, but `DeleteFromTableExec` never executes it (the
+    * delete runs through [[deleteWhere]], which reads via the
+    * delete-applying API path) — so the loud [[newScanBuilder]] guard
+    * would block exactly the statement that CLEARS deletes. Never used
+    * for reads: a read through this object would silently resurrect
+    * deleted rows, which is what the guard exists to prevent. */
+  private[graft] def forDmlTarget: GraftSnapshotTable =
+    new GraftSnapshotTable(catalogDir, tableName, snap, false, fullName,
+      spark, dirs)
 
   private lazy val fileIndex = new GraftSidecarFileIndex(spark, snap, tableName, dirs)
 
@@ -424,6 +470,53 @@ class GraftSnapshotTable(val catalogDir: String, val tableName: String,
           }
       }
     }
+
+  /** SQL `DELETE FROM` as a METADATA operation (no data file is
+    * rewritten): the WHERE clause arrives as DSv2 predicates,
+    * translates back to a catalyst filter
+    * ([[V2PredicateBridge]] — conservative, untranslatable shapes
+    * fail analysis via [[canDeleteWhere]]), and the matching rows'
+    * physical addresses are landed as a POSITION-delete vector
+    * through [[SnapshotCatalog.deletePositions]] — exact for any
+    * predicate, including ones whose columns are not unique keys
+    * (an equality-delete on a predicate column would also drop
+    * same-key rows that never matched). Readers apply the vector
+    * merge-on-read (SQL readers through the extension rule); the
+    * rewrite cost moves to the next `compact`. The vector is always
+    * computed against the head snapshot AT DELETE TIME — pinning
+    * serves reads only — and the admission gate aborts if the table
+    * moves between vector computation and the CAS link; a bounded
+    * retry recomputes against the new head (delete vectors are
+    * churn-sized, so recompute is cheap). A predicate matching
+    * nothing commits nothing. */
+  override def canDeleteWhere(predicates: Array[V2Pred]): Boolean =
+    predicates.forall(p => V2PredicateBridge.toCatalyst(p).isDefined)
+
+  override def deleteWhere(predicates: Array[V2Pred]): Unit = {
+    val cond = predicates.toSeq
+      .map(p => V2PredicateBridge.toCatalyst(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot translate DELETE predicate ${p.describe()}")))
+      .map(org.apache.spark.sql.graftbridge.ColumnBridge.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cat = new SnapshotCatalog(catalogDir)
+      val head = cat.snapshot()
+      val pos = head.readWithPos(spark, tableName).filter(cond)
+        .select("_file", "_pos")
+      if (pos.isEmpty) return
+      try { cat.deletePositions(spark, tableName, head, pos); return }
+      catch {
+        case e: SnapshotCatalog.ConflictException =>
+          if (attempt >= 3) throw new IllegalStateException(
+            s"DELETE FROM $fullName lost the admission race $attempt times " +
+              "to concurrent commits; retry when the table quiesces", e)
+      }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (hasDeletes)

@@ -12,6 +12,28 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   */
 class PlanGuardSpec extends SparkTestBase {
 
+  /** Lint in the DEPLOYMENT session shape: Verify/Bench run with
+    * `spark.sql.extensions=graft.GraftExtensions` (the documented SQL
+    * deployment — sql_delete_roundtrip needs the merge-on-read rule
+    * for its post-DELETE SQL censuses), so the plans this suite walks
+    * are the plans the driver gate and the bench actually execute.
+    * The default session is cleared first: a plain getOrCreate would
+    * silently return the extension-less session another suite built. */
+  override lazy val spark: org.apache.spark.sql.SparkSession = {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   // Queries whose registered form EAGERLY materializes internal stages
   // (localCheckpoint + driver certificate): linting that form would
   // execute the job and see only a checkpoint-RDD scan. These lazy

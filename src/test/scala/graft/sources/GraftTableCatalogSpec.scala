@@ -379,4 +379,102 @@ class GraftTableCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 70)
     assert(plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length == 7)
   }
+
+  test(".files inventories exactly the pinned snapshot's data files") {
+    val root = freshDir("files")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 50).repartition(3))) // m1: 3 files, seq 1
+    cat.append(Map("t" -> facts(51, 60).repartition(2))) // m2: +2 files, seq 2
+    // a delete vector is metadata, not a data file — invisible here
+    cat.deleteWhere(spark, "t", "id", col("id") === 5L)
+    val cn = register(root)
+    val rows = spark.sql(
+      s"SELECT file, sequence, size_bytes FROM $cn.t.files ORDER BY file")
+      .collect()
+    assert(rows.length == 5, s"expected 5 data files, got ${rows.length}")
+    assert(rows.forall(_.getLong(2) > 0), "every file has on-disk bytes")
+    assert(rows.map(_.getLong(1)).sorted.sameElements(Array(1L, 1L, 1L, 2L, 2L)),
+      "sequence stamps follow the append history")
+    // the inventory IS the planned scan's file set (pinned snapshot)
+    val planned = plannedFiles(
+      spark.sql(s"SELECT * FROM $cn.t VERSION AS OF 2")).map(rel).sorted
+    val listed = spark.sql(s"SELECT file FROM $cn.t.files VERSION AS OF 2")
+      .collect().map(_.getString(0)).sorted
+    assert(listed.sameElements(planned), "files != planned scan set")
+    // time travel: snapshot 1's inventory is the original 3 files
+    assert(spark.sql(s"SELECT * FROM $cn.t.files VERSION AS OF 1").count() == 3)
+  }
+
+  test("SQL DELETE FROM is a metadata position-delete: no file rewritten, API and SQL agree") {
+    val root = freshDir("sqldel")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 50).repartition(3)))
+    val dirsBefore = cat.snapshot().dataDirs("t")
+    val cn = register(root)
+    // a DELETE matching nothing commits nothing
+    spark.sql(s"DELETE FROM $cn.t WHERE id > 9000")
+    assert(cat.currentId.get == 1, "empty DELETE landed a commit")
+    // an untranslatable predicate fails analysis — never a wrong delete
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cn.t WHERE id % 5 = 0")
+    }
+    assert(cat.currentId.get == 1)
+    // range + string-inequality predicate: exact row-level semantics
+    // even though `id` repeats nowhere — position deletes don't care
+    spark.sql(s"DELETE FROM $cn.t WHERE id BETWEEN 10 AND 20 AND k <> 'k15'")
+    val snap = cat.snapshot()
+    // metadata-only: the data dirs are untouched, a delete entry landed
+    assert(snap.dataDirs("t") == dirsBefore, "DELETE rewrote data files")
+    assert(snap.deletes.getOrElse("t", Nil).nonEmpty, "no delete vector landed")
+    val want = (1 to 50).filterNot(i => i >= 10 && i <= 20 && i != 15)
+    assert(snap.read(spark, "t").collect().map(_.getLong(0)).sorted
+      .sameElements(want.map(_.toLong)), "API read disagrees with the DELETE")
+    // bare session: loud failure, never silent resurrection
+    val e = intercept[Exception] { spark.sql(s"SELECT * FROM $cn.t").collect() }
+    assert(e.getMessage.contains("row-level deletes"))
+    // time travel still serves the pre-delete rows (plain scan, no vector)
+    assert(spark.sql(s"SELECT * FROM $cn.t VERSION AS OF 1").count() == 50)
+  }
+
+  test("SQL DELETE composes with the extension session and TRUNCATE empties via the vector") {
+    val root = freshDir("sqldel2")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 30).repartition(2)))
+    val cn = register(root)
+    spark.sql(s"DELETE FROM $cn.t WHERE k IN ('k3', 'k7') OR id >= 28")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val withExt = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions())
+        .getOrCreate()
+      withExt.conf.set(s"spark.sql.catalog.$cn",
+        classOf[GraftTableCatalog].getName)
+      withExt.conf.set(s"spark.sql.catalog.$cn.path", root)
+      val got = withExt.sql(s"SELECT id FROM $cn.t")
+        .collect().map(_.getLong(0)).sorted
+      val want = (1 to 30).filterNot(i => i == 3 || i == 7 || i >= 28)
+      assert(got.sameElements(want.map(_.toLong)),
+        "extension-session SQL read disagrees with the SQL DELETE")
+      // a second DELETE stacks on the first (vectors accumulate)
+      withExt.sql(s"DELETE FROM $cn.t WHERE id <= 2")
+      assert(withExt.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) ==
+        want.count(_ > 2))
+      // TRUNCATE = delete-everything vector, data files still in place
+      val dirs = cat.snapshot().dataDirs("t")
+      withExt.sql(s"TRUNCATE TABLE $cn.t")
+      assert(withExt.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 0)
+      assert(cat.snapshot().dataDirs("t") == dirs)
+      // compact folds the vectors copy-on-write; reads go pure-scan again
+      cat.compact(withExt, "t")
+      assert(cat.snapshot().deletes.getOrElse("t", Nil).isEmpty)
+      assert(withExt.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 0)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }

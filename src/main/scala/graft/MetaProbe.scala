@@ -27,6 +27,14 @@ object MetaProbe {
       ns.foreach(travelProbe)
       return
     }
+    // `runMain graft.MetaProbe plancache [nDirs nStatements]` — the
+    // repeated-SQL-statement planning probe (VERDICT r12 opt #8)
+    if (args.headOption.contains("plancache")) {
+      planCacheProbe(
+        if (args.length > 1) args(1).toInt else 256,
+        if (args.length > 2) args(2).toInt else 20)
+      return
+    }
     val ns = if (args.nonEmpty) args.map(_.toInt).toSeq
       else Seq(1000, 10000, 100000)
     ns.foreach { n =>
@@ -59,6 +67,46 @@ object MetaProbe {
     * ([[graft.sources.GraftTableCatalog.resolveTimestamp]] /
     * `snapshotRows`), so the numbers pin exactly what a SQL
     * `TIMESTAMP AS OF` pays at 10⁵ commits. */
+  /** Per-SQL-STATEMENT planning cost on a many-dir catalog table
+    * (VERDICT r12 opt #8): every `spark.sql("... FROM cn.t ...")`
+    * calls `loadTable`, which builds a fresh `GraftSnapshotTable` —
+    * one manifest parse + dir-list resolve, then (at scan building)
+    * one parquet footer read for schema inference and an eager
+    * `InMemoryFileIndex` listing of every dir. This probe measures
+    * that repeated-statement cost directly: N single-file dirs,
+    * then M selective count statements, reporting ms/statement —
+    * the number a (path, table, manifest-value)-keyed table cache
+    * would have to beat. */
+  private def planCacheProbe(nDirs: Int, nStmts: Int): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val root = Files.createTempDirectory("metaprobe_pc").toString
+    val cat = new graft.etl.SnapshotCatalog(root)
+    // one commit then appends: nDirs dirs of one small file each
+    cat.commit(Map("t" -> Seq((0L, "s0")).toDF("id", "s").coalesce(1)))
+    (1 until nDirs).foreach { i =>
+      cat.append(Map("t" -> Seq((i.toLong, s"s$i")).toDF("id", "s").coalesce(1)))
+    }
+    spark.conf.set("spark.sql.catalog.pcprobe",
+      classOf[graft.sources.GraftTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pcprobe.path", root)
+    def statement(i: Int): Unit =
+      spark.sql(s"SELECT count(*) FROM pcprobe.t WHERE id = $i").collect()
+    statement(0) // classloading/codegen warm-up, outside the timer
+    val t0 = System.nanoTime()
+    (1 to nStmts).foreach(statement)
+    val ms = (System.nanoTime() - t0) / 1e6
+    println(f"plancache: nDirs=$nDirs%d stmts=$nStmts%d" +
+      f" total=${ms}%.0f ms  per-statement=${ms / nStmts}%.1f ms")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    spark.stop()
+  }
+
   private def travelProbe(n: Int): Unit = {
     val root = Files.createTempDirectory("metaprobe_tt").toString
     val mdir = Paths.get(root, "_manifests")

@@ -154,10 +154,7 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     if (!snap.tables.contains(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catalogName) :+ t)
-    val dirs = snap.dataDirs(t).map(d => s"$path/$t/$d")
-    new GraftSnapshotTable(path, t, snap,
-      snap.deletes.getOrElse(t, Nil).nonEmpty,
-      s"$catalogName.$t@${snap.id}", SparkSession.active, dirs)
+    GraftTableCatalog.tableFor(SparkSession.active, path, catalogName, t, snap)
   }
 
   private val MetadataTables = Set("snapshots", "refs", "files")
@@ -280,6 +277,54 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftTableCatalog {
+
+  /** Table-instance cache keyed by the table's MANIFEST VALUE
+    * (VERDICT r12 opt #8, probe-justified: a fresh
+    * `GraftSnapshotTable` per SQL statement costs ~1.3 s of
+    * re-planning on a 256-dir table — schema inference + the eager
+    * file-index listing — measured by `MetaProbe plancache`). The key
+    * is (session, catalog path, table, dir-list token, delete token):
+    * any commit that changes what the table serves changes its token,
+    * so a hit is correct BY VALUE — same dirs, same sidecars, same
+    * (empty) delete set — and writes invalidate implicitly. Only
+    * DELETE-FREE snapshots cache: a delete-carrying table is served
+    * through the extension rule, which re-reads `snapshotAt(id)` — a
+    * cached stale id could outlive retention. Sessions key WEAKLY
+    * (a stopped session's entries vanish); the per-session map is a
+    * 64-entry LRU, bounding held file indexes. */
+  private val tableCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.LinkedHashMap[(String, String, String, String), GraftSnapshotTable]]()
+
+  private[graft] def tableFor(spark: SparkSession, path: String,
+      catalogName: String, t: String,
+      snap: SnapshotCatalog.Snapshot): GraftSnapshotTable = {
+    val hasDeletes = snap.deletes.getOrElse(t, Nil).nonEmpty
+    def build() = new GraftSnapshotTable(path, t, snap, hasDeletes,
+      s"$catalogName.$t@${snap.id}", spark,
+      snap.dataDirs(t).map(d => s"$path/$t/$d"))
+    if (hasDeletes) return build()
+    val key = (path, t, snap.tables(t), snap.rawDels.getOrElse(t, ""))
+    tableCache.synchronized {
+      val perSession = {
+        val m = tableCache.get(spark)
+        if (m != null) m
+        else {
+          val fresh = new java.util.LinkedHashMap[
+            (String, String, String, String), GraftSnapshotTable](16, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[(String, String, String, String),
+                  GraftSnapshotTable]): Boolean = size() > 64
+          }
+          tableCache.put(spark, fresh)
+          fresh
+        }
+      }
+      val hit = perSession.get(key)
+      if (hit != null) hit
+      else { val nt = build(); perSession.put(key, nt); nt }
+    }
+  }
 
   /** Newest retained manifest id whose [[SnapshotCatalog.commitMs]] is
     * at or before `tsMs` — ONE directory listing + a binary search

@@ -28,6 +28,8 @@ class PlanGuardSpec extends SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .withExtensions(new GraftExtensions())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -13,6 +13,27 @@ import graft.etl.SnapshotCatalog
   */
 class GraftTableCatalogSpec extends SparkTestBase {
 
+  /** Pin a BARE session (no extensions): the loud-failure pins below
+    * assert what a session WITHOUT GraftExtensions does, and a plain
+    * getOrCreate would silently adopt whatever session an earlier
+    * suite (PlanGuardSpec runs the extensions deployment) left
+    * active. The in-test extension sessions build their own. */
+  override lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
   import spark.implicits._
 
   private def freshDir(name: String): String = {
@@ -378,6 +399,29 @@ class GraftTableCatalogSpec extends SparkTestBase {
     val cn = register(root)
     assert(spark.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 70)
     assert(plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length == 7)
+  }
+
+  test("loadTable caches by manifest value: repeats reuse, writes invalidate, deletes bypass") {
+    val root = freshDir("plancache")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 20).repartition(2)))
+    val cn = register(root)
+    spark.sql(s"SELECT count(*) FROM $cn.t").collect() // bind the catalog
+    val c = spark.sessionState.catalogManager.catalog(cn)
+      .asInstanceOf[GraftTableCatalog]
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "t")
+    val a = c.loadTable(id)
+    assert(c.loadTable(id) eq a,
+      "unchanged table must reuse the cached instance (no re-listing)")
+    cat.append(Map("t" -> facts(21, 25)))
+    val b = c.loadTable(id)
+    assert(!(b eq a), "an append must invalidate (value-keyed)")
+    assert(spark.sql(s"SELECT count(*) FROM $cn.t").head().getLong(0) == 25)
+    cat.deleteWhere(spark, "t", "id", col("id") === 1L)
+    val d1 = c.loadTable(id)
+    assert(!(d1 eq b) && !(c.loadTable(id) eq d1),
+      "delete-carrying snapshots are never cached")
   }
 
   test(".files inventories exactly the pinned snapshot's data files") {

@@ -225,11 +225,25 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
     * committing, Abort throws. Data dirs written for a NoOp/Abort
     * outcome are deleted — no manifest ever named them, so no reader
     * can hold them. */
+  /** DROP a table from the head: a metadata-only commit whose manifest
+    * omits the table's dir-list and `_del:` entries. Nothing is
+    * deleted from disk — every retained prior manifest still serves
+    * the table (time travel), and the dirs are reclaimed by normal
+    * retention once no retained manifest references them. Dropping a
+    * table that is already absent (e.g. a concurrent drop won) is a
+    * quiet no-op, so the operation is idempotent. */
+  def dropTable(table: String): Int =
+    commitRaw(Map.empty, (_, prev) =>
+      if (!prev.contains(table)) SnapshotCatalog.NoOp
+      else SnapshotCatalog.Proceed(Map.empty),
+      drops = Set(table))
+
   private def commitRaw(tables: Map[String, DataFrame],
       gate: (Int, Map[String, String]) => SnapshotCatalog.CommitGate,
       statsCols: Map[String, Seq[String]] = Map.empty,
       bloomCols: Map[String, Seq[String]] = Map.empty,
-      append: Boolean = false): Int = {
+      append: Boolean = false,
+      drops: Set[String] = Set.empty): Int = {
     Files.createDirectories(dir.resolve("_manifests"))
     val written = tables.map { case (name, df) =>
       require(!name.startsWith("_") && !name.contains("/"),
@@ -284,8 +298,9 @@ class SnapshotCatalog(catalogDir: String, segFold: Int = 64,
       // LOWER sequence, so a later append legitimately re-admits a
       // key, and delete+append composes into MERGE. The stamp is
       // re-derived on every CAS retry (k moves, the stamp moves).
-      val base = if (append) prev
-        else prev -- tables.keys.map(t => s"_del:$t")
+      val base = (if (append) prev
+        else prev -- tables.keys.map(t => s"_del:$t")) --
+        drops -- drops.map(t => s"_del:$t")
       val segBuf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
       val tableVals = written.map { case (n, u) =>
         n -> (if (append) SnapshotCatalog.appendDirToken(

@@ -241,15 +241,29 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  // -- read-only binding: DDL/DML route through the commit API --
+  /** `DROP TABLE` is a METADATA commit ([[SnapshotCatalog.dropTable]]):
+    * the head manifest simply omits the table — no file is deleted,
+    * retained history still time-travels to it, and storage is
+    * reclaimed by normal retention once no retained manifest
+    * references the dirs. `IF EXISTS` composes via the false return. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!rootNs(ident.namespace())) return false
+    val cat = snapCat
+    val exists = cat.currentId.map(cat.snapshotAt)
+      .exists(_.tables.contains(ident.name()))
+    if (!exists) false
+    else { cat.dropTable(ident.name()); true }
+  }
+
+  // -- remaining DDL routes through the commit API --
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table =
     throw new UnsupportedOperationException(
-      "graft catalog is read-only over SQL; write through SnapshotCatalog.commit")
+      "graft catalog tables are created by committing data " +
+        "(SnapshotCatalog.commit / INSERT only targets existing tables)")
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only over SQL")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only over SQL")
+    throw new UnsupportedOperationException(
+      "graft catalog schemas evolve with commits, not ALTER TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only over SQL")
 

@@ -401,6 +401,28 @@ class GraftTableCatalogSpec extends SparkTestBase {
     assert(plannedFiles(spark.sql(s"SELECT * FROM $cn.t")).length == 7)
   }
 
+  test("SQL DROP TABLE is a metadata commit: head forgets, history still serves") {
+    val root = freshDir("droptab")
+    val cat = new SnapshotCatalog(root)
+    cat.commit(Map("t" -> facts(1, 50), "u" -> facts(1, 5))) // m1
+    val cn = register(root)
+    assert(spark.sql(s"SELECT * FROM $cn.t").count() == 50)
+    spark.sql(s"DROP TABLE $cn.t") // m2: metadata-only
+    assert(spark.sql(s"SHOW TABLES IN $cn").collect()
+      .map(_.getString(1)).toSeq == Seq("u"), "head must forget t")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cn.t").collect() }
+    // nothing was deleted: history time-travels to the dropped table
+    assert(spark.sql(s"SELECT * FROM $cn.t VERSION AS OF 1").count() == 50)
+    // IF EXISTS composes; a bare drop of a missing table fails loudly
+    spark.sql(s"DROP TABLE IF EXISTS $cn.nope")
+    intercept[Exception] { spark.sql(s"DROP TABLE $cn.gone") }
+    // dropping is idempotent under racing writers (NoOp on absence)
+    assert(cat.dropTable("t") == cat.currentId.get)
+    // a later commit re-creates the name as a fresh table
+    cat.commit(Map("t" -> facts(1, 3)))
+    assert(spark.sql(s"SELECT * FROM $cn.t").count() == 3)
+  }
+
   test("loadTable caches by manifest value: repeats reuse, writes invalidate, deletes bypass") {
     val root = freshDir("plancache")
     val cat = new SnapshotCatalog(root)

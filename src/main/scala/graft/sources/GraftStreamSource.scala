@@ -170,7 +170,19 @@ class GraftStreamProvider extends StreamSourceProvider
     require(complete || outputMode == OutputMode.Append(),
       s"graft-stream sink supports Append (fast-append per batch) and " +
         s"Complete (replacing commit per batch), got: $outputMode")
-    val writerId = parameters.getOrElse("writerId", "graft-stream-sink")
+    // the ledger key must be UNIQUE per stream (two streams sharing a
+    // writerId would no-op each other's batch ids) and STABLE across
+    // restarts (exactly-once rides it). The checkpoint location is
+    // both, so it's the default; an explicit writerId overrides.
+    val writerId = parameters.get("writerId")
+      .orElse(parameters.get("checkpointLocation")
+        .orElse(parameters.get("checkpointlocation"))
+        .map { c => // digest: the ledger key charset excludes '/'
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(c.getBytes("UTF-8"))
+          "graft-stream-sink-" + md5.take(8).map("%02x".format(_)).mkString
+        })
+      .getOrElse("graft-stream-sink")
     def cols(key: String): Map[String, Seq[String]] =
       parameters.get(key).map(v => Map(table ->
         v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)).getOrElse(Map.empty)

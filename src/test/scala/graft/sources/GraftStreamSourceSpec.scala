@@ -139,6 +139,31 @@ class GraftStreamSourceSpec extends SparkTestBase {
     assert(ids(sink) == (1L to 15L))
   }
 
+  test("default sink writerId is checkpoint-derived: distinct streams never collide in the ledger") {
+    val src = freshDir("wid_src")
+    val snk = freshDir("wid_snk")
+    val cat = new SnapshotCatalog(src)
+    val sink = new SnapshotCatalog(snk)
+    cat.commit(Map("t" -> facts(1, 10)))
+    def pipe(ckpt: String): Unit = {
+      val q = spark.readStream.format("graft-stream")
+        .option("path", src).option("table", "t").load()
+        .writeStream.format("graft-stream") // NO writerId: default
+        .option("path", snk).option("table", "t")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pipe(freshDir("wid_ckpt_a"))
+    // a SECOND stream (own checkpoint) tails the same source into the
+    // same sink: its batch 0 must land too — a shared default ledger
+    // key would silently no-op it
+    pipe(freshDir("wid_ckpt_b"))
+    assert(sink.snapshot().read(spark, "t").count() == 20,
+      "second stream's batch was swallowed by a shared ledger key")
+  }
+
   test("Complete mode commits a REPLACING snapshot per batch (aggregation tail)") {
     val src = freshDir("agg_src")
     val snk = freshDir("agg_snk")

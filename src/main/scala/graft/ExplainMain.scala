@@ -14,6 +14,10 @@ object ExplainMain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the documented SQL deployment shape (matches Verify/Bench):
+      // without the extension the catalog queries that leave live
+      // delete vectors fail loudly during construction
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -11,14 +11,22 @@ object TimeOne {
     val dir = args(0)
     val names = args.drop(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides for paired A/B config experiments, e.g.
+    // SPARK_GRAFT_CONF='spark.sql.join.preferSortMergeJoin=false;k=v'
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // match Bench's lane policy on request: consumer-query A/Bs should
     // measure the algorithm over a WARM lane (the build is the

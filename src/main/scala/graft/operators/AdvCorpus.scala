@@ -405,6 +405,13 @@ object AdvCorpus {
       .select(least(col("p_doc"), col("q_doc")).as("doc_a"),
         greatest(col("p_doc"), col("q_doc")).as("doc_b"))
       .distinct()
+    // checkpointed: TWO consumers (the n_pos scalar and the tf left
+    // join) would otherwise each replay the whole truth lane — the
+    // df-ranked prefix window + posting join + intersect verification —
+    // since their parent exchanges differ and ReuseExchange can't
+    // collapse them. The pair list itself is tiny. (Paired A/B on the
+    // 10x corpus, same session shape, min of 4: 16.8 s with vs 21.9 s
+    // without — docs/PLANS.md r13.)
     val pos = candP
       .join(base.select(col("doc_id").as("doc_a"), col("shs").as("ua"),
         col("ns").as("na")), "doc_a")
@@ -413,6 +420,7 @@ object AdvCorpus {
       .filter(lit(3) * graft.functions.IntersectCount
         .intersectCount(col("ua"), col("ub")) >= col("na") + col("nb"))
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val np = pos.agg(count(lit(1)).as("n_pos"))
     // candidate lane: the production band-key equi-join, all configs
     // in one exploded pass; key = band sigs joined with '_' (decimal

@@ -1304,10 +1304,19 @@ object Dedup {
     * channels are redundant and which see pairs nothing else sees.
     * Pure composition: the three registered operators' pair outputs,
     * one union, two keyed aggregates.
+    *
+    * The LSH channel reads the shared `lsh_pairs` LANE (the same
+    * disk-materialized artifact the graph tier, train_split and the
+    * cluster family consume) rather than re-deriving signatures and
+    * the band join inline: the lane IS lshCandidates._1, and
+    * dedupMinhashLsh's signature-attach joins are inner joins on keys
+    * that always match, so the (doc_a, doc_b) set is identical — only
+    * the est_jaccard column (unused here) needed the signatures. The
+    * lane-defining query dedup_minhash_lsh still computes live.
     */
   def dedupChannelOverlap(s: SparkSession, d: String,
       materialize: Boolean = true): DataFrame = {
-    val lsh = dedupMinhashLsh(s, d)
+    val lsh = lshPairsCached(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("m"))
     val cont = dedupContainment(s, d)
       .select(col("doc_a"), col("doc_b"), lit(2L).as("m"))
@@ -1406,22 +1415,28 @@ object Dedup {
     val h60 = graft.functions.Hash60.hash60 _
     val bp = filter(sequence(lit(1), col("n")), i =>
       (pmod(h60(element_at(col("w"), i)), lit(D)) === 0) || (i === col("n")))
+    // Chunk texts are assembled INSIDE one per-doc projection (transform
+    // over the boundary array) and only the narrow (chunk_text, len)
+    // structs are exploded. The previous shape posexploded the boundary
+    // array first and sliced `w` per generated row, which carried the
+    // FULL token array (and `bp`) on every chunk row through the
+    // Generate — O(chunks x doc_len) bytes materialized per document vs
+    // O(doc_len) here (guide §2.3: project before the explosion).
+    val chunks = transform(col("bp"), (b, k) => {
+      val prev = when(k === 0, lit(0)).otherwise(element_at(col("bp"), k))
+      struct(
+        array_join(slice(col("w"), prev + 1, b - prev), " ").as("chunk_text"),
+        (b - prev).cast("long").as("n_tokens"))
+    })
     docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("w"), bp.as("bp"))
-      .select(col("doc_id"), col("w"), col("bp"),
-        posexplode(col("bp")).as(Seq("k0", "b")))
-      .select(col("doc_id"), col("b"), col("w"),
-        when(col("k0") === 0, lit(0))
-          .otherwise(element_at(col("bp"), col("k0"))).as("prev"))
-      .select(col("doc_id"),
-        array_join(slice(col("w"), col("prev") + 1, col("b") - col("prev")),
-          " ").as("chunk_text"),
-        (col("b") - col("prev")).cast("long").as("n_tokens"))
-      .select(col("doc_id"), col("chunk_text"),
-        h60(col("chunk_text")).as("chunk_hash"), col("n_tokens"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_text").as("chunk_text"),
+        h60(col("c.chunk_text")).as("chunk_hash"),
+        col("c.n_tokens").as("n_tokens"))
   }
 
   /** Corpus-wide duplication spectrum of the content-defined chunks:

@@ -34,17 +34,20 @@ object PartSupp {
   /** Catalog synthesis: one row per observed (part, supplier) pair.
     * availqty in 1..100, supplycost in 1000..99999 cents — both pure
     * functions of the keys so any engine regenerates them bit-equal.
+    *
+    * The ORACLE keeps this catalog as a CTE and replays the textbook
+    * join plans below. The Spark side exploits what the optimizer
+    * cannot know (guide §8 — problem knowledge): because the catalog
+    * is the distinct pair census OF LINEITEM ITSELF with derived
+    * columns that are pure key functions, any join of a
+    * lineitem-derived table against it on (partkey, suppkey) is a 1:1
+    * identity attach — so product_profit / excess_inventory inline the
+    * derived columns instead of paying the corpus-wide distinct + the
+    * composite-key join exchange, and min_cost_supplier scopes the
+    * pair census with its broadcast dimension filters BEFORE the
+    * distinct. All three remain strict-hash-equal to the join-form
+    * oracle.
     */
-  private def partsupp(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .select(col("l_partkey").as("ps_partkey"),
-        col("l_suppkey").as("ps_suppkey"))
-      .distinct()
-      .withColumn("ps_availqty",
-        (col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 100 + 1)
-      .withColumn("ps_supplycost_cents",
-        (col("ps_partkey") * 53 + col("ps_suppkey") * 29) % 99000 + 1000)
-
   private val PartsuppCte =
     """partsupp AS (
       | SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -80,23 +83,39 @@ object PartSupp {
     val scopedParts = Tables.part(s, d)
       .filter(col("p_size") < 10 && col("p_type") === "SMALL")
       .select(col("p_partkey"), col("p_name"))
-    val scoped = partsupp(s, d)
-      .join(regionSuppliers(s, d, "EUROPE"),
-        col("ps_suppkey") === col("s_suppkey"))
-      .join(scopedParts, col("ps_partkey") === col("p_partkey"))
-      .select(col("ps_partkey"), col("p_name"),
-        col("ps_supplycost_cents"), col("ps_suppkey"),
-        col("s_name"), col("n_name"))
-    val minCost = scoped.groupBy(col("ps_partkey").as("mc_partkey"))
-      .agg(min(col("ps_supplycost_cents")).as("min_cost_cents"))
-    val bestSupp = scoped
-      .join(minCost,
-        col("ps_partkey") === col("mc_partkey") &&
-          col("ps_supplycost_cents") === col("min_cost_cents"))
-      .groupBy(col("ps_partkey").as("p_partkey"), col("p_name"),
-        col("min_cost_cents"))
-      .agg(min(col("ps_suppkey")).as("s_suppkey"))
-    bestSupp.join(regionSuppliers(s, d, "EUROPE"), Seq("s_suppkey"))
+    val rs = regionSuppliers(s, d, "EUROPE")
+    // Scope the catalog BEFORE the distinct (guide §2.3 — shuffle fewer
+    // bytes): both scopes are broadcast semi-joins on the distinct key
+    // itself (p_partkey / s_suppkey are PKs of their dimensions, so the
+    // inner joins neither drop nor duplicate pairs differently than the
+    // post-distinct joins did), so distinct(σ(pairs)) == σ(distinct(
+    // pairs)) and the distinct exchange carries only the SMALL x EUROPE
+    // minority instead of every observed (part, supplier) pair. The
+    // derived ps_* columns stay pure key functions, computed after.
+    val scoped = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(scopedParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(rs.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost_cents",
+        (col("ps_partkey") * 53 + col("ps_suppkey") * 29) % 99000 + 1000)
+    // the correlated min + tie-break is ONE lexicographic struct-min
+    // aggregate (min cost first, then min suppkey among cost ties —
+    // exactly the old grouped-min + equality re-join + min(suppkey)
+    // composition), so the census is consumed once and the self-rejoin
+    // (two SortMergeJoins at spec scale) disappears (guide §2.4).
+    scoped
+      .join(broadcast(scopedParts), col("ps_partkey") === col("p_partkey"))
+      .groupBy(col("ps_partkey").as("p_partkey"), col("p_name"))
+      .agg(min(struct(col("ps_supplycost_cents"), col("ps_suppkey"))).as("b"))
+      .select(col("p_partkey"), col("p_name"),
+        col("b.ps_supplycost_cents").as("min_cost_cents"),
+        col("b.ps_suppkey").as("s_suppkey"))
+      .join(broadcast(rs), Seq("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("min_cost_cents"),
         col("s_suppkey"), col("s_name"), col("n_name"))
   }
@@ -126,9 +145,16 @@ object PartSupp {
     val suppNation = Tables.supplier(s, d)
       .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name"))
-    li.join(partsupp(s, d),
-        col("l_partkey") === col("ps_partkey") &&
-          col("l_suppkey") === col("ps_suppkey"))
+    // partsupp is the distinct (partkey, suppkey) census of lineitem
+    // itself, so EVERY lineitem row matches exactly one partsupp row
+    // (inner 1:1 by construction) and ps_supplycost_cents is a pure
+    // function of the two keys — the fact-fact join is the identity.
+    // Inline the derivation instead (guide §2.4 — remove the shuffle
+    // outright): this deletes the corpus-wide distinct AND the
+    // composite-key join exchange from the plan. Output provably
+    // identical; the oracle still replays the join form.
+    li.withColumn("ps_supplycost_cents",
+        (col("l_partkey") * 53 + col("l_suppkey") * 29) % 99000 + 1000)
       .join(Tables.orders(s, d).select(col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("o_year")),
         col("l_orderkey") === col("o_orderkey"))
@@ -165,13 +191,18 @@ object PartSupp {
       .join(smallParts, col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast("long")).as("sumq"))
-    val excess = partsupp(s, d)
-      .join(shipped,
-        col("ps_partkey") === col("l_partkey") &&
-          col("ps_suppkey") === col("l_suppkey"))
+    // shipped's (partkey, suppkey) pairs are a subset of partsupp's
+    // (both derive from lineitem) and ps_availqty is a pure function of
+    // the keys, so the composite-key join is an identity 1:1 attach —
+    // inline it (guide §2.4): removes the corpus-wide distinct and the
+    // fact-fact join exchange. Output provably identical; the oracle
+    // still replays the join form.
+    val excess = shipped
+      .withColumn("ps_availqty",
+        (col("l_partkey") * 31 + col("l_suppkey") * 17) % 100 + 1)
       .filter(lit(2) * col("ps_availqty") > col("sumq"))
-      .select(col("ps_suppkey")).distinct()
-    excess.join(regionSuppliers(s, d, "ASIA"),
+      .select(col("l_suppkey").as("ps_suppkey")).distinct()
+    excess.join(broadcast(regionSuppliers(s, d, "ASIA")),
         col("ps_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }

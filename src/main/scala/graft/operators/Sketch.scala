@@ -191,6 +191,18 @@ object Sketch {
   def hllDistinct(s: SparkSession, d: String,
       materialize: Boolean = true): DataFrame = {
     val li = Tables.lineitem(s, d)
+    // ONE lineitem pass (r13, guide §2.3/§2.4): the distinct
+    // (flag, orderkey) spine feeds BOTH consumers — the exact count is
+    // its per-flag row count (l_orderkey is never null in this corpus,
+    // so count == countDistinct), and the register table hashes the
+    // distinct keys (MAX per bucket over the same value set: duplicate
+    // keys never move a register, so hashing each key once is
+    // value-identical and drops ~40% of the md5 calls). The previous
+    // shape scanned lineitem twice — once for the md5/register pass
+    // (via a per-year grain, whose merged (flag, bucket) table this
+    // construction equals exactly) and once for countDistinct. The
+    // oracle still replays hll_est from RAW rows and hll_est_merged
+    // via the per-year merge, so the cross-engine merge proof stands.
     // ONE md5 pass: per-(flag, shipdate) register tables are the finest
     // granularity; the overall registers are their MAX-merge (that merge
     // IS the sketch's distributive property). The checkpoint pins the
@@ -211,18 +223,19 @@ object Sketch {
     // date's 1024 registers and the merge query reads the tiny
     // register table; this operator is the self-contained replay of
     // that merge algebra, at the grain where one query can afford it.
-    val mergedLazy = li
-      .select(col("l_returnflag"), year(col("l_shipdate")).as("yr"),
+    val pairsLazy = li
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+    val pairs = if (materialize) pairsLazy.localCheckpoint(true) else pairsLazy
+    val mergedLazy = pairs
+      .select(col("l_returnflag"),
         hash60(col("l_orderkey").cast("string")).as("hv"))
-      .select(col("l_returnflag"), col("yr"),
+      .select(col("l_returnflag"),
         shiftright(col("hv"), 50).as("bucket"),
         col("hv").bitwiseAND(lit((1L << 50) - 1)).as("rem"))
       .withColumn("rho",
         when(col("rem") === 0L, lit(51))
           .otherwise(lit(51) - length(bin(col("rem")))))
-      .groupBy(col("l_returnflag"), col("yr"), col("bucket"))
-      .agg(max(col("rho")).as("r"))
-      .groupBy(col("l_returnflag"), col("bucket")).agg(max(col("r")).as("r"))
+      .groupBy(col("l_returnflag"), col("bucket")).agg(max(col("rho")).as("r"))
     // checkpoint the MERGED registers (<= groups x 1024 rows — KBs),
     // never the per-grain table: the bounded register table is the
     // only thing two consumers re-read
@@ -236,8 +249,8 @@ object Sketch {
           floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0)) *
             lit(1048576.0) * lit(2251799813685248.0) /
             col("s_scaled").cast("double")).cast("long").as(out))
-    li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+    pairs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_exact"))
       .join(estimate(merged, "hll_est"), Seq("l_returnflag"))
       .join(estimate(merged, "hll_est_merged"), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_exact"), col("hll_est"),
@@ -319,8 +332,16 @@ object Sketch {
       materialize: Boolean = true): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
-    val regsLazy = li
-      .select(col("l_returnflag").as("src"),
+    // ONE lineitem pass (r13, same argument as hllDistinct): the
+    // distinct (src, orderkey) spine feeds the register pass (hashing
+    // each key once — identical registers, fewer md5 calls) AND the
+    // per-order flag-set pass below (collect_set over distinct pairs
+    // == collect_set over raw rows). Previously two full scans.
+    val spineLazy = li
+      .select(col("l_returnflag").as("src"), col("l_orderkey")).distinct()
+    val spine = if (materialize) spineLazy.localCheckpoint(true) else spineLazy
+    val regsLazy = spine
+      .select(col("src"),
         hash60(col("l_orderkey").cast("string")).as("hv"))
       .select(col("src"), shiftright(col("hv"), 50).as("bucket"),
         col("hv").bitwiseAND(lit((1L << 50) - 1)).as("rem"))
@@ -357,8 +378,8 @@ object Sketch {
     // OR-join shape re-aggregated ~8.4M near-unique (pair, orderkey)
     // rows and put the whole query at 16-19 s sf1; this shape is one
     // 1.5M-group exchange shared by both derived counts)
-    val byOrderLazy = li.groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_returnflag")).as("fs"))
+    val byOrderLazy = spine.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("src")).as("fs"))
     val byOrder = if (materialize) byOrderLazy.localCheckpoint(true) else byOrderLazy
     val nFlag = byOrder.select(explode(col("fs")).as("src"))
       .groupBy(col("src")).agg(count(lit(1)).as("n"))

@@ -136,16 +136,18 @@ class PlanGuardSpec extends SparkTestBase {
         "BroadcastExchangeExec" -> 1, "BroadcastNestedLoopJoinExec" -> 1,
         "GenerateExec" -> 3, "ShuffleExchangeExec" -> 9,
         "SortMergeJoinExec" -> 3),
+      // r13: the verified-positives lane is checkpointed (it has two
+      // consumers — see bandEvalDense), so the census below is the
+      // final-stage plan: the prefix/window/verify subtree (incl. both
+      // WindowExecs and 6 of the Generates) runs once, pre-checkpoint
       "lsh_band_eval_dense" -> Map(
-        "BroadcastExchangeExec" -> 11, "BroadcastHashJoinExec" -> 9,
-        "BroadcastNestedLoopJoinExec" -> 2, "GenerateExec" -> 8,
-        "ShuffleExchangeExec" -> 12, "SortMergeJoinExec" -> 2,
-        "WindowExec" -> 2),
+        "BroadcastExchangeExec" -> 3, "BroadcastHashJoinExec" -> 1,
+        "BroadcastNestedLoopJoinExec" -> 2, "GenerateExec" -> 2,
+        "ShuffleExchangeExec" -> 7, "SortMergeJoinExec" -> 2),
       "adv_lsh_band_dense" -> Map(
-        "BroadcastExchangeExec" -> 11, "BroadcastHashJoinExec" -> 9,
-        "BroadcastNestedLoopJoinExec" -> 2, "GenerateExec" -> 8,
-        "ShuffleExchangeExec" -> 12, "SortMergeJoinExec" -> 2,
-        "WindowExec" -> 2),
+        "BroadcastExchangeExec" -> 3, "BroadcastHashJoinExec" -> 1,
+        "BroadcastNestedLoopJoinExec" -> 2, "GenerateExec" -> 2,
+        "ShuffleExchangeExec" -> 7, "SortMergeJoinExec" -> 2),
       "content_chunk_dedup" -> Map(
         "GenerateExec" -> 1, "ShuffleExchangeExec" -> 3),
       "repetition_filter" -> Map.empty,
@@ -163,15 +165,19 @@ class PlanGuardSpec extends SparkTestBase {
         "BroadcastNestedLoopJoinExec" -> 1, "ShuffleExchangeExec" -> 4),
       "basket_pairs" -> Map(
         "GenerateExec" -> 1, "ShuffleExchangeExec" -> 2),
+      // r13 optimization: the partsupp census is scoped before its
+      // distinct / inlined as a key function (see PartSupp.scala) — no
+      // fact-fact SortMergeJoin and fewer exchanges survive in any of
+      // the three plans
       "min_cost_supplier" -> Map(
-        "BroadcastExchangeExec" -> 10, "BroadcastHashJoinExec" -> 10,
-        "ShuffleExchangeExec" -> 8, "SortMergeJoinExec" -> 2),
-      "product_profit" -> Map(
-        "BroadcastExchangeExec" -> 5, "BroadcastHashJoinExec" -> 5,
+        "BroadcastExchangeExec" -> 8, "BroadcastHashJoinExec" -> 8,
         "ShuffleExchangeExec" -> 2),
+      "product_profit" -> Map(
+        "BroadcastExchangeExec" -> 4, "BroadcastHashJoinExec" -> 4,
+        "ShuffleExchangeExec" -> 1),
       "excess_inventory" -> Map(
-        "BroadcastExchangeExec" -> 5, "BroadcastHashJoinExec" -> 5,
-        "ShuffleExchangeExec" -> 3),
+        "BroadcastExchangeExec" -> 4, "BroadcastHashJoinExec" -> 4,
+        "ShuffleExchangeExec" -> 2),
       "cross_doc_spans" -> Map(
         "BroadcastExchangeExec" -> 3, "BroadcastHashJoinExec" -> 3,
         "ShuffleExchangeExec" -> 7, "WindowExec" -> 1))

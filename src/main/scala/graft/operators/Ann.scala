@@ -237,9 +237,16 @@ object Ann {
     // intermediate carries 8 doubles per row, not the full 64-dim
     // vector (8x narrower), and the centroid attach becomes an
     // equi-join on `sub` instead of a pure cross.
+    // subvectors are sliced INSIDE one per-row transform and the narrow
+    // 8-dim pieces posexploded (pos == the subspace index, since
+    // transform preserves order) — the previous shape exploded the sub
+    // indices first and sliced per generated row, carrying the full
+    // 64-dim vector on all 8 subspace rows (8x the bytes through the
+    // Generate; r13 guide §2.3)
     val vsub = e
-      .select(col("vec_id"), col("v"), explode(sequence(lit(0), lit(nSub - 1))).as("sub"))
-      .select(col("vec_id"), col("sub"), subv(col("v"), col("sub")).as("vs"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          sub => subv(col("v"), sub))).as(Seq("sub", "vs")))
     val encScore = round(dot(col("c"), col("c"))
       - lit(2) * dot(col("vs"), col("c")), 6)
     val codes = vsub.join(broadcast(cent), Seq("sub"))

@@ -187,15 +187,23 @@ object Corpus {
   def docChunk(s: SparkSession, d: String): DataFrame = {
     val lastStart = greatest(lit(0L),
       expr(s"(n - ${ChunkSize - Stride + 1}) div $Stride"))
+    // chunk texts are sliced INSIDE one per-doc transform and only the
+    // narrow (chunk_id, chunk_text, n_tokens) structs are exploded —
+    // the previous shape exploded the chunk ids first and sliced
+    // `toks` per generated row, carrying the full token array on every
+    // chunk row (the content_chunk_dedup disease, r13 guide §2.3)
+    val chunkArr = transform(sequence(lit(0L), lastStart), cid =>
+      struct(cid.as("chunk_id"),
+        array_join(slice(col("toks"),
+          (cid * Stride + 1).cast("int"), lit(ChunkSize)), " ").as("chunk_text"),
+        least(col("n") - cid * Stride, lit(ChunkSize.toLong)).as("n_tokens")))
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
-      .select(col("doc_id"), col("toks"), col("n"),
-        explode(sequence(lit(0L), lastStart)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        array_join(slice(col("toks"),
-          (col("chunk_id") * Stride + 1).cast("int"), lit(ChunkSize)), " ").as("chunk_text"),
-        least(col("n") - col("chunk_id") * Stride, lit(ChunkSize.toLong)).as("n_tokens"))
+      .select(col("doc_id"), explode(chunkArr).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk_text").as("chunk_text"),
+        col("c.n_tokens").as("n_tokens"))
   }
 
   private val IndexLists = 8

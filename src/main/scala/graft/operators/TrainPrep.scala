@@ -94,9 +94,17 @@ object TrainPrep {
     // form measured 12 s warm sf1; the hash kernel 2-4 s). The oracle
     // counts the STRING bigrams — identical by hash injectivity on
     // the distinct bigram set, the library-wide hashing convention.
+    // dl is materialized in its OWN projection below the explode: with
+    // `size(toks)` in the same select as the generator, the projection
+    // computing it lands ABOVE the Generate and the full token array is
+    // carried on every bigram row (O(n^2) bytes per doc through the
+    // Generate — the content_chunk_dedup disease, plan-verified r13).
+    // Split out, the Generate's carried output is [doc_id, dl] only.
     val bgx = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+      .select(col("doc_id"), col("dl"),
         explode(arrays_zip(
           gramHashes(col("toks"), 2).as("bh"),
           slice(gramHashes(col("toks"), 1), lit(1),
